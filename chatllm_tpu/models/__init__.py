@@ -1,0 +1,18 @@
+"""Model zoo: self-registering per-arch loaders keyed by on-disk ModelType.
+
+Reference analog: REGISTER_MODEL_LOADER registrations across
+/root/reference/models/*.cpp (172 archs) dispatched by ModelFactory
+(/root/reference/src/models.cpp:2104).
+"""
+from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
+                   load_model, lookup_model, register_model)
+from .model_types import ModelType
+
+# import for registration side-effects
+from . import llama      # noqa: F401
+from . import qwen       # noqa: F401
+
+__all__ = [
+    "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",
+    "load_model", "lookup_model", "register_model", "ModelType",
+]

@@ -1,0 +1,223 @@
+"""Model framework: registry, config parsing, weight loading.
+
+Reference analog: ModelFactory + ImplModelLoader self-registration
+(/root/reference/src/models.cpp:2104-2177, src/models_priv.h:398-436) and
+ModelLoader's named-tensor reads with on-the-fly re-quantization
+(/root/reference/src/chat.h:670-869).
+
+Per-arch modules register a loader keyed by the on-disk ModelType int; the
+loader parses the binary Config struct, builds the tokenizer from the file's
+vocab span, and maps GGMM tensor names into the param pytree.
+"""
+from __future__ import annotations
+
+import struct as _struct
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ggmm.quants import GGMLType
+from ..ggmm.reader import GGMMFile
+from ..nn.transformer import TransformerConfig
+from ..ops.qtensor import linear_from_ggml
+from ..runtime.chat import ChatTokenizer
+from ..runtime.generate import GenerationConfig, InferenceEngine, PerfInfo
+from .model_types import ModelType
+
+_REGISTRY: dict[int, type] = {}
+
+
+def register_model(*types):
+    def deco(cls):
+        for t in types:
+            _REGISTRY[int(t)] = cls
+        return cls
+    return deco
+
+
+def lookup_model(model_type: int):
+    return _REGISTRY.get(int(model_type))
+
+
+@dataclass
+class RuntimeConfig:
+    """Runtime options (reference RuntimeConfig + relevant Args,
+    /root/reference/src/chat.h:870-874, src/main.cpp:30-135)."""
+    weight_dtype: str = "auto"      # auto = keep quantized | bfloat16 | float32
+    compute_dtype: str = "bfloat16" # activation dtype
+    cache_dtype: str = "bfloat16"   # KV cache dtype
+    max_length: int = -1            # context override (-1 = model default)
+    additional: dict = field(default_factory=dict)  # --set k v
+
+
+@dataclass
+class BaseConfig:
+    """The common binary config header every arch embeds
+    (/root/reference/src/chat.h:243-263): 11 little-endian i32."""
+    dtype: int
+    vocab_size: int
+    hidden_size: int
+    num_attention_heads: int
+    num_hidden_layers: int
+    intermediate_size: int
+    max_length: int
+    bos_token_id: int
+    eos_token_id: int
+    pad_token_id: int
+    sep_token_id: int
+
+    STRUCT_FMT = "11i"
+    NBYTES = 44
+
+    @classmethod
+    def parse(cls, gf: GGMMFile, extra_fmt: str = ""):
+        """Parse BaseConfig (+ trailing per-arch fields given by extra_fmt,
+        e.g. '2if' for 2 ints + 1 float).  Returns (BaseConfig, tuple)."""
+        vals = gf.read_config(cls.STRUCT_FMT + extra_fmt)
+        base = cls(*vals[:11])
+        return base, vals[11:]
+
+
+class ParamBuilder:
+    """Reads named tensors from a GGMMFile into device arrays, applying the
+    runtime dtype policy (keep-quantized vs dequantize-at-load)."""
+
+    def __init__(self, gf: GGMMFile, rt: RuntimeConfig):
+        self.gf = gf
+        self.rt = rt
+        self.compute_dtype = jnp.dtype(rt.compute_dtype)
+        self.loaded: set[str] = set()
+
+    def _dequant_to(self):
+        if self.rt.weight_dtype == "auto":
+            return None
+        return jnp.dtype(self.rt.weight_dtype)
+
+    def has(self, name: str) -> bool:
+        return self.gf.has_tensor(name)
+
+    def raw_f32(self, name: str) -> np.ndarray:
+        self.loaded.add(name)
+        return self.gf.tensor_f32(name)
+
+    def array(self, name: str, dtype=jnp.float32):
+        """Full-precision small tensor (norm weights, biases)."""
+        return jnp.asarray(self.raw_f32(name), dtype=dtype)
+
+    def embedding(self, name: str):
+        """Token embedding table [V, H] in compute dtype."""
+        return jnp.asarray(self.raw_f32(name), dtype=self.compute_dtype)
+
+    def linear(self, prefix: str, *, bias: bool | str = "auto", transpose_ok=True):
+        """Load `{prefix}.weight` (+ `.bias`) as a DenseLinear/QuantLinear."""
+        wname = prefix + ".weight"
+        e = self.gf.tensors[wname]
+        self.loaded.add(wname)
+        bname = prefix + ".bias"
+        b = None
+        if (bias is True) or (bias == "auto" and self.gf.has_tensor(bname)):
+            b = self.raw_f32(bname)
+        dq = self._dequant_to()
+        if dq is None and e.dtype in (GGMLType.F16, GGMLType.F32, GGMLType.BF16):
+            dq = self.compute_dtype
+        return linear_from_ggml(self.gf.raw_tensor(wname), e.dtype, e.shape,
+                                bias=b, dequant_to=dq)
+
+    def norm(self, prefix: str, *, bias: bool | str = "auto") -> dict:
+        p = {"w": self.array(prefix + ".weight")}
+        bname = prefix + ".bias"
+        if (bias is True) or (bias == "auto" and self.gf.has_tensor(bname)):
+            p["b"] = self.array(bname)
+        return p
+
+
+def load_llama_family_params(pb: ParamBuilder, n_layers: int, *, tie_lm_head: bool = False,
+                             qk_norm: bool = False, sinks: bool = False) -> dict:
+    """Weight map shared by the llama-like families (converter weight names:
+    /root/reference/convert.py QWen2Converter.get_weight_names:4805,
+    LlamaConverter:1604)."""
+    params = {
+        "embed": pb.embedding("model.embed_tokens.weight"),
+        "final_norm": pb.norm("model.norm"),
+        "layers": [],
+    }
+    for i in range(n_layers):
+        pfx = f"model.layers.{i}"
+        attn = {
+            "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+            "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+            "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+            "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+        }
+        if qk_norm:
+            attn["q_norm"] = pb.norm(f"{pfx}.self_attn.q_norm")
+            attn["k_norm"] = pb.norm(f"{pfx}.self_attn.k_norm")
+        if sinks and pb.has(f"{pfx}.self_attn.sinks"):
+            attn["sinks"] = pb.array(f"{pfx}.self_attn.sinks")
+        layer = {
+            "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+            "attn": attn,
+            "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+            "mlp": {
+                "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                "down": pb.linear(f"{pfx}.mlp.down_proj"),
+            },
+        }
+        params["layers"].append(layer)
+    params["layers"] = tuple(params["layers"])
+    if not tie_lm_head:
+        params["lm_head"] = pb.linear("lm_head")
+    return params
+
+
+class BaseLLM:
+    """A loaded model: static config + param pytree + tokenizer + engine.
+
+    Reference analog: AbstractModel/BaseModelForConditionalGeneration
+    (/root/reference/src/chat.h:978, src/models_priv.h:450)."""
+
+    def __init__(self, model_type: int, cfg: TransformerConfig, params,
+                 tokenizer: ChatTokenizer, native_config=None, meta=None):
+        self.model_type = model_type
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.native_config = native_config
+        self.meta = meta or {}
+        self.perf = PerfInfo()
+        self._engine: Optional[InferenceEngine] = None
+
+    @property
+    def engine(self) -> InferenceEngine:
+        if self._engine is None:
+            self._engine = InferenceEngine(self.cfg, self.params)
+        return self._engine
+
+    def generate(self, input_ids, gen_cfg: GenerationConfig, **kw):
+        kw.setdefault("is_terminator", self.tokenizer.is_terminate_token)
+        kw.setdefault("perf", self.perf)
+        return self.engine.generate(input_ids, gen_cfg, **kw)
+
+    def forward_logits(self, input_ids, n_past: int = 0, cache=None):
+        """Full-sequence logits (testing / PPL harness)."""
+        from ..nn.transformer import transformer_forward
+        import jax
+
+        ids = jnp.asarray(np.atleast_2d(np.asarray(input_ids, np.int32)))
+        if cache is None:
+            cache = self.engine.new_cache(ids.shape[0], max(ids.shape[1], 1))
+        logits, cache = transformer_forward(self.cfg, self.params, ids, cache, n_past)
+        return logits, cache
+
+
+def load_model(path: str, rt: RuntimeConfig | None = None) -> BaseLLM:
+    """ModelFactory::load analog: open file, dispatch on model_type."""
+    rt = rt or RuntimeConfig()
+    gf = GGMMFile.open(path)
+    cls = lookup_model(gf.model_type)
+    if cls is None:
+        raise ValueError(f"unsupported model_type 0x{gf.model_type:x} in {path}")
+    return cls.load(gf, rt)

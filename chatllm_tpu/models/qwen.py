@@ -1,0 +1,153 @@
+"""Qwen family (reference: /root/reference/models/qwen.{h,cpp}).
+
+Qwen uses the NeoX (half-split) rope lane layout — the converter does not
+permute q/k (no `pp` override in QWen2Converter, /root/reference/convert.py:4788).
+"""
+from __future__ import annotations
+
+from ..nn.transformer import TransformerConfig
+from ..ops.rope import ROPE_NEOX, RopeConfig
+from ..runtime.chat import ChatMLEncoder, ChatTokenizer
+from ..tokenizer.processor import BPEProcessor2
+from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
+                   load_llama_family_params, register_model)
+from .llama import build_dense_config
+from .model_types import ModelType
+
+# models/qwen.cpp v1 do_load regex
+QWEN_REGEX = [
+    r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+
+
+def make_qwen_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
+    """models/qwen.cpp v1 Tokenizer::load."""
+    tp = BPEProcessor2(QWEN_REGEX)
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tp.enable_return_special_token(True)
+    tok = ChatTokenizer(tp, ChatMLEncoder(), sys_prompt="You are a helpful assistant.")
+    eot = tp.piece_to_id("<|endoftext|>")
+    tok.pad_token_id = tok.eos_token_id = tok.bos_token_id = eot
+    tok.im_start_token_id = tp.piece_to_id("<|im_start|>")
+    tok.im_end_token_id = tp.piece_to_id("<|im_end|>")
+    tok.nl_token_id = tp.encode("\n")[0]
+    if tok.im_end_token_id >= 0:
+        tok.terminate_ids.add(tok.im_end_token_id)
+    tok.is_special_id = lambda i: i in (tok.pad_token_id, tok.im_start_token_id, tok.im_end_token_id)
+    return tok
+
+
+@register_model(ModelType.QWEN2, ModelType.QWEN2TIE, ModelType.MARCO_O1,
+                ModelType.QWQ, ModelType.READERLM2,
+                ModelType.DEEPSEEK_R1_DISTILL_QWEN)
+class Qwen2(BaseLLM):
+    # Config: BaseConfig + {num_key_value_heads, sliding_window} + rope_theta
+    # (models/qwen.h:76-81)
+    EXTRA_FMT = "2if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, sliding_window, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        tie = not gf.has_tensor("lm_head.weight")
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, rope_theta=rope_theta,
+            rope_layout=ROPE_NEOX, tie_lm_head=tie, norm_eps=1e-6,
+            qkv_bias=True, max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        tok = make_qwen_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers, tie_lm_head=tie)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+def load_moe_experts(pb: ParamBuilder, pfx: str, n_experts: int) -> dict:
+    """Stack per-expert FFN weights `{pfx}.experts.{j}.*_proj.weight`
+    (reference concat-on-load, models/qwen.cpp:312-314) into dense [E, ...]
+    arrays for the expert einsum."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    gates, ups, downs = [], [], []
+    for j in range(n_experts):
+        gates.append(pb.raw_f32(f"{pfx}.experts.{j}.gate_proj.weight").T)
+        ups.append(pb.raw_f32(f"{pfx}.experts.{j}.up_proj.weight").T)
+        downs.append(pb.raw_f32(f"{pfx}.experts.{j}.down_proj.weight").T)
+    dt = pb.compute_dtype
+    return {
+        "gate": jnp.asarray(np.stack(gates), dtype=dt),   # [E, H, F]
+        "up": jnp.asarray(np.stack(ups), dtype=dt),       # [E, H, F]
+        "down": jnp.asarray(np.stack(downs), dtype=dt),   # [E, F, H]
+    }
+
+
+@register_model(ModelType.QWEN3, ModelType.DEEPSEEK_R1_DISTILL_QWEN3)
+class Qwen3(BaseLLM):
+    # models/qwen.h:746-760 v3 Config: BaseConfig + {num_key_value_heads,
+    # head_dim, rope_theta:f, yarn_factor:f, yarn_orig, decoder_sparse_step,
+    # moe_intermediate_size, num_experts_per_tok, num_experts,
+    # norm_topk_prob, tie_word_embeddings, layer_is_sparse[128]}
+    EXTRA_FMT = "2iff" + "i" * 6 + "i" + "128i"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, head_dim, rope_theta, yarn_factor, yarn_orig,
+         sparse_step, moe_inter, n_active, n_experts, norm_topk, tie_flag) = extra[:11]
+        layer_is_sparse = extra[11:]
+        tie = bool(tie_flag)
+        from ..nn.transformer import LayerSpec
+        from dataclasses import replace as _replace
+
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, head_dim=head_dim,
+            rope_theta=rope_theta, rope_layout=ROPE_NEOX, tie_lm_head=tie,
+            norm_eps=1e-6, qk_norm="rmsnorm", max_length=rt.max_length,
+            cache_dtype=rt.cache_dtype)
+        any_sparse = n_experts > 0 and any(layer_is_sparse[: base.num_hidden_layers])
+        if any_sparse:
+            specs = tuple(LayerSpec(is_moe=bool(layer_is_sparse[i]))
+                          for i in range(base.num_hidden_layers))
+            cfg = _replace(cfg, layer_specs=specs, moe_num_experts=n_experts,
+                           moe_top_k=n_active, moe_norm_topk_prob=bool(norm_topk))
+        if yarn_factor > 0 and yarn_orig > 0:
+            cfg = _replace(cfg, rope=_replace(
+                cfg.rope, freq_scale=1.0 / yarn_factor, ext_factor=1.0,
+                orig_ctx=yarn_orig))
+
+        tok = make_qwen_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            attn = {
+                "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
+            }
+            if any_sparse and layer_is_sparse[i]:
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate"),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_experts),
+                }
+            else:
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                }
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": attn,
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": mlp,
+            })
+        params["layers"] = tuple(params["layers"])
+        if not tie:
+            params["lm_head"] = pb.linear("lm_head")
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -1,0 +1,318 @@
+"""Decoder-only transformer core: config, KV cache, layer + model forward.
+
+Covers the reference's composite blocks (`LMBlock1` pre-norm src/layers.h:1234,
+`LMBlock2` parallel attn+mlp :2779, `LMBlock4` sandwich norms :1458,
+RoPESelfAttention :2018, QKNormedAttention :3073, sliding-window attention
+:1973, GatedMLP :2277) as one configurable pure function.  Per-arch model
+classes (chatllm_tpu/models/*) only choose config values and weight-name
+mappings.
+
+Parameters are nested dicts (a per-layer tuple under "layers"); linears are
+DenseLinear/QuantLinear pytree nodes from ops.qtensor.  Everything here is
+traced under jit: static shapes, no data-dependent control flow.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.attention import attention_with_cache, update_kv_cache
+from ..ops.norm import layer_norm, rms_norm
+from ..ops.qmm import matmul
+from ..ops.qtensor import DenseLinear, QuantLinear
+from ..ops.rope import RopeConfig, apply_rope, precompute_rope_cache
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    """Static per-layer attention/MLP variation (sliding-window patterns,
+    no-rope layers, MoE-vs-dense — anything that changes the traced graph)."""
+    sliding_window: int = 0        # 0 = full attention
+    use_rope: bool = True
+    is_moe: bool = False
+    cross_attn: bool = False
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    intermediate_size: int
+    max_length: int
+    head_dim: int = -1                      # defaults to hidden/heads
+    act: str = "silu"                       # silu | gelu | gelu_tanh | relu | relu2
+    norm_type: str = "rmsnorm"              # rmsnorm | layernorm
+    norm_eps: float = 1e-5
+    rms_norm_offset: float = 0.0            # 1.0 for Gemma-style (1+w)
+    rope: RopeConfig = None
+    qkv_bias: bool = False
+    o_bias: bool = False
+    mlp_bias: bool = False
+    tie_lm_head: bool = False
+    qk_norm: str = "none"                   # none | rmsnorm | rmsnorm_per_head
+    logit_softcap: float = 0.0              # attention score softcap (Gemma2)
+    final_logit_softcap: float = 0.0
+    embedding_scale: float = 1.0            # sqrt(hidden) for Gemma
+    attention_scale: float = -1.0           # score scale; -1 = 1/sqrt(head_dim)
+    parallel_residual: bool = False         # LMBlock2 (GPT-NeoX/Phi style)
+    post_norms: bool = False                # LMBlock4 sandwich (Gemma2)
+    layer_specs: tuple = ()                 # per-layer LayerSpec; () = uniform
+    # MoE (used when a LayerSpec has is_moe):
+    moe_num_experts: int = 0
+    moe_top_k: int = 0
+    moe_norm_topk_prob: bool = True
+    moe_shared_intermediate: int = 0
+    cache_dtype: str = "bfloat16"
+
+    def resolved_head_dim(self) -> int:
+        return self.head_dim if self.head_dim > 0 else self.hidden_size // self.num_attention_heads
+
+    def layer_spec(self, i: int) -> LayerSpec:
+        if self.layer_specs:
+            return self.layer_specs[i]
+        return LayerSpec()
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class KVCache:
+    """Per-layer K/V tensors, [n_layers][B, S_layer, H_kv, D].
+
+    Sliding-window layers allocate only `window` slots (ring-written), the
+    reference's partial-cache design (src/layers.h:1973-2016)."""
+    k: tuple
+    v: tuple
+
+
+def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
+               dtype=None) -> KVCache:
+    max_len = max_len or cfg.max_length
+    dtype = dtype or jnp.dtype(cfg.cache_dtype)
+    d = cfg.resolved_head_dim()
+    ks, vs = [], []
+    for i in range(cfg.num_hidden_layers):
+        spec = cfg.layer_spec(i)
+        s = max_len if spec.sliding_window <= 0 else min(max_len, spec.sliding_window)
+        shape = (batch, s, cfg.num_key_value_heads, d)
+        ks.append(jnp.zeros(shape, dtype))
+        vs.append(jnp.zeros(shape, dtype))
+    return KVCache(k=tuple(ks), v=tuple(vs))
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def _act(name: str):
+    return {
+        "silu": jax.nn.silu,
+        "gelu": jax.nn.gelu,                       # erf-exact below
+        "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+        "relu": jax.nn.relu,
+        "relu2": lambda x: jnp.square(jax.nn.relu(x)),
+    }[name]
+
+
+def _norm(cfg: TransformerConfig, x, p):
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, p["w"], p.get("b"), eps=cfg.norm_eps)
+    return rms_norm(x, p["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
+
+
+def gated_mlp(cfg: TransformerConfig, p, x):
+    """GatedMLP (reference src/layers.h:2277): down(act(gate(x)) * up(x))."""
+    g = matmul(x, p["gate"])
+    u = matmul(x, p["up"])
+    h = (_act(cfg.act)(g) * u).astype(x.dtype)
+    return matmul(h, p["down"]).astype(x.dtype)
+
+
+def simple_mlp(cfg: TransformerConfig, p, x):
+    """TheMLP (reference src/layers.h:1018): down(act(up(x)))."""
+    h = _act(cfg.act)(matmul(x, p["up"])).astype(x.dtype)
+    return matmul(h, p["down"]).astype(x.dtype)
+
+
+def moe_mlp(cfg: TransformerConfig, p, x):
+    """Sparse MoE FFN (reference GenericSparseMLP src/layers.h:2373):
+    softmax router → top-k experts → weighted sum; optional shared expert
+    (CombinedMLP :2330).  Expert compute is dense einsum over the expert dim
+    (`mul_mat_id` analog) — gathered per token via one-hot matmul so shapes
+    stay static for XLA."""
+    B, T, H = x.shape
+    xt = x.reshape(B * T, H)
+    router_logits = matmul(xt, p["gate"]).astype(jnp.float32)         # [N, E]
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.moe_top_k)                  # [N, K]
+    if cfg.moe_norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    # dispatch one-hot: [N, K, E] → combine over experts
+    E = cfg.moe_num_experts
+    onehot = jax.nn.one_hot(topi, E, dtype=xt.dtype)                  # [N,K,E]
+    combine = jnp.einsum("nk,nke->ne", topv.astype(xt.dtype), onehot) # [N,E]
+    # experts stored stacked: gate/up/down with leading expert dim
+    gw, uw, dw = p["experts"]["gate"], p["experts"]["up"], p["experts"]["down"]
+    # dense-over-experts compute (correct & simple; ragged Pallas kernel is
+    # the optimization path for big E)
+    g = jnp.einsum("nh,ehf->enf", xt, gw)
+    u = jnp.einsum("nh,ehf->enf", xt, uw)
+    hidden = _act(cfg.act)(g) * u
+    out = jnp.einsum("enf,efh->enh", hidden, dw)                      # [E,N,H]
+    y = jnp.einsum("enh,ne->nh", out, combine)
+    if "shared" in p:
+        y = y + gated_mlp(cfg, p["shared"], xt)
+    return y.reshape(B, T, H).astype(x.dtype)
+
+
+def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
+                    cos, sin, k_cache, v_cache, n_past):
+    B, T, H = x.shape
+    d = cfg.resolved_head_dim()
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+
+    q = matmul(x, p["q"]).reshape(B, T, hq, d)
+    k = matmul(x, p["k"]).reshape(B, T, hkv, d)
+    v = matmul(x, p["v"]).reshape(B, T, hkv, d)
+
+    if cfg.qk_norm != "none":
+        # per-head RMS norm over head_dim (reference QKNormedAttention
+        # src/layers.h:3073)
+        q = rms_norm(q, p["q_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
+        k = rms_norm(k, p["k_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
+
+    if spec.use_rope:
+        q = apply_rope(q, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
+        k = apply_rope(k, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
+
+    if spec.sliding_window > 0 and k_cache.shape[1] < cfg.max_length:
+        # ring cache write (partial cache, reference src/layers.h:1973)
+        S = k_cache.shape[1]
+        pos = jnp.mod(n_past + jnp.arange(T), S)
+        k_cache = k_cache.at[:, pos].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[:, pos].set(v.astype(v_cache.dtype))
+        out = _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T)
+    else:
+        k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, n_past)
+        scale = cfg.attention_scale if cfg.attention_scale > 0 else d ** -0.5
+        out = attention_with_cache(
+            q, k_cache, v_cache, n_past, T,
+            scale=scale, causal=True,
+            logit_softcap=cfg.logit_softcap,
+            sliding_window=spec.sliding_window,
+            sinks=p.get("sinks"),
+        )
+    out = out.reshape(B, T, hq * d)
+    return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache
+
+
+def _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T):
+    """Attention over a ring-buffer cache of S = window slots: key absolute
+    position reconstructed from ring index for masking + RoPE'd keys stored
+    rotated (keys carry absolute-position rope, as in the reference)."""
+    B, _, hq, d = q.shape
+    S = k_cache.shape[1]
+    hkv = k_cache.shape[2]
+    scale = cfg.attention_scale if cfg.attention_scale > 0 else d ** -0.5
+    # absolute position of each ring slot: the latest write to slot j
+    total = n_past + T
+    slot = jnp.arange(S)
+    # pos ≡ slot (mod S), pos < total, pos > total - S - 1 → unique solve:
+    k_pos = slot + ((total - 1 - slot) // S) * S
+    k_pos = jnp.where(k_pos < 0, -1, k_pos)                    # unwritten
+    q_pos = n_past + jnp.arange(T)
+    valid = (k_pos[None, :] >= 0) & (k_pos[None, :] <= q_pos[:, None])
+    if spec.sliding_window > 0:
+        valid &= k_pos[None, :] > (q_pos[:, None] - spec.sliding_window)
+    mask = jnp.where(valid, 0.0, -1e30)                        # [T,S]
+    qg = q.reshape(B, T, hkv, hq // hkv, d).astype(jnp.float32)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_cache.astype(jnp.float32)) * scale
+    if cfg.logit_softcap > 0:
+        scores = jnp.tanh(scores / cfg.logit_softcap) * cfg.logit_softcap
+    scores = scores + mask[None, None, None]
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bshd->bthgd", p, v_cache.astype(jnp.float32))
+    return out.reshape(B, T, hq, d).astype(q.dtype)
+
+
+def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
+                  cos, sin, k_cache, v_cache, n_past):
+    """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
+    (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
+    h = _norm(cfg, x, p["attn_norm"])
+    attn_out, k_cache, v_cache = attention_block(
+        cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past)
+    if cfg.post_norms:
+        attn_out = _norm(cfg, attn_out, p["post_attn_norm"])
+
+    if cfg.parallel_residual:
+        mlp_out = gated_mlp(cfg, p["mlp"], h) if not spec.is_moe else moe_mlp(cfg, p["mlp"], h)
+        x = x + attn_out + mlp_out
+    else:
+        x = x + attn_out
+        h = _norm(cfg, x, p["ffn_norm"])
+        mlp_out = moe_mlp(cfg, p["mlp"], h) if spec.is_moe else gated_mlp(cfg, p["mlp"], h)
+        if cfg.post_norms:
+            mlp_out = _norm(cfg, mlp_out, p["post_ffn_norm"])
+        x = x + mlp_out
+    return x, k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# full model forward
+# ---------------------------------------------------------------------------
+
+def embed_tokens(cfg: TransformerConfig, params, ids):
+    x = jnp.take(params["embed"], ids, axis=0)
+    if cfg.embedding_scale != 1.0:
+        x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
+    return x
+
+
+def lm_logits(cfg: TransformerConfig, params, x):
+    if cfg.tie_lm_head:
+        w = params["embed"]
+        logits = jnp.dot(x.astype(w.dtype), w.T, preferred_element_type=jnp.float32)
+    else:
+        logits = matmul(x, params["lm_head"])
+    if cfg.final_logit_softcap > 0:
+        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    return logits
+
+
+def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
+                        n_past, *, last_only: bool = False,
+                        positions=None):
+    """ids: [B, T] int32 → (logits [B, T|1, V] f32, new cache).
+
+    The reference analog is HeterogeneousModel::forward
+    (/root/reference/src/models.cpp:1399-1449); here the per-layer device
+    moves are replaced by sharding annotations on the param tree.
+    """
+    B, T = ids.shape
+    x = embed_tokens(cfg, params, ids)
+    if positions is None:
+        positions = n_past + jnp.arange(T)[None, :]            # [1,T]
+        positions = jnp.broadcast_to(positions, (B, T))
+    cos, sin = precompute_rope_cache(positions, cfg.rope)
+
+    ks, vs = list(cache.k), list(cache.v)
+    for i in range(cfg.num_hidden_layers):
+        spec = cfg.layer_spec(i)
+        x, ks[i], vs[i] = decoder_layer(
+            cfg, spec, params["layers"][i], x, cos, sin, ks[i], vs[i], n_past)
+
+    x = _norm(cfg, x, params["final_norm"])
+    if last_only:
+        x = x[:, -1:, :]
+    logits = lm_logits(cfg, params, x)
+    return logits, KVCache(k=tuple(ks), v=tuple(vs))

@@ -1,0 +1,114 @@
+"""Attention with a static-shape KV cache.
+
+Reference semantics: `CoreAttention`/`KVCacheAttention`
+(/root/reference/src/layers.h:1587-1811): causal mask against n_past, GQA
+head grouping, optional logit softcap (Gemma), attention sinks, ALiBi, and
+sliding-window masking (`BaseSlidingWindowAttentionPartialCache`,
+src/layers.h:1973).
+
+TPU design: the cache is a pair of [B, S_max, H_kv, D] arrays updated in
+place with `lax.dynamic_update_slice` (donated across decode steps so XLA
+reuses the buffer).  Scores are computed in f32 on the MXU via einsum with
+the GQA grouping folded into the contraction — no materialized head
+repetition.  A fused Pallas flash kernel replaces the einsum path for long
+contexts (ops/pallas/flash.py); this XLA path is the reference semantics and
+the fallback.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def update_kv_cache(k_cache, v_cache, k, v, n_past):
+    """Write new K/V ([B,T,H,D]) at position n_past. Returns updated caches."""
+    zeros = (0, 0, 0)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, n_past, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, n_past, 0, 0))
+    return k_cache, v_cache
+
+
+def attention_with_cache(
+    q: jax.Array,                 # [B, T, Hq, D]
+    k_cache: jax.Array,           # [B, S, Hkv, D] (already holds new keys)
+    v_cache: jax.Array,           # [B, S, Hkv, Dv]
+    n_past,                       # scalar int (traced ok)
+    n_tokens=None,                # valid new tokens this step (defaults to T)
+    *,
+    scale: float,
+    causal: bool = True,
+    logit_softcap: float = 0.0,
+    sliding_window: int = 0,
+    sinks: Optional[jax.Array] = None,        # [Hq] learned sink logits
+    alibi_slopes: Optional[jax.Array] = None, # [Hq]
+    mask_extra: Optional[jax.Array] = None,   # [B, T, S] additive mask
+) -> jax.Array:
+    B, T, Hq, D = q.shape
+    S = k_cache.shape[1]
+    Hkv = k_cache.shape[2]
+    G = Hq // Hkv
+    if n_tokens is None:
+        n_tokens = T
+
+    qg = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    # scores: [B, Hkv, G, T, S]
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * scale
+
+    if logit_softcap > 0.0:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+
+    q_pos = n_past + jnp.arange(T)[:, None]                    # [T,1]
+    k_pos = jnp.arange(S)[None, :]                             # [1,S]
+    valid = k_pos < (n_past + n_tokens)                        # key written
+    if causal:
+        valid &= k_pos <= q_pos
+    if sliding_window > 0:
+        valid &= k_pos > (q_pos - sliding_window)
+    mask = jnp.where(valid, 0.0, NEG_INF)[None, None, None]    # [1,1,1,T,S]
+
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.reshape(Hkv, G).astype(jnp.float32)
+        bias = slopes[None, :, :, None, None] * k_pos.astype(jnp.float32)[None, None, None]
+        scores = scores + bias
+    scores = scores + mask
+    if mask_extra is not None:
+        scores = scores + mask_extra[:, None, None]
+
+    if sinks is not None:
+        # learned per-head sink logit joins the softmax denominator but emits
+        # no value (reference: attn sinks in CoreAttention, src/layers.h:1587)
+        sk = sinks.reshape(Hkv, G).astype(jnp.float32)
+        sk = jnp.broadcast_to(sk[None, :, :, None, None], (B, Hkv, G, T, 1))
+        all_scores = jnp.concatenate([scores, sk], axis=-1)
+        m = jnp.max(all_scores, axis=-1, keepdims=True)
+        e = jnp.exp(all_scores - m)
+        p = e[..., :S] / jnp.sum(e, axis=-1, keepdims=True)
+    else:
+        p = jax.nn.softmax(scores, axis=-1)
+
+    out = jnp.einsum("bhgts,bshd->bthgd", p, v_cache.astype(jnp.float32))
+    return out.reshape(B, T, Hq, v_cache.shape[-1]).astype(q.dtype)
+
+
+def alibi_slopes_for(n_heads: int) -> jax.Array:
+    """Standard ALiBi slope schedule (reference `ALiBiSelfAttention`,
+    src/layers.h:2884; formula per the ALiBi paper)."""
+    import math
+
+    def pow2slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        s = pow2slopes(n_heads)
+    else:
+        closest = 2 ** int(math.floor(math.log2(n_heads)))
+        s = pow2slopes(closest)
+        extra = pow2slopes(2 * closest)
+        s += extra[0::2][: n_heads - closest]
+    return jnp.asarray(s, dtype=jnp.float32)

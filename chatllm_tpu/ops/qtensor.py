@@ -1,0 +1,220 @@
+"""Device-side tensor containers for linear-layer weights.
+
+The reference keeps ggml's interleaved block formats in device memory and
+dequantizes inside every matmul kernel (/root/reference/ggml/src/ggml-quants.c).
+Those C-struct layouts (f16 scale + nibbles packed per 20..144-byte block) are
+hostile to the TPU's (8,128)-lane vector unit, so at *load* time every ggml
+block format is repacked into a planar "grouped-affine" layout:
+
+    q : int8  [out, in]          quantized values (sub-byte formats widened,
+                                 or packed 2-per-byte for the int4 kernel path)
+    s : f32   [out, in // G]     per-group scale
+    b : f32   [out, in // G]     per-group bias (None for symmetric formats)
+
+with reconstruction  w[o, i] = q[o, i] * s[o, i//G] + b[o, i//G]  exactly equal
+to ggml's dequantize_row_* output — so perplexity parity with the reference is
+held by construction, while the memory layout is MXU/VPU friendly.
+
+Group size G is 32 for q4_0/q4_1/q5_0/q5_1/q8_0/q4_k/q5_k and 16 for
+q2_k/q6_k (matching each format's native scale granularity).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ggmm.quants import QK, QK_K, GGMLType, _f16, _k4_scale_min
+
+
+@struct.dataclass
+class DenseLinear:
+    """A dense (bf16/f32) linear layer; w is [in, out] so y = x @ w."""
+    w: jax.Array
+    bias: Optional[jax.Array] = None
+
+    @property
+    def shape_in_out(self):
+        return self.w.shape
+
+
+@struct.dataclass
+class QuantLinear:
+    """Grouped-affine quantized linear layer (planar layout, see module doc).
+
+    y = x @ dequant(q, s, b).T  where q is [out, in].
+    """
+    q: jax.Array                     # int8 [out, in]
+    s: jax.Array                     # f32 [out, in // G]
+    b: Optional[jax.Array] = None    # f32 [out, in // G]
+    bias: Optional[jax.Array] = None # f32 [out]
+    group_size: int = struct.field(pytree_node=False, default=32)
+
+    @property
+    def shape_in_out(self):
+        return (self.q.shape[1], self.q.shape[0])
+
+
+def _nibbles(qs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return (qs & 0xF), (qs >> 4)
+
+
+def repack_quantized(data, t: GGMLType, shape) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, int]:
+    """Repack raw ggml block bytes into (q int8 [..], s f32, b f32|None, G).
+
+    `shape` is the logical numpy-order shape, typically [out, in]; groups run
+    along the last axis.  Reconstruction q*s+b matches
+    chatllm_tpu.ggmm.quants.dequantize bit-for-bit in f32.
+    """
+    t = GGMLType(t)
+    n = int(np.prod(shape))
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data
+
+    if t == GGMLType.Q8_0:
+        raw = buf[: n // QK * 34].reshape(-1, 34)
+        s = _f16(raw[:, 0:2])                                   # [nb,1]
+        q = raw[:, 2:34].view(np.int8)
+        G = 32
+        b = None
+    elif t == GGMLType.Q4_0:
+        raw = buf[: n // QK * 18].reshape(-1, 18)
+        s = _f16(raw[:, 0:2])
+        lo, hi = _nibbles(raw[:, 2:18])
+        q = (np.concatenate([lo, hi], axis=1).astype(np.int8) - 8)
+        G = 32
+        b = None
+    elif t == GGMLType.Q4_1:
+        raw = buf[: n // QK * 20].reshape(-1, 20)
+        s = _f16(raw[:, 0:2])
+        b = _f16(raw[:, 2:4])
+        lo, hi = _nibbles(raw[:, 4:20])
+        q = np.concatenate([lo, hi], axis=1).astype(np.int8)
+        G = 32
+    elif t == GGMLType.Q5_0:
+        raw = buf[: n // QK * 22].reshape(-1, 22)
+        s = _f16(raw[:, 0:2])
+        qh = raw[:, 2:6].copy().view(np.uint32)
+        lo, hi = _nibbles(raw[:, 6:22])
+        shifts = np.arange(32, dtype=np.uint32)
+        hb = ((qh >> shifts) & 1).astype(np.uint8)
+        q = ((np.concatenate([lo, hi], axis=1) | (hb << 4)).astype(np.int16) - 16).astype(np.int8)
+        G = 32
+        b = None
+    elif t == GGMLType.Q5_1:
+        raw = buf[: n // QK * 24].reshape(-1, 24)
+        s = _f16(raw[:, 0:2])
+        b = _f16(raw[:, 2:4])
+        qh = raw[:, 4:8].copy().view(np.uint32)
+        lo, hi = _nibbles(raw[:, 8:24])
+        shifts = np.arange(32, dtype=np.uint32)
+        hb = ((qh >> shifts) & 1).astype(np.uint8)
+        q = (np.concatenate([lo, hi], axis=1) | (hb << 4)).astype(np.int8)
+        G = 32
+    elif t == GGMLType.Q4_K:
+        nb = n // QK_K
+        raw = buf[: nb * 144].reshape(nb, 144)
+        d = _f16(raw[:, 0:2])
+        dmin = _f16(raw[:, 2:4])
+        sc, m = _k4_scale_min(raw[:, 4:16])                     # [nb,8]
+        qs = raw[:, 16:144].reshape(nb, 4, 32)
+        lo, hi = _nibbles(qs)
+        q = np.stack([lo, hi], axis=2).reshape(nb, 8, 32).astype(np.int8)
+        s = (d * sc.astype(np.float32)).reshape(nb, 8, 1)       # per-32 scale
+        b = (-(dmin * m.astype(np.float32))).reshape(nb, 8, 1)
+        s = np.broadcast_to(s, (nb, 8, 1)).reshape(nb * 8, 1)
+        b = np.broadcast_to(b, (nb, 8, 1)).reshape(nb * 8, 1)
+        q = q.reshape(nb * 8, 32)
+        G = 32
+    elif t == GGMLType.Q5_K:
+        nb = n // QK_K
+        raw = buf[: nb * 176].reshape(nb, 176)
+        d = _f16(raw[:, 0:2])
+        dmin = _f16(raw[:, 2:4])
+        sc, m = _k4_scale_min(raw[:, 4:16])
+        qh = raw[:, 16:48]
+        qs = raw[:, 48:176].reshape(nb, 4, 32)
+        lo, hi = _nibbles(qs)
+        bits = np.arange(4, dtype=np.uint8)
+        hlo = ((qh[:, None, :] >> (2 * bits)[None, :, None]) & 1).astype(np.uint8)
+        hhi = ((qh[:, None, :] >> (2 * bits + 1)[None, :, None]) & 1).astype(np.uint8)
+        q = np.stack([lo + (hlo << 4), hi + (hhi << 4)], axis=2).reshape(nb, 8, 32).astype(np.int8)
+        s = (d * sc.astype(np.float32)).reshape(nb * 8, 1)
+        b = (-(dmin * m.astype(np.float32))).reshape(nb * 8, 1)
+        q = q.reshape(nb * 8, 32)
+        G = 32
+    elif t == GGMLType.Q6_K:
+        nb = n // QK_K
+        raw = buf[: nb * 210].reshape(nb, 210)
+        ql = raw[:, 0:128].reshape(nb, 2, 64)
+        qh = raw[:, 128:192].reshape(nb, 2, 32)
+        sc = raw[:, 192:208].view(np.int8).reshape(nb, 16).astype(np.float32)
+        d = _f16(raw[:, 208:210])
+        l0, l1 = ql[:, :, :32], ql[:, :, 32:]
+        q1 = ((l0 & 0xF) | (((qh >> 0) & 3) << 4)).astype(np.int8) - 32
+        q2 = ((l1 & 0xF) | (((qh >> 2) & 3) << 4)).astype(np.int8) - 32
+        q3 = ((l0 >> 4) | (((qh >> 4) & 3) << 4)).astype(np.int8) - 32
+        q4 = ((l1 >> 4) | (((qh >> 6) & 3) << 4)).astype(np.int8) - 32
+        q = np.concatenate([q1, q2, q3, q4], axis=2).reshape(nb, QK_K).astype(np.int8)
+        s = (d * sc).reshape(nb * 16, 1)                        # per-16 scale
+        q = q.reshape(nb * 16, 16)
+        b = None
+        G = 16
+    elif t == GGMLType.Q2_K:
+        nb = n // QK_K
+        raw = buf[: nb * 84].reshape(nb, 84)
+        scales = raw[:, 0:16]
+        qs = raw[:, 16:80].reshape(nb, 2, 32)
+        d = _f16(raw[:, 80:82])
+        dmin = _f16(raw[:, 82:84])
+        sc = (scales & 0xF).astype(np.float32)
+        mn = (scales >> 4).astype(np.float32)
+        shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+        q = ((qs[:, :, None, :] >> shifts[None, None, :, None]) & 3).reshape(nb, 16, 16).astype(np.int8)
+        s = (d * sc).reshape(nb * 16, 1)
+        b = (-(dmin * mn)).reshape(nb * 16, 1)
+        q = q.reshape(nb * 16, 16)
+        G = 16
+    else:
+        raise NotImplementedError(f"repack for {t}")
+
+    out_shape = tuple(shape)
+    q = q.reshape(out_shape)
+    g_shape = out_shape[:-1] + (out_shape[-1] // G,)
+    s = s.reshape(-1).reshape(g_shape).astype(np.float32)
+    if b is not None:
+        b = b.reshape(-1).reshape(g_shape).astype(np.float32)
+    return q, s, b, G
+
+
+_QUANT_TYPES = {
+    GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
+    GGMLType.Q2_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+}
+
+
+def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
+                     dequant_to=None):
+    """Build a device linear layer from a ggml tensor.
+
+    `shape` is numpy order [out, in].  If `dequant_to` is a jnp dtype, the
+    weight is fully dequantized at load (the bf16 fast path for small models /
+    f32 reference path); otherwise quantized formats keep the planar int8
+    layout and run through the fused dequant matmul.
+    """
+    from ..ggmm.quants import dequantize
+
+    t = GGMLType(t)
+    bias_arr = jnp.asarray(bias, dtype=jnp.float32) if bias is not None else None
+    if dequant_to is not None or t not in _QUANT_TYPES:
+        w = dequantize(raw, t, shape)
+        dt = dequant_to or jnp.float32
+        return DenseLinear(w=jnp.asarray(np.ascontiguousarray(w.T), dtype=dt), bias=bias_arr)
+    q, s, b, G = repack_quantized(raw, t, shape)
+    return QuantLinear(
+        q=jnp.asarray(q), s=jnp.asarray(s),
+        b=None if b is None else jnp.asarray(b),
+        bias=bias_arr, group_size=G,
+    )

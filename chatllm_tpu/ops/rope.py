@@ -1,0 +1,114 @@
+"""Rotary position embeddings, all scaling families used by the reference:
+
+  - plain RoPE with freq_base/freq_scale (ggml_rope_ext semantics,
+    /root/reference/ggml/src/ggml.c `ggml_rope_impl`; wired in
+    src/layers.h:2018 `RoPESelfAttention`)
+  - YaRN (reference `setup_yarn` src/layers.h:2070; math follows the ggml
+    `rope_yarn` corr-dim ramp formula)
+  - LongRoPE / Phi3-SU per-dim `freq_factors` (src/layers.h:3244-3274)
+  - partial rotary dims (`rope_dim < head_dim`, e.g. GLM/Persimmon)
+  - two lane layouts: NEOX (half-split, HF `rotate_half`) and NORMAL
+    (adjacent interleaved pairs, ggml mode 0)
+
+Design: cos/sin (with YaRN mscale folded in) are precomputed per position on
+the host side of jit as a [T, rot/2] table; applying them is a fused
+elementwise op on the VPU.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROPE_NEOX = "neox"        # rotate halves (HF convention)
+ROPE_NORMAL = "normal"    # rotate adjacent pairs (ggml mode 0)
+
+
+@dataclass(frozen=True)
+class RopeConfig:
+    head_dim: int
+    rot_dim: int = -1                    # rotary dims (defaults to head_dim)
+    freq_base: float = 10000.0
+    freq_scale: float = 1.0              # 1/linear-scaling factor
+    layout: str = ROPE_NEOX
+    # YaRN (0 disables):
+    ext_factor: float = 0.0
+    attn_factor: float = 1.0
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    orig_ctx: int = 0                    # n_ctx_orig for YaRN ramp
+    # LongRoPE per-dim factors (length rot_dim/2), optional:
+    freq_factors: Optional[tuple] = None
+    mscale_all: float = 1.0              # explicit attn-scale multiplier
+
+    def resolved_rot_dim(self) -> int:
+        return self.head_dim if self.rot_dim <= 0 else self.rot_dim
+
+
+def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, beta: float, base: float) -> float:
+    # inverse of theta_i = 2*pi*beta: dim index where rotations == beta
+    return n_dims * math.log(n_ctx_orig / (beta * 2 * math.pi)) / (2 * math.log(base))
+
+
+def precompute_rope_cache(positions: jax.Array, cfg: RopeConfig):
+    """positions: int array [...]; returns (cos, sin): f32 [..., rot/2]."""
+    rot = cfg.resolved_rot_dim()
+    half = rot // 2
+    dim_i = jnp.arange(half, dtype=jnp.float32)
+    inv_freq = jnp.power(jnp.float32(cfg.freq_base), -2.0 * dim_i / rot)
+    if cfg.freq_factors is not None:
+        inv_freq = inv_freq / jnp.asarray(cfg.freq_factors, dtype=jnp.float32)
+
+    pos = positions.astype(jnp.float32)[..., None]             # [..., 1]
+    theta_extrap = pos * inv_freq                              # [..., half]
+    mscale = cfg.attn_factor * cfg.mscale_all
+
+    if cfg.ext_factor != 0.0 and cfg.orig_ctx > 0:
+        # YaRN: interpolate between scaled and unscaled theta with a ramp
+        low = max(0.0, math.floor(_yarn_corr_dim(rot, cfg.orig_ctx, cfg.beta_fast, cfg.freq_base)))
+        high = min(rot - 1.0, math.ceil(_yarn_corr_dim(rot, cfg.orig_ctx, cfg.beta_slow, cfg.freq_base)))
+        denom = max(0.001, high - low)
+        ramp = jnp.clip((2.0 * dim_i - low) / denom, 0.0, 1.0)
+        ramp_mix = (1.0 - ramp) * cfg.ext_factor               # 1 near dim 0
+        theta_interp = cfg.freq_scale * theta_extrap
+        theta = theta_interp * (1.0 - ramp_mix) + theta_extrap * ramp_mix
+        mscale *= 1.0 + 0.1 * math.log(1.0 / cfg.freq_scale)
+    else:
+        theta = cfg.freq_scale * theta_extrap
+
+    return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+               *, layout: str = ROPE_NEOX, rot_dim: int = -1) -> jax.Array:
+    """x: [B, T, H, D]; cos/sin: [B, T, rot/2] (or [T, rot/2])."""
+    d = x.shape[-1]
+    rot = d if rot_dim <= 0 else rot_dim
+    xr, xp = x[..., :rot], x[..., rot:]
+    if cos.ndim == x.ndim - 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :].astype(jnp.float32)               # [B,T,1,half]
+    sin = sin[:, :, None, :].astype(jnp.float32)
+    xf = xr.astype(jnp.float32)
+    if layout == ROPE_NEOX:
+        x1, x2 = xf[..., : rot // 2], xf[..., rot // 2:]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.concatenate([o1, o2], axis=-1)
+    elif layout == ROPE_NORMAL:
+        x1 = xf[..., 0::2]
+        x2 = xf[..., 1::2]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.stack([o1, o2], axis=-1).reshape(xf.shape)
+    else:
+        raise ValueError(f"rope layout {layout}")
+    out = out.astype(x.dtype)
+    if rot < d:
+        out = jnp.concatenate([out, xp], axis=-1)
+    return out

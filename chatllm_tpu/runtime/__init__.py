@@ -1,0 +1,11 @@
+"""Runtime: chat history/templates, generation loop, streaming, pipelines.
+
+Reference analog: src/chat.{h,cpp} + the generate loop in src/models.cpp.
+"""
+from .chat import ChatTokenizer, HistoryEncoder, ChatMLEncoder, Message, Messages, MsgRole
+from .generate import GenerationConfig, InferenceEngine
+
+__all__ = [
+    "ChatTokenizer", "HistoryEncoder", "ChatMLEncoder", "Message", "Messages",
+    "MsgRole", "GenerationConfig", "InferenceEngine",
+]

@@ -1,0 +1,212 @@
+"""Generation loop: jitted prefill + decode-step over a donated KV cache.
+
+Reference analog: BaseModelForConditionalGeneration::generate
+(/root/reference/src/models.cpp:941-1086) and generate_next_token (:1108)
+with batched prefill chunking, plus the sampler hot path (:1031-1066).
+
+TPU design (SURVEY.md §7):
+  - TWO compiled functions instead of a graph rebuilt per token:
+      prefill(params, ids[B,Tpad], cache, n_past, n_tokens) -> last logits
+      decode_step(params, tok[B,1], cache, n_past, penalty, key) -> next tok
+    The KV cache is donated, so XLA updates it in place across steps.
+  - Prompt chunks are padded to power-of-two buckets; attention masks by
+    `n_past + n_tokens` so padded positions never pollute the cache (the
+    next write overwrites their slots).
+  - Sampling (incl. penalties) runs on-device inside the decode step; the
+    host only reads back one int32 per token, one step behind the dispatch
+    front, so Python never stalls the TPU.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.transformer import KVCache, TransformerConfig, init_cache, transformer_forward
+from ..ops.sampling import PenaltyState, SamplerConfig, penalty_accept, sample_token
+
+
+@dataclass
+class GenerationConfig:
+    """Mirrors the reference GenerationConfig (/root/reference/src/chat.h:875-919)
+    option-for-option so C-API param strings map 1:1."""
+    max_length: int = -1            # total context; -1 = model max
+    max_new_tokens: int = -1
+    max_context_length: int = 4096
+    do_sample: bool = True
+    top_k: int = 20
+    top_p: float = 0.7
+    temperature: float = 0.7
+    tfs_z: float = 0.95
+    sampling: str = "top_p"
+    repeat_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    penalty_window: int = 256
+    seed: int = 0
+    batch_size: int = 4096          # prefill chunk (reference src/main.cpp:100)
+
+    def sampler_config(self) -> SamplerConfig:
+        return SamplerConfig(
+            do_sample=self.do_sample, sampling=self.sampling if self.do_sample else "greedy",
+            temperature=self.temperature, top_k=self.top_k, top_p=self.top_p,
+            tfs_z=self.tfs_z, repeat_penalty=self.repeat_penalty,
+            frequency_penalty=self.frequency_penalty,
+            presence_penalty=self.presence_penalty,
+            penalty_window=self.penalty_window,
+        )
+
+
+@dataclass
+class PerfInfo:
+    """ModelPerfInfo analog (/root/reference/src/chat.h:921-951)."""
+    prompt_tokens: int = 0
+    prompt_ms: float = 0.0
+    gen_tokens: int = 0
+    gen_ms: float = 0.0
+
+    def summary(self) -> str:
+        pt = self.prompt_tokens / self.prompt_ms * 1000 if self.prompt_ms else 0.0
+        gt = self.gen_tokens / self.gen_ms * 1000 if self.gen_ms else 0.0
+        return (f"prompt eval time: {self.prompt_ms:8.2f} ms / {self.prompt_tokens:5d} tokens ({pt:8.2f} tok/s)\n"
+                f"       eval time: {self.gen_ms:8.2f} ms / {self.gen_tokens:5d} tokens ({gt:8.2f} tok/s)")
+
+
+def _bucket(n: int, lo: int = 16, hi: int = 4096) -> int:
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return b
+
+
+class InferenceEngine:
+    """Owns the jitted compute for one model (params + static config)."""
+
+    def __init__(self, cfg: TransformerConfig, params, *, max_length: int = -1):
+        self.cfg = cfg
+        self.params = params
+        self.max_length = max_length if max_length > 0 else cfg.max_length
+        self._prefill_cache = {}
+        self._decode_fns = {}
+
+    # -- compiled stages ----------------------------------------------------
+    def _prefill_fn(self, tpad: int):
+        if tpad in self._prefill_cache:
+            return self._prefill_cache[tpad]
+        cfg = self.cfg
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill(params, cache, ids, n_past, n_tokens):
+            logits, cache = transformer_forward(cfg, params, ids, cache, n_past)
+            last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
+            return last[:, 0, :], cache
+
+        self._prefill_cache[tpad] = prefill
+        return prefill
+
+    def _decode_fn(self, scfg: SamplerConfig):
+        key_s = scfg
+        if key_s in self._decode_fns:
+            return self._decode_fns[key_s]
+        cfg = self.cfg
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def decode_step(params, cache, tok, n_past, penalty, key):
+            logits, cache = transformer_forward(cfg, params, tok, cache, n_past)
+            lf = logits[:, -1, :]
+            key, sub = jax.random.split(key)
+            nxt, conf = sample_token(lf[0], scfg, sub, penalty)
+            penalty = penalty_accept(penalty, nxt)
+            return nxt[None, None], cache, penalty, key, conf
+
+        self._decode_fns[key_s] = decode_step
+        return decode_step
+
+    # -- public API ---------------------------------------------------------
+    def new_cache(self, batch: int = 1, max_len: int | None = None) -> KVCache:
+        return init_cache(self.cfg, batch, max_len or self.max_length)
+
+    def prefill(self, ids, cache: KVCache, n_past: int, *, chunk: int = 4096):
+        """Feed prompt ids ([T] or [B,T]) through the model in chunks.
+        Returns (last-token logits [B,V] f32 on device, cache, n_past)."""
+        ids = np.atleast_2d(np.asarray(ids, dtype=np.int32))
+        B, T = ids.shape
+        logits = None
+        done = 0
+        while done < T:
+            n = min(chunk, T - done)
+            tpad = _bucket(n, hi=max(16, chunk))
+            buf = np.zeros((B, tpad), np.int32)
+            buf[:, :n] = ids[:, done : done + n]
+            fn = self._prefill_fn(tpad)
+            logits, cache = fn(self.params, cache, jnp.asarray(buf),
+                               jnp.int32(n_past), jnp.int32(n))
+            n_past += n
+            done += n
+        return logits, cache, n_past
+
+    def generate(
+        self,
+        input_ids: list[int],
+        gen_cfg: GenerationConfig,
+        *,
+        is_terminator: Callable[[int], bool] = lambda t: False,
+        on_token: Optional[Callable[[int], None]] = None,
+        perf: Optional[PerfInfo] = None,
+        cache: Optional[KVCache] = None,
+        n_past: int = 0,
+        completion_limit: int = -1,
+    ):
+        """Autoregressive generation.  Returns (generated ids, cache, n_past)."""
+        scfg = gen_cfg.sampler_config()
+        max_len = self.max_length if gen_cfg.max_length <= 0 else min(gen_cfg.max_length, self.max_length)
+        max_new = completion_limit if completion_limit > 0 else (
+            gen_cfg.max_new_tokens if gen_cfg.max_new_tokens > 0 else max_len)
+
+        if cache is None:
+            cache = self.new_cache(1, max_len)
+
+        t0 = time.perf_counter()
+        logits, cache, n_past = self.prefill(input_ids, cache, n_past, chunk=gen_cfg.batch_size)
+        decode = self._decode_fn(scfg)
+
+        penalty = PenaltyState.init(self.cfg.vocab_size, scfg.penalty_window)
+        key = jax.random.key(gen_cfg.seed or 0)
+        # sample the first token from prefill logits on device
+        tok, _ = sample_token(logits[0], scfg, jax.random.split(key, 2)[1], penalty)
+        penalty = penalty_accept(penalty, tok)
+        tok = tok[None, None]
+        first = int(tok[0, 0])
+        if perf:
+            perf.prompt_tokens += len(input_ids)
+            perf.prompt_ms += (time.perf_counter() - t0) * 1000
+
+        t1 = time.perf_counter()
+        out: list[int] = []
+        if is_terminator(first):
+            if perf:
+                perf.gen_ms += (time.perf_counter() - t1) * 1000
+            return out, cache, n_past
+        out.append(first)
+        if on_token:
+            on_token(first)
+
+        while len(out) < max_new and n_past + 1 < max_len:
+            tok, cache, penalty, key, _ = decode(
+                self.params, cache, tok, jnp.int32(n_past), penalty, key)
+            n_past += 1
+            t = int(tok[0, 0])
+            if is_terminator(t):
+                break
+            out.append(t)
+            if on_token:
+                on_token(t)
+        if perf:
+            perf.gen_tokens += len(out)
+            perf.gen_ms += (time.perf_counter() - t1) * 1000
+        return out, cache, n_past
