@@ -1,0 +1,105 @@
+"""Headline benchmark: Llama-3-8B-shaped q4-layout decode on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+vs_baseline compares against the weight-bandwidth roofline for the *ideal*
+q4_k byte footprint (~4.5 bits/weight) at this chip's HBM bandwidth — i.e.
+1.0 means decode runs at the speed light allows for a perfectly packed
+quantized model.  (BASELINE.md: the reference publishes no numbers; roofline
+is the driver-defined target.)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HBM_BW = {  # bytes/s, per chip
+    "v5e": 819e9, "v5litepod": 819e9, "v5": 819e9,
+    "v4": 1228e9, "v5p": 2765e9, "v6e": 1640e9,
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from chatllm_tpu.models.synthetic import (build_synthetic_params,
+                                              llama3_8b_config, param_bytes)
+    from chatllm_tpu.nn.transformer import init_cache, transformer_forward
+
+    dev = jax.devices()[0]
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    bw = HBM_BW.get(gen, 819e9)
+
+    max_len = int(os.environ.get("BENCH_CTX", "2048"))
+    prompt_len = 512
+    n_decode = int(os.environ.get("BENCH_STEPS", "48"))
+
+    cfg = llama3_8b_config(max_length=max_len)
+    params = build_synthetic_params(cfg, "q4", zeros=True)
+    cache = init_cache(cfg, 1, max_len)
+    pbytes = param_bytes(params)
+
+    import numpy as np
+
+    @jax.jit
+    def prefill(params, cache, ids, n_past):
+        logits, cache = transformer_forward(cfg, params, ids, cache, n_past)
+        return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32), cache
+
+    # the whole greedy decode loop runs on device (lax.scan); the timing
+    # sync is a data readback because the axon tunnel's block_until_ready
+    # does not wait for real execution
+    @jax.jit
+    def decode_n(params, cache, tok, n_past):
+        def body(carry, _):
+            tok, cache, n_past = carry
+            logits, cache = transformer_forward(cfg, params, tok[:, None], cache, n_past)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return (nxt, cache, n_past + 1), nxt
+        (tok, cache, n_past), toks = jax.lax.scan(
+            body, (tok, cache, n_past), None, length=n_decode)
+        return toks, cache
+
+    ids = jnp.zeros((1, prompt_len), jnp.int32)
+
+    # TTFT: compile+warm on first call (readback forces real execution),
+    # measure the second call including logits readback
+    tok, cache = prefill(params, cache, ids, jnp.int32(0))
+    _ = np.asarray(tok)
+    t0 = time.perf_counter()
+    tok, cache = prefill(params, cache, ids, jnp.int32(0))
+    _ = np.asarray(tok)
+    ttft_ms = (time.perf_counter() - t0) * 1000
+
+    # decode: warmup (compile) then timed
+    toks, cache = decode_n(params, cache, tok, jnp.int32(prompt_len))
+    _ = np.asarray(toks)
+    t0 = time.perf_counter()
+    toks, cache = decode_n(params, cache, tok, jnp.int32(prompt_len))
+    _ = np.asarray(toks)
+    dt = time.perf_counter() - t0
+    tok_s = n_decode / dt
+
+    # roofline for ideal q4_k packing (4.5 bits/weight + f16 embed read ~0)
+    n_params = 8.03e9
+    ideal_bytes = n_params * 4.5 / 8
+    roofline = bw / ideal_bytes
+
+    print(json.dumps({
+        "metric": "llama3_8b_q4_decode",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / roofline, 4),
+        "ttft_ms_512": round(ttft_ms, 1),
+        "device": str(dev),
+        "param_bytes_actual": pbytes,
+        "roofline_tok_s": round(roofline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

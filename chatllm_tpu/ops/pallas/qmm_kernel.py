@@ -1,0 +1,124 @@
+"""Fused dequantize × matmul Pallas kernel.
+
+y[B, N] = x[B, K] @ dequant(q[K, N], s[K/G, N], b[K/G, N]) (+ bias[N])
+
+The quantized weight tile is DMA'd to VMEM as int8, dequantized on the VPU
+(group-scale broadcast along lanes), and fed to the MXU as bf16 — the bf16
+weight never exists in HBM, so decode-GEMV traffic is the quantized bytes
+only.  This is the TPU replacement for ggml's fused dequant-dot kernels
+(/root/reference/ggml/src/ggml-quants.c, ggml-cuda/mmq.cu) on the path that
+dominates tokens/s (SURVEY.md §7 "hard parts" #1).
+
+Everything is stored output-dim-along-lanes ([K, N] / [K/G, N]), so the
+dequant broadcast and the dot contraction need no transposes, and every
+BlockSpec tile is (sublane, lane)-aligned.
+
+Grid: (N/TILE_N, K/TILE_K), K innermost so the f32 accumulator tile stays
+resident in VMEM across the K sweep.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref, *, n_kt: int,
+            group: int, compute_dtype):
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Dequant cost budget: exactly 2 VPU ops per weight (int8→bf16 convert +
+    # bf16 multiply).  The affine group bias is handled OUTSIDE the kernel:
+    # Σ_k x_k (q s + b) = x·(q s) + (Σ_{k∈g} x_k)·b, so the wrapper adds a
+    # tiny [B, K/G] @ [K/G, N] matmul on the XLA side in full f32.
+    q = q_ref[:]                                   # [TK, TN] int8
+    tk, tn = q.shape
+    gs = tk // group
+    s = s_ref[:].astype(compute_dtype)             # [gs, TN]
+    w = q.astype(compute_dtype).reshape(gs, group, tn) * s[:, None, :]
+    w = w.reshape(tk, tn)
+    xc = x_ref[:].astype(compute_dtype)            # [B, TK]
+    acc_ref[:] += jnp.dot(xc, w, preferred_element_type=jnp.float32)
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        out = acc_ref[:]
+        if bias_ref is not None:
+            out = out + bias_ref[:]
+        o_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("group", "tile_n", "tile_k",
+                                             "compute_dtype", "interpret"))
+def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
+               tile_n: int = 512, tile_k: int = 1024,
+               compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """x: [B, K] float; q: [K, N] int8; s/b: [K/group, N] f32; bias: [N].
+    Returns [B, N] f32."""
+    B, K = x.shape
+    N = q.shape[1]
+    tile_k = min(tile_k, K)
+    tile_n = min(tile_n, N)
+    assert K % tile_k == 0, (K, tile_k)
+    assert N % tile_n == 0, (N, tile_n)
+    assert tile_k % group == 0
+    n_nt, n_kt = N // tile_n, K // tile_k
+
+    # pad batch to the f32 sublane minimum so the MXU tile is well-formed
+    B_pad = max(8, B)
+    if B_pad != B:
+        x = jnp.pad(x, ((0, B_pad - B), (0, 0)))
+
+    gs = tile_k // group
+    in_specs = [
+        pl.BlockSpec((B_pad, tile_k), lambda n, k: (0, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k, tile_n), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        pl.BlockSpec((gs, tile_n), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+    ]
+    args = [x, q, s]
+    has_bias = bias is not None
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, tile_n), lambda n, k: (0, n),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.reshape(1, N))
+
+    def kernel(*refs):
+        x_ref, q_ref, s_ref = refs[0], refs[1], refs[2]
+        idx = 3
+        bias_ref = refs[idx] if has_bias else None
+        idx += has_bias
+        o_ref, acc_ref = refs[idx], refs[idx + 1]
+        _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref,
+                n_kt=n_kt, group=group, compute_dtype=compute_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_nt, n_kt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B_pad, tile_n), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B_pad, tile_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B_pad * N * K,
+            bytes_accessed=N * K + N * K // group * 4 + B_pad * K * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    out = out[:B]
+    if b is not None:
+        # affine group-bias term: Σ_g b[g, n] · (Σ_{k∈g} x[b, k]) in f32
+        xg = jnp.sum(x[:B].reshape(B, K // group, group), axis=2)
+        out = out + jnp.dot(xg, b, preferred_element_type=jnp.float32)
+    return out

@@ -22,23 +22,43 @@ from .qtensor import DenseLinear, QuantLinear
 
 
 def dequant_weight(lin: QuantLinear, dtype=jnp.bfloat16) -> jax.Array:
-    """Materialize the full weight [out, in] from the planar layout."""
-    out, cin = lin.q.shape
+    """Materialize the full weight [in, out] from the planar layout."""
+    cin, out = lin.q.shape
     g = lin.group_size
-    q = lin.q.reshape(out, cin // g, g).astype(jnp.float32)
-    w = q * lin.s[..., None]
+    q = lin.q.reshape(cin // g, g, out).astype(jnp.float32)
+    w = q * lin.s[:, None, :]
     if lin.b is not None:
-        w = w + lin.b[..., None]
-    return w.reshape(out, cin).astype(dtype)
+        w = w + lin.b[:, None, :]
+    return w.reshape(cin, out).astype(dtype)
+
+
+def use_pallas_qmm() -> bool:
+    """Pallas fused kernel on TPU; XLA fallback on CPU/interpret."""
+    import os
+
+    v = os.environ.get("CHATLLM_TPU_QMM", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() not in ("cpu",)
 
 
 def matmul(x: jax.Array, lin, *, compute_dtype=jnp.bfloat16) -> jax.Array:
-    """y = x @ W^T (+ bias).  x: [..., in] -> [..., out]."""
+    """y = x @ W (+ bias).  x: [..., in] -> [..., out]."""
     if isinstance(lin, DenseLinear):
         y = jnp.dot(x.astype(lin.w.dtype), lin.w, preferred_element_type=jnp.float32)
     elif isinstance(lin, QuantLinear):
+        if use_pallas_qmm():
+            from .pallas.qmm_kernel import qmm_pallas
+
+            lead = x.shape[:-1]
+            x2 = x.reshape(-1, x.shape[-1])
+            y = qmm_pallas(x2, lin.q, lin.s, lin.b, lin.bias,
+                           group=lin.group_size, compute_dtype=compute_dtype)
+            return y.reshape(*lead, y.shape[-1])
         w = dequant_weight(lin, compute_dtype)
-        y = jnp.dot(x.astype(compute_dtype), w.T, preferred_element_type=jnp.float32)
+        y = jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)
     else:
         raise TypeError(f"not a linear: {type(lin)}")
     if lin.bias is not None:

@@ -6,14 +6,18 @@ Those C-struct layouts (f16 scale + nibbles packed per 20..144-byte block) are
 hostile to the TPU's (8,128)-lane vector unit, so at *load* time every ggml
 block format is repacked into a planar "grouped-affine" layout:
 
-    q : int8  [out, in]          quantized values (sub-byte formats widened,
-                                 or packed 2-per-byte for the int4 kernel path)
-    s : f32   [out, in // G]     per-group scale
-    b : f32   [out, in // G]     per-group bias (None for symmetric formats)
+    q : int8  [in, out]          quantized values, transposed so the output
+                                 dim runs along TPU lanes (sub-byte formats
+                                 widened; int4 pair-packing is the kernel-v2
+                                 optimization)
+    s : f32   [in // G, out]     per-group scale
+    b : f32   [in // G, out]     per-group bias (None for symmetric formats)
 
-with reconstruction  w[o, i] = q[o, i] * s[o, i//G] + b[o, i//G]  exactly equal
+with reconstruction  w[i, o] = q[i, o] * s[i//G, o] + b[i//G, o]  exactly equal
 to ggml's dequantize_row_* output — so perplexity parity with the reference is
-held by construction, while the memory layout is MXU/VPU friendly.
+held by construction, while the memory layout is MXU/VPU friendly: y = x @ w
+contracts the `in` dim with no transposes anywhere, and the group-scale
+broadcast in the Pallas kernel is a lane-aligned VPU multiply.
 
 Group size G is 32 for q4_0/q4_1/q5_0/q5_1/q8_0/q4_k/q5_k and 16 for
 q2_k/q6_k (matching each format's native scale granularity).
@@ -45,17 +49,17 @@ class DenseLinear:
 class QuantLinear:
     """Grouped-affine quantized linear layer (planar layout, see module doc).
 
-    y = x @ dequant(q, s, b).T  where q is [out, in].
+    y = x @ dequant(q, s, b)  where q is [in, out].
     """
-    q: jax.Array                     # int8 [out, in]
-    s: jax.Array                     # f32 [out, in // G]
-    b: Optional[jax.Array] = None    # f32 [out, in // G]
+    q: jax.Array                     # int8 [in, out]
+    s: jax.Array                     # f32 [in // G, out]
+    b: Optional[jax.Array] = None    # f32 [in // G, out]
     bias: Optional[jax.Array] = None # f32 [out]
     group_size: int = struct.field(pytree_node=False, default=32)
 
     @property
     def shape_in_out(self):
-        return (self.q.shape[1], self.q.shape[0])
+        return (self.q.shape[0], self.q.shape[1])
 
 
 def _nibbles(qs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -63,10 +67,11 @@ def _nibbles(qs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def repack_quantized(data, t: GGMLType, shape) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, int]:
-    """Repack raw ggml block bytes into (q int8 [..], s f32, b f32|None, G).
+    """Repack raw ggml block bytes into the *transposed* planar layout:
+    (q int8 [in, out], s f32 [in//G, out], b|None, G).
 
-    `shape` is the logical numpy-order shape, typically [out, in]; groups run
-    along the last axis.  Reconstruction q*s+b matches
+    `shape` is the logical numpy-order shape of the stored tensor, [out, in];
+    groups run along its last (in) axis.  Reconstruction q*s+b matches
     chatllm_tpu.ggmm.quants.dequantize bit-for-bit in f32.
     """
     t = GGMLType(t)
@@ -181,11 +186,14 @@ def repack_quantized(data, t: GGMLType, shape) -> tuple[np.ndarray, np.ndarray, 
         raise NotImplementedError(f"repack for {t}")
 
     out_shape = tuple(shape)
-    q = q.reshape(out_shape)
     g_shape = out_shape[:-1] + (out_shape[-1] // G,)
-    s = s.reshape(-1).reshape(g_shape).astype(np.float32)
+    # transpose [out, in] -> [in, out] (and [out, in//G] -> [in//G, out])
+    q = np.ascontiguousarray(np.moveaxis(q.reshape(out_shape), -1, -2))
+    s = np.ascontiguousarray(np.moveaxis(
+        s.reshape(-1).reshape(g_shape).astype(np.float32), -1, -2))
     if b is not None:
-        b = b.reshape(-1).reshape(g_shape).astype(np.float32)
+        b = np.ascontiguousarray(np.moveaxis(
+            b.reshape(-1).reshape(g_shape).astype(np.float32), -1, -2))
     return q, s, b, G
 
 

@@ -87,10 +87,12 @@ def _bucket(n: int, lo: int = 16, hi: int = 4096) -> int:
 class InferenceEngine:
     """Owns the jitted compute for one model (params + static config)."""
 
-    def __init__(self, cfg: TransformerConfig, params, *, max_length: int = -1):
+    def __init__(self, cfg: TransformerConfig, params, *, max_length: int = -1,
+                 decode_block: int = 16):
         self.cfg = cfg
         self.params = params
         self.max_length = max_length if max_length > 0 else cfg.max_length
+        self.decode_block = decode_block
         self._prefill_cache = {}
         self._decode_fns = {}
 
@@ -109,23 +111,33 @@ class InferenceEngine:
         self._prefill_cache[tpad] = prefill
         return prefill
 
-    def _decode_fn(self, scfg: SamplerConfig):
-        key_s = scfg
+    def _decode_fn(self, scfg: SamplerConfig, block: int):
+        """Jitted block decoder: `block` autoregressive steps inside one
+        lax.scan, sampling on device.  One host round-trip per block instead
+        of per token — the TPU-native inversion of the reference's
+        rebuild-graph-per-token loop (src/models.cpp:1108)."""
+        key_s = (scfg, block)
         if key_s in self._decode_fns:
             return self._decode_fns[key_s]
         cfg = self.cfg
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def decode_step(params, cache, tok, n_past, penalty, key):
-            logits, cache = transformer_forward(cfg, params, tok, cache, n_past)
-            lf = logits[:, -1, :]
-            key, sub = jax.random.split(key)
-            nxt, conf = sample_token(lf[0], scfg, sub, penalty)
-            penalty = penalty_accept(penalty, nxt)
-            return nxt[None, None], cache, penalty, key, conf
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=())
+        def decode_block(params, cache, tok, n_past, penalty, key):
+            def body(carry, _):
+                tok, cache, n_past, penalty, key = carry
+                logits, cache = transformer_forward(cfg, params, tok, cache, n_past)
+                lf = logits[:, -1, :]
+                key, sub = jax.random.split(key)
+                nxt, _conf = sample_token(lf[0], scfg, sub, penalty)
+                penalty = penalty_accept(penalty, nxt)
+                return (nxt[None, None], cache, n_past + 1, penalty, key), nxt
 
-        self._decode_fns[key_s] = decode_step
-        return decode_step
+            (tok, cache, n_past, penalty, key), toks = jax.lax.scan(
+                body, (tok, cache, n_past, penalty, key), None, length=block)
+            return toks, tok, cache, penalty, key
+
+        self._decode_fns[key_s] = decode_block
+        return decode_block
 
     # -- public API ---------------------------------------------------------
     def new_cache(self, batch: int = 1, max_len: int | None = None) -> KVCache:
@@ -173,7 +185,6 @@ class InferenceEngine:
 
         t0 = time.perf_counter()
         logits, cache, n_past = self.prefill(input_ids, cache, n_past, chunk=gen_cfg.batch_size)
-        decode = self._decode_fn(scfg)
 
         penalty = PenaltyState.init(self.cfg.vocab_size, scfg.penalty_window)
         key = jax.random.key(gen_cfg.seed or 0)
@@ -192,20 +203,31 @@ class InferenceEngine:
             if perf:
                 perf.gen_ms += (time.perf_counter() - t1) * 1000
             return out, cache, n_past
+
         out.append(first)
         if on_token:
             on_token(first)
 
-        while len(out) < max_new and n_past + 1 < max_len:
-            tok, cache, penalty, key, _ = decode(
+        block = max(1, min(self.decode_block, max_new))
+        decode = self._decode_fn(scfg, block)
+        done = False
+        while not done and len(out) < max_new and n_past + 1 < max_len:
+            steps = min(block, max_new - len(out), max_len - 1 - n_past)
+            toks, tok, cache, penalty, key = decode(
                 self.params, cache, tok, jnp.int32(n_past), penalty, key)
-            n_past += 1
-            t = int(tok[0, 0])
-            if is_terminator(t):
-                break
-            out.append(t)
-            if on_token:
-                on_token(t)
+            toks_host = np.asarray(toks)            # one sync per block
+            for j in range(steps):
+                t = int(toks_host[j])
+                n_past += 1
+                if is_terminator(t):
+                    done = True
+                    break
+                out.append(t)
+                if on_token:
+                    on_token(t)
+            # tokens past `steps` in the block were speculative; n_past
+            # advanced only for consumed ones so their cache slots will be
+            # overwritten by the next block
         if perf:
             perf.gen_tokens += len(out)
             perf.gen_ms += (time.perf_counter() - t1) * 1000

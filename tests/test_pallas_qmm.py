@@ -1,0 +1,53 @@
+"""Pallas fused dequant-matmul kernel vs the XLA reference path."""
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax.numpy as jnp
+
+from chatllm_tpu.ops.pallas.qmm_kernel import qmm_pallas
+from chatllm_tpu.ops.qmm import dequant_weight, matmul
+from chatllm_tpu.ops.qtensor import QuantLinear
+
+
+@pytest.mark.parametrize("affine", [False, True])
+@pytest.mark.parametrize("B,N,K", [(1, 256, 1024), (4, 512, 2048)])
+def test_qmm_matches_xla(affine, B, N, K):
+    rng = np.random.default_rng(0)
+    G = 32
+    q = rng.integers(-8, 8, (K, N), dtype=np.int8)
+    s = (rng.random((K // G, N)).astype(np.float32) * 0.02)
+    b = (rng.random((K // G, N)).astype(np.float32) * 0.1) if affine else None
+    x = rng.standard_normal((B, K)).astype(np.float32)
+
+    # exact f32 dequant reference
+    w = (q.reshape(K // G, G, N).astype(np.float32) * s[:, None, :])
+    if b is not None:
+        w = w + b[:, None, :]
+    ref = x @ w.reshape(K, N)
+
+    lin = QuantLinear(q=jnp.asarray(q), s=jnp.asarray(s),
+                      b=None if b is None else jnp.asarray(b))
+    out = np.asarray(qmm_pallas(jnp.asarray(x), lin.q, lin.s, lin.b,
+                                tile_n=128, tile_k=512, interpret=True))
+    # the kernel computes with bf16 weights: check normalized error at the
+    # bf16 level, like the XLA bf16 path
+    xla = np.asarray(matmul(jnp.asarray(x), lin))
+    for got, name in [(out, "pallas"), (xla, "xla")]:
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 5e-3, (name, rel)
+
+
+def test_qmm_bias():
+    rng = np.random.default_rng(1)
+    B, N, K, G = 2, 128, 256, 32
+    q = rng.integers(-8, 8, (K, N), dtype=np.int8)
+    s = np.full((K // G, N), 0.01, np.float32)
+    bias = rng.standard_normal(N).astype(np.float32)
+    x = rng.standard_normal((B, K)).astype(np.float32)
+    lin = QuantLinear(q=jnp.asarray(q), s=jnp.asarray(s), bias=jnp.asarray(bias))
+    ref = np.asarray(matmul(jnp.asarray(x), lin))
+    out = np.asarray(qmm_pallas(jnp.asarray(x), lin.q, lin.s, None, lin.bias,
+                                tile_n=128, tile_k=256, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
