@@ -55,6 +55,17 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref, *, n_kt: int,
         o_ref[:] = out
 
 
+def _pick_tile(dim: int, want: int, unit: int) -> int:
+    """Largest multiple of `unit` that divides `dim`, at most `want`."""
+    t = min(want, dim)
+    t -= t % unit
+    while t >= unit:
+        if dim % t == 0:
+            return t
+        t -= unit
+    return dim  # no aligned divisor: single tile covering the whole dim
+
+
 @functools.partial(jax.jit, static_argnames=("group", "tile_n", "tile_k",
                                              "compute_dtype", "interpret"))
 def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
@@ -64,10 +75,9 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
     Returns [B, N] f32."""
     B, K = x.shape
     N = q.shape[1]
-    tile_k = min(tile_k, K)
-    tile_n = min(tile_n, N)
-    assert K % tile_k == 0, (K, tile_k)
-    assert N % tile_n == 0, (N, tile_n)
+    # largest tile sizes that divide the problem (lane/sublane-aligned)
+    tile_n = _pick_tile(N, tile_n, 128)
+    tile_k = _pick_tile(K, tile_k, group)
     assert tile_k % group == 0
     n_nt, n_kt = N // tile_n, K // tile_k
 

@@ -54,6 +54,14 @@ def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, beta: float, base: float) -> fl
     return n_dims * math.log(n_ctx_orig / (beta * 2 * math.pi)) / (2 * math.log(base))
 
 
+def rope_mscale(cfg: RopeConfig) -> float:
+    """The attention magnitude scale folded into cos/sin tables."""
+    m = cfg.attn_factor * cfg.mscale_all
+    if cfg.ext_factor != 0.0 and cfg.orig_ctx > 0:
+        m *= 1.0 + 0.1 * math.log(1.0 / cfg.freq_scale)
+    return m
+
+
 def precompute_rope_cache(positions: jax.Array, cfg: RopeConfig):
     """positions: int array [...]; returns (cos, sin): f32 [..., rot/2]."""
     rot = cfg.resolved_rot_dim()

@@ -179,6 +179,15 @@ class ChatTokenizer:
     def decode_id(self, tid: int) -> str:
         return self.tp.decode([tid]) if not self.is_special_id(tid) else ""
 
+    def piece_bytes(self, tid: int) -> bytes:
+        """Raw decoded bytes of one token (for incremental utf8 streaming)."""
+        if self.is_special_id(tid):
+            return b""
+        dec = getattr(self.tp, "decode_piece_bytes", None)
+        if dec is not None:
+            return dec(tid)
+        return self.tp.decode([tid]).encode("utf-8")
+
     def is_special_id(self, tid: int) -> bool:
         return False
 

@@ -143,6 +143,43 @@ class InferenceEngine:
     def new_cache(self, batch: int = 1, max_len: int | None = None) -> KVCache:
         return init_cache(self.cfg, batch, max_len or self.max_length)
 
+    def shift_cache(self, cache: KVCache, shift: int, keep: int, n_past: int) -> KVCache:
+        """Context-extension Shift: drop `shift` positions after `keep`,
+        sliding the rest left, and re-rotate cached keys by -shift positions
+        (the reference shifts the cache on-graph, src/layers.cpp:2995-3022;
+        re-rotation keeps RoPE consistent with the new absolute positions)."""
+        from ..ops.rope import apply_rope, precompute_rope_cache, rope_mscale
+
+        cfg = self.cfg
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def do_shift(cache, shift, keep):
+            ks, vs = list(cache.k), list(cache.v)
+            for i in range(cfg.num_hidden_layers):
+                k, v = ks[i], vs[i]
+                S = k.shape[1]
+                pos = jnp.arange(S)
+                src = jnp.where(pos < keep, pos, jnp.minimum(pos + shift, S - 1))
+                k_new = jnp.take(k, src, axis=1)
+                v_new = jnp.take(v, src, axis=1)
+                if cfg.layer_spec(i).use_rope and cfg.rope is not None:
+                    # moved keys carry rope for their OLD absolute position;
+                    # rotate by -shift (without the attn mscale, which is
+                    # already baked into the stored keys)
+                    delta = jnp.full((1, S), -shift, jnp.int32)
+                    cos, sin = precompute_rope_cache(delta, cfg.rope)
+                    m = rope_mscale(cfg.rope)
+                    if m != 1.0:
+                        cos, sin = cos / m, sin / m
+                    k_rot = apply_rope(k_new, cos, sin, layout=cfg.rope.layout,
+                                       rot_dim=cfg.rope.resolved_rot_dim())
+                    k_new = jnp.where((pos < keep)[None, :, None, None], k_new, k_rot)
+                ks[i] = k_new.astype(k.dtype)
+                vs[i] = v_new.astype(v.dtype)
+            return KVCache(k=tuple(ks), v=tuple(vs))
+
+        return do_shift(cache, jnp.int32(shift), jnp.int32(keep))
+
     def prefill(self, ids, cache: KVCache, n_past: int, *, chunk: int = 4096):
         """Feed prompt ids ([T] or [B,T]) through the model in chunks.
         Returns (last-token logits [B,V] f32 on device, cache, n_past)."""
@@ -173,6 +210,7 @@ class InferenceEngine:
         cache: Optional[KVCache] = None,
         n_past: int = 0,
         completion_limit: int = -1,
+        should_stop: Callable[[], bool] = lambda: False,
     ):
         """Autoregressive generation.  Returns (generated ids, cache, n_past)."""
         scfg = gen_cfg.sampler_config()
@@ -211,7 +249,7 @@ class InferenceEngine:
         block = max(1, min(self.decode_block, max_new))
         decode = self._decode_fn(scfg, block)
         done = False
-        while not done and len(out) < max_new and n_past + 1 < max_len:
+        while not done and len(out) < max_new and n_past + 1 < max_len and not should_stop():
             steps = min(block, max_new - len(out), max_len - 1 - n_past)
             toks, tok, cache, penalty, key = decode(
                 self.params, cache, tok, jnp.int32(n_past), penalty, key)

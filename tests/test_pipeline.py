@@ -1,0 +1,125 @@
+"""Pipeline + streamer + session tests on the tiny synthetic Qwen2."""
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from chatllm_tpu.models import RuntimeConfig, load_model
+from chatllm_tpu.runtime import (CallbackStreamer, ExtendingMethod,
+                                 GenerationConfig, Pipeline, TextType,
+                                 ThoughtChunkInterceptor)
+
+from test_model_forward import make_tiny_qwen2
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny_qwen2.bin")
+    make_tiny_qwen2(path)
+    rt = RuntimeConfig(weight_dtype="float32", compute_dtype="float32",
+                       cache_dtype="float32")
+    return load_model(path, rt)
+
+
+def test_chat_round_trip(tiny_model):
+    pipe = Pipeline(tiny_model)
+    pipe.gen_config = GenerationConfig(do_sample=False, max_new_tokens=8)
+    chunks = []
+    streamer = CallbackStreamer(on_chunk=lambda first, c: chunks.append(c))
+    reply = pipe.chat("hello", streamer)
+    assert isinstance(reply, str)
+    assert len(pipe.history) == 2
+    assert "".join(chunks) == reply
+    # second round continues incrementally
+    reply2 = pipe.chat("again", streamer)
+    assert len(pipe.history) == 4
+    assert pipe.n_past > 0
+
+
+def test_chat_deterministic_across_restart(tiny_model):
+    pipe = Pipeline(tiny_model)
+    pipe.gen_config = GenerationConfig(do_sample=False, max_new_tokens=6)
+    r1 = pipe.chat("hello")
+    pipe2 = Pipeline(tiny_model)
+    pipe2.gen_config = pipe.gen_config
+    r2 = pipe2.chat("hello")
+    assert r1 == r2
+
+
+def test_session_save_load(tiny_model, tmp_path):
+    pipe = Pipeline(tiny_model)
+    pipe.gen_config = GenerationConfig(do_sample=False, max_new_tokens=4)
+    pipe.chat("hello")
+    path = str(tmp_path / "sess.npz")
+    pipe.save_session(path)
+
+    pipe2 = Pipeline(tiny_model)
+    pipe2.load_session(path)
+    assert pipe2.n_past == pipe.n_past
+    assert len(pipe2.history) == len(pipe.history)
+    # both continue identically
+    pipe.gen_config.seed = 7
+    pipe2.gen_config = pipe.gen_config
+    r1 = pipe.chat("more")
+    r2 = pipe2.chat("more")
+    assert r1 == r2
+
+
+def test_shift_cache_mechanics(tiny_model):
+    """Shift slides entries left after `keep` and re-rotates keys by -shift
+    (V moved verbatim; K equals rope(-shift) of the old K).  The fresh-
+    prefill transcript is NOT an oracle here: Shift deliberately keeps K/V
+    computed with the dropped context (same as the reference's cache shift,
+    src/layers.cpp:2995-3022)."""
+    import jax.numpy as jnp
+
+    from chatllm_tpu.ops.rope import apply_rope, precompute_rope_cache, rope_mscale
+
+    eng = tiny_model.engine
+    cfg = tiny_model.cfg
+    ids = list(range(2, 34))
+    cache = eng.new_cache(1, 64)
+    _, cache, n_past = eng.prefill(ids, cache, 0)
+    keep, shift = 4, 8
+    k_old = np.asarray(cache.k[0])          # snapshot: shift donates `cache`
+    v_old = np.asarray(cache.v[0])
+    shifted = eng.shift_cache(cache, shift, keep, n_past)
+    k_new = np.asarray(shifted.k[0])
+    v_new = np.asarray(shifted.v[0])
+
+    # kept prefix untouched
+    np.testing.assert_array_equal(k_new[:, :keep], k_old[:, :keep])
+    np.testing.assert_array_equal(v_new[:, :keep], v_old[:, :keep])
+    # moved V verbatim
+    np.testing.assert_array_equal(v_new[:, keep : n_past - shift],
+                                  v_old[:, keep + shift : n_past])
+    # moved K re-rotated by -shift
+    seg = jnp.asarray(k_old[:, keep + shift : n_past])
+    delta = jnp.full((1, seg.shape[1]), -shift, jnp.int32)
+    cos, sin = precompute_rope_cache(delta, cfg.rope)
+    m = rope_mscale(cfg.rope)
+    expect = np.asarray(apply_rope(seg, cos / m, sin / m, layout=cfg.rope.layout))
+    np.testing.assert_allclose(k_new[:, keep : n_past - shift], expect,
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_thought_interceptor():
+    out, thoughts = [], []
+    from chatllm_tpu.runtime.streamer import BaseStreamer
+
+    class S(BaseStreamer):
+        def put_chunk(self, first, chunk): out.append(chunk)
+        def put_thought_chunk(self, first, chunk): thoughts.append(chunk)
+        def end_thought(self): thoughts.append("<END>")
+        def putln(self, line, text_type=TextType.META): pass
+
+    s = S()
+    ti = ThoughtChunkInterceptor()
+    s.set_interceptor(ti)
+    s.call_put_chunk(True, "<think>po")
+    s.call_put_chunk(False, "ndering</think>he")
+    s.call_put_chunk(False, "llo")
+    s.end()
+    assert "".join(t for t in thoughts if t != "<END>") == "pondering"
+    assert "<END>" in thoughts
+    assert "".join(out) == "hello"
