@@ -1,0 +1,321 @@
+"""CLI entry point.
+
+Option-for-option port of the reference CLI (/root/reference/src/main.cpp:
+Args struct :30-135, parser :330-560, REPL :1004-1185) on the TPU engine.
+Same flag spellings so scripts and the C-API param lists work unchanged.
+"""
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Args:
+    model_path: str = ""
+    system: str | None = None
+    prompt: str = "你好"
+    ai_prefix: str = ""
+    sampling: str = "top_p"
+    extending: str = "restart"
+    test_fn: str = ""
+    load_session: str = ""
+    save_session: str = ""
+    cache_dtype: str = "bfloat16"
+    re_quantize: str = ""
+    max_length: int = -1
+    max_context_length: int = 512
+    interactive: bool = False
+    show: bool = False
+    show_devices: bool = False
+    top_k: int = 20
+    top_p: float = 0.7
+    temp: float = 0.7
+    tfs_z: float = 0.95
+    presence_penalty: float = 0.0
+    repeat_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    penalty_window: int = 256
+    seed: int = -1
+    multi_line: bool = False
+    batch_size: int = 4096
+    max_new_tokens: int = -1
+    detect_thoughts: bool = False
+    single_turn: bool = False
+    show_banner: bool = True
+    log_level: int = 4
+    beam_size: int = -1
+    tokenize: bool = False
+    format: str = "chat"
+    additional: dict = field(default_factory=dict)
+    dump_tensors: set = field(default_factory=set)
+
+
+def parse_args(argv: list[str]) -> Args:
+    a = Args()
+    i = 0
+
+    def nxt():
+        nonlocal i
+        i += 1
+        if i >= len(argv):
+            raise SystemExit(f"missing value for {argv[i-1]}")
+        return argv[i]
+
+    while i < len(argv):
+        arg = argv[i]
+        if arg in ("-h", "--help"):
+            print(usage())
+            raise SystemExit(0)
+        elif arg in ("-m", "--model"):
+            a.model_path = nxt()
+        elif arg in ("-p", "--prompt"):
+            a.prompt = nxt()
+        elif arg == "--prompt_file":
+            a.prompt = open(nxt(), encoding="utf-8").read().rstrip("\n")
+        elif arg in ("-s", "--system"):
+            a.system = nxt()
+        elif arg == "--sys_file":
+            a.system = open(nxt(), encoding="utf-8").read().rstrip("\n")
+        elif arg == "--ai_prefix":
+            a.ai_prefix = nxt()
+        elif arg in ("-i", "--interactive"):
+            a.interactive = True
+        elif arg == "--multi":
+            a.multi_line = True
+        elif arg == "--hide_banner":
+            a.show_banner = False
+        elif arg in ("-l", "--max_length"):
+            a.max_length = int(nxt())
+        elif arg in ("-c", "--max_context_length"):
+            a.max_context_length = int(nxt())
+        elif arg == "--extending":
+            a.extending = nxt()
+        elif arg == "--sampling":
+            a.sampling = nxt()
+        elif arg in ("-k", "--top_k"):
+            a.top_k = int(nxt())
+        elif arg in ("-q", "--top_p"):
+            a.top_p = float(nxt())
+        elif arg == "--tfs_z":
+            a.tfs_z = float(nxt())
+        elif arg in ("-t", "--temp"):
+            a.temp = float(nxt())
+        elif arg == "--presence_penalty":
+            a.presence_penalty = float(nxt())
+        elif arg == "--repeat_penalty":
+            a.repeat_penalty = float(nxt())
+        elif arg == "--frequency_penalty":
+            a.frequency_penalty = float(nxt())
+        elif arg == "--penalty_window":
+            a.penalty_window = int(nxt())
+        elif arg == "--seed":
+            a.seed = int(nxt())
+        elif arg == "--test":
+            a.test_fn = nxt()
+        elif arg == "--load_session":
+            a.load_session = nxt()
+        elif arg == "--save_session":
+            a.save_session = nxt()
+        elif arg == "--cache_dtype":
+            v = nxt()
+            a.cache_dtype = {"f16": "bfloat16", "bf16": "bfloat16",
+                             "f32": "float32", "q8_0": "int8"}.get(v, v)
+        elif arg == "--re_quantize":
+            a.re_quantize = nxt()
+        elif arg == "--batch_size":
+            a.batch_size = int(nxt())
+        elif arg == "--max_new_tokens":
+            a.max_new_tokens = int(nxt())
+        elif arg == "--show":
+            a.show = True
+        elif arg == "--show_devices":
+            a.show_devices = True
+        elif arg == "--detect_thoughts":
+            a.detect_thoughts = True
+        elif arg == "--single_turn":
+            a.single_turn = True
+        elif arg == "--log_level":
+            a.log_level = int(nxt())
+        elif arg == "--beam_size":
+            a.beam_size = int(nxt())
+        elif arg == "--tokenize":
+            a.tokenize = True
+        elif arg == "--format":
+            a.format = nxt()
+        elif arg == "--set":
+            k = nxt()
+            a.additional[k] = nxt()
+        elif arg == "--dump_tensor":
+            a.dump_tensors.add(nxt())
+        elif arg.startswith("+"):
+            a.additional[arg[1:]] = "1"
+        elif arg in ("--threads", "-n", "--flash_attn", "-fa", "--ggml_dir",
+                     "--rpc_endpoints", "--serve_rpc", "-ngl", "--n_gpu_layers",
+                     "-mgl", "--model_gpu_layers", "--layer_spec"):
+            # accepted for compatibility; meaningless or not-yet-wired on TPU
+            if arg not in ("--flash_attn", "-fa"):
+                nxt()
+        else:
+            print(f"warning: unknown option {arg}", file=sys.stderr)
+        i += 1
+    return a
+
+
+def usage() -> str:
+    return (
+        "usage: chatllm_tpu [-m MODEL] [-i] [-p PROMPT] [options]\n"
+        "A TPU-native LLM inference engine (chatllm.cpp capabilities).\n"
+        "Options mirror the reference CLI: -m/--model, -i/--interactive,\n"
+        "-p/--prompt, -s/--system, -l/--max_length, --extending restart|shift|none,\n"
+        "--sampling top_p|tfs|greedy, -k/--top_k, -q/--top_p, -t/--temp, --tfs_z,\n"
+        "--repeat_penalty, --frequency_penalty, --presence_penalty, --seed,\n"
+        "--test FILE, --save_session/--load_session FILE, --cache_dtype,\n"
+        "--max_new_tokens, --show, --show_devices, --tokenize, --set K V, +flag\n"
+    )
+
+
+def build_gen_config(a: Args):
+    from .runtime.generate import GenerationConfig
+
+    return GenerationConfig(
+        max_length=a.max_length,
+        max_new_tokens=a.max_new_tokens,
+        max_context_length=a.max_context_length,
+        do_sample=a.sampling != "greedy",
+        top_k=a.top_k, top_p=a.top_p, temperature=a.temp, tfs_z=a.tfs_z,
+        sampling=a.sampling,
+        repeat_penalty=a.repeat_penalty,
+        frequency_penalty=a.frequency_penalty,
+        presence_penalty=a.presence_penalty,
+        penalty_window=a.penalty_window,
+        seed=a.seed if a.seed >= 0 else 0,
+        batch_size=a.batch_size,
+    )
+
+
+BANNER = r"""    ________          __  __    __    __  ___
+   / ____/ /_  ____ _/ /_/ /   / /   /  |/  /_______  __  __
+  / /   / __ \/ __ `/ __/ /   / /   / /|_/ // __/ _ \/ / / /
+ / /___/ / / / /_/ / /_/ /___/ /___/ /  / // /_/ /_/ / /_/ /
+ \____/_/ /_/\__,_/\__/_____/_____/_/  /_(_)__/ .___/\__,_/
+You are served by chatllm_tpu (TPU-native)   /_/
+"""
+
+
+def main(argv=None) -> int:
+    a = parse_args(argv if argv is not None else sys.argv[1:])
+
+    if a.show_devices:
+        from .parallel.mesh import describe_devices
+
+        print(describe_devices())
+        return 0
+
+    if not a.model_path:
+        print(usage())
+        return 1
+
+    if a.show:
+        from .ggmm.reader import GGMMFile
+
+        gf = GGMMFile.open(a.model_path)
+        print(gf.describe())
+        return 0
+
+    if a.dump_tensors:
+        from .ggmm.reader import GGMMFile
+
+        gf = GGMMFile.open(a.model_path)
+        for name in a.dump_tensors:
+            t = gf.tensor_f32(name)
+            print(f"{name}: shape={list(t.shape)}\n{t}")
+        return 0
+
+    from .models import RuntimeConfig, load_model
+    from .runtime.pipeline import ExtendingMethod, Pipeline
+    from .runtime.streamer import TextStreamer, ThoughtChunkInterceptor
+
+    rt = RuntimeConfig(cache_dtype=a.cache_dtype, max_length=a.max_length)
+    model = load_model(a.model_path, rt)
+    pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
+    pipe.gen_config = build_gen_config(a)
+    if a.system is not None:
+        model.tokenizer.sys_prompt = a.system
+    for k, v in a.additional.items():
+        setter = getattr(model, "set_additional_args", None)
+        if setter:
+            setter({k: v})
+
+    streamer = TextStreamer(model.tokenizer)
+    if a.detect_thoughts:
+        streamer.set_interceptor(ThoughtChunkInterceptor())
+
+    if a.tokenize:
+        ids = model.tokenizer.encode(a.prompt)
+        print(ids)
+        return 0
+
+    if a.load_session:
+        pipe.load_session(a.load_session)
+
+    if a.test_fn:
+        # replay harness: each line is one user turn
+        # (reference --test, src/main.cpp:714-737)
+        import time
+
+        total_ms = 0.0
+        for line in open(a.test_fn, encoding="utf-8"):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            print(f"You  > {line}")
+            print("A.I. > ", end="", flush=True)
+            t0 = time.perf_counter()
+            pipe.chat(line, streamer)
+            total_ms += (time.perf_counter() - t0) * 1000
+            print()
+        print(pipe.show_statistics())
+        return 0
+
+    if a.interactive:
+        if a.show_banner:
+            print(BANNER)
+        while True:
+            try:
+                line = input("You  > ")
+            except (EOFError, KeyboardInterrupt):
+                break
+            if a.multi_line:
+                lines = [line]
+                while not lines[-1].endswith("\\."):
+                    try:
+                        lines.append(input("     > "))
+                    except EOFError:
+                        break
+                lines[-1] = lines[-1].removesuffix("\\.")
+                line = "\n".join(lines)
+            if not line.strip():
+                continue
+            print("A.I. > ", end="", flush=True)
+            pipe.chat(line, streamer)
+            print()
+            if a.single_turn:
+                pipe.restart()
+                pipe.history.clear()
+        print()
+        print(pipe.show_statistics())
+    else:
+        print(f"You  > {a.prompt}")
+        print("A.I. > ", end="", flush=True)
+        pipe.chat(a.prompt, streamer)
+        print()
+        print(pipe.show_statistics())
+
+    if a.save_session:
+        pipe.save_session(a.save_session)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
