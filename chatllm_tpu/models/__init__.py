@@ -11,6 +11,10 @@ from .model_types import ModelType
 # import for registration side-effects
 from . import llama      # noqa: F401
 from . import qwen       # noqa: F401
+from . import mistral    # noqa: F401
+from . import gemma      # noqa: F401
+from . import yi         # noqa: F401
+from . import deepseek   # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",
