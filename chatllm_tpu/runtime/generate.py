@@ -185,11 +185,18 @@ class InferenceEngine:
         Returns (last-token logits [B,V] f32 on device, cache, n_past)."""
         ids = np.atleast_2d(np.asarray(ids, dtype=np.int32))
         B, T = ids.shape
+        cache_len = cache.k[0].shape[1]
+        if n_past + T > cache_len:
+            # keep the most recent tokens that fit (callers normally truncate
+            # upstream via encode_history; this is the last-resort guard)
+            drop = n_past + T - cache_len
+            ids = ids[:, drop:]
+            T = ids.shape[1]
         logits = None
         done = 0
         while done < T:
-            n = min(chunk, T - done)
-            tpad = _bucket(n, hi=max(16, chunk))
+            n = min(chunk, T - done, cache_len - n_past)
+            tpad = _bucket(n, hi=max(16, min(chunk, cache_len)))
             buf = np.zeros((B, tpad), np.int32)
             buf[:, :n] = ids[:, done : done + n]
             fn = self._prefill_fn(tpad)

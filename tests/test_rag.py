@@ -1,0 +1,142 @@
+"""Vector store + XLMRoberta encoder (vs HF) + RAG pipeline tests."""
+import base64
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from chatllm_tpu.rag import CVectorStore, DistanceStrategy, RAGPipeline
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def test_vectorstore_roundtrip(tmp_path):
+    vs = CVectorStore(DistanceStrategy.MaxInnerProduct, emb_len=4)
+    vs.contents = ["alpha", "beta", "gamma"]
+    vs.metadata = ["m1", "m2", "m3"]
+    vs.embeddings = np.eye(3, 4, dtype=np.float32)
+    fn = str(tmp_path / "db.vsdb")
+    vs.export_db(fn)
+
+    vs2 = CVectorStore.load(DistanceStrategy.MaxInnerProduct, fn)
+    assert len(vs2) == 3
+    assert vs2.get_record(1) == ("beta", "m2")
+    idx = vs2.query(np.array([0, 1, 0, 0], np.float32), top_n=2)
+    assert idx[0] == 1
+
+
+def test_vectorstore_from_plain_data(tmp_path):
+    fn = str(tmp_path / "plain.txt")
+    with open(fn, "w") as f:
+        for c, m in [("hello world", "doc1"), ("goodbye", "doc2")]:
+            f.write(base64.b64encode(c.encode()).decode() + "\n")
+            f.write(base64.b64encode(m.encode()).decode() + "\n")
+    emb = lambda text: np.array([len(text), 1.0, 0, 0], np.float32)
+    vs = CVectorStore.from_plain_data(DistanceStrategy.CosineSimilarity, 4, emb, fn)
+    assert len(vs) == 2
+    assert vs.get_record(0) == ("hello world", "doc1")
+
+
+def test_xlmroberta_matches_hf(tmp_path):
+    """Tiny XLMRoberta: our bert_forward vs HF XLMRobertaModel hidden."""
+    import struct as _struct
+
+    import jax.numpy as jnp
+
+    from chatllm_tpu.ggmm.quants import GGMLType
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from chatllm_tpu.models import ModelType, RuntimeConfig, load_model
+
+    vocab, hidden, heads, layers, inter, max_len = 128, 32, 2, 2, 64, 64
+    torch.manual_seed(3)
+    cfg = transformers.XLMRobertaConfig(
+        vocab_size=vocab, hidden_size=hidden, num_attention_heads=heads,
+        num_hidden_layers=layers, intermediate_size=inter,
+        max_position_embeddings=max_len + 2, layer_norm_eps=1e-12,
+        pad_token_id=1)
+    hf = transformers.XLMRobertaModel(cfg, add_pooling_layer=False).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    path = str(tmp_path / "bce.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.BCE_Embedding), 1, meta={})
+        w.write_config([int(GGMLType.F32), vocab, hidden, heads, layers, inter,
+                        max_len, 0, 2, 1, -1], fmt="11i")
+        # unigram vocab: (piece, score) — token pieces irrelevant for logits
+        w.write_vocab_sp([(f"w{i}".encode(), -float(i)) for i in range(vocab)])
+        # converter folds token_type row into position embeddings
+        # (convert.py XLMRobertaConverter.state_dict_pp:6411)
+        pos_plus_type = (sd["embeddings.position_embeddings.weight"]
+                         + sd["embeddings.token_type_embeddings.weight"][0])
+        names = {
+            "embeddings.word_embeddings.weight": sd["embeddings.word_embeddings.weight"],
+            "embeddings.position_embeddings.weight": pos_plus_type,
+            "embeddings.LayerNorm.weight": sd["embeddings.LayerNorm.weight"],
+            "embeddings.LayerNorm.bias": sd["embeddings.LayerNorm.bias"],
+        }
+        for i in range(layers):
+            pfx = f"encoder.layer.{i}"
+            for src, dst in [
+                (f"{pfx}.attention.self.query", f"{pfx}.attention.self.query"),
+                (f"{pfx}.attention.self.key", f"{pfx}.attention.self.key"),
+                (f"{pfx}.attention.self.value", f"{pfx}.attention.self.value"),
+                (f"{pfx}.attention.output.dense", f"{pfx}.attention.output.dense"),
+                (f"{pfx}.intermediate.dense", f"{pfx}.intermediate.dense"),
+                (f"{pfx}.output.dense", f"{pfx}.output.dense"),
+            ]:
+                names[dst + ".weight"] = sd[src + ".weight"]
+                names[dst + ".bias"] = sd[src + ".bias"]
+            names[f"{pfx}.attention.output.LayerNorm.weight"] = sd[f"{pfx}.attention.output.LayerNorm.weight"]
+            names[f"{pfx}.attention.output.LayerNorm.bias"] = sd[f"{pfx}.attention.output.LayerNorm.bias"]
+            names[f"{pfx}.output.LayerNorm.weight"] = sd[f"{pfx}.output.LayerNorm.weight"]
+            names[f"{pfx}.output.LayerNorm.bias"] = sd[f"{pfx}.output.LayerNorm.bias"]
+        for n, arr in names.items():
+            w.write_tensor(n, arr, GGMLType.F32)
+
+    rt = RuntimeConfig(weight_dtype="float32", compute_dtype="float32")
+    model = load_model(path, rt)
+
+    ids = np.array([[0, 5, 17, 42, 99, 2]], np.int32)
+    from chatllm_tpu.nn.bert import bert_forward
+
+    ours = np.asarray(bert_forward(model.cfg, model.params, jnp.asarray(ids)))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_rag_pipeline_augments_prompt(tmp_path):
+    from test_model_forward import make_tiny_qwen2
+
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.runtime import GenerationConfig
+
+    path = str(tmp_path / "chat.bin")
+    make_tiny_qwen2(path)
+    model = load_model(path, RuntimeConfig(weight_dtype="float32",
+                                           compute_dtype="float32",
+                                           cache_dtype="float32"))
+
+    class FakeEmb:
+        def embed(self, text):
+            return np.array([1.0, 0, 0, 0], np.float32)
+
+    vs = CVectorStore(DistanceStrategy.MaxInnerProduct, emb_len=4)
+    vs.contents = ["the capital of France is Paris"]
+    vs.metadata = ["wiki"]
+    vs.embeddings = np.array([[1, 0, 0, 0]], np.float32)
+
+    pipe = RAGPipeline(model, embedding_model=FakeEmb(), vector_stores=[vs])
+    pipe.gen_config = GenerationConfig(do_sample=False, max_new_tokens=4)
+    refs = []
+    from chatllm_tpu.runtime import CallbackStreamer, TextType
+
+    streamer = CallbackStreamer(
+        on_line=lambda line, t: refs.append((t, line)))
+    pipe.chat("capital of France?", streamer)
+    assert pipe.last_references == ["wiki"]
+    assert any(t == TextType.REF for t, _ in refs)
+    # augmented prompt entered the history
+    assert "Paris" in pipe.history[0].content
