@@ -173,6 +173,25 @@ def load_llama_family_params(pb: ParamBuilder, n_layers: int, *, tie_lm_head: bo
     return params
 
 
+def load_moe_experts(pb: "ParamBuilder", pfx: str, n_experts: int,
+                     names=("gate_proj", "up_proj", "down_proj")) -> dict:
+    """Stack per-expert FFN weights `{pfx}.experts.{j}.<name>.weight`
+    (reference concat-on-load, e.g. models/qwen.cpp:312-314) into dense
+    [E, ...] arrays for the expert einsum."""
+    gates, ups, downs = [], [], []
+    g_n, u_n, d_n = names
+    for j in range(n_experts):
+        gates.append(pb.raw_f32(f"{pfx}.experts.{j}.{g_n}.weight").T)
+        ups.append(pb.raw_f32(f"{pfx}.experts.{j}.{u_n}.weight").T)
+        downs.append(pb.raw_f32(f"{pfx}.experts.{j}.{d_n}.weight").T)
+    dt = pb.compute_dtype
+    return {
+        "gate": jnp.asarray(np.stack(gates), dtype=dt),   # [E, H, F]
+        "up": jnp.asarray(np.stack(ups), dtype=dt),       # [E, H, F]
+        "down": jnp.asarray(np.stack(downs), dtype=dt),   # [E, F, H]
+    }
+
+
 class BaseLLM:
     """A loaded model: static config + param pytree + tokenizer + engine.
 

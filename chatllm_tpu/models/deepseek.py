@@ -63,6 +63,72 @@ class DeepSeekV1(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
+@register_model(ModelType.DEEPSEEK_V1_MoE)
+class DeepSeekV1MoE(BaseLLM):
+    # v1 config + {n_kv, first_k_dense, moe_inter, moe_layer_freq,
+    # n_routed, n_shared, norm_topk, n_active} + rope_theta
+    # (models/deepseek.h:83-95; converter convert.py:7737-7763)
+    EXTRA_FMT = "8if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .base import load_moe_experts
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, first_k_dense, moe_inter, moe_freq, n_routed, n_shared,
+         norm_topk, n_active, rope_theta) = extra
+        n_layers = base.num_hidden_layers
+
+        def is_moe(i):
+            return i >= first_k_dense and i % max(moe_freq, 1) == 0
+
+        specs = tuple(LayerSpec(is_moe=is_moe(i)) for i in range(n_layers))
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, rope_theta=rope_theta,
+            norm_eps=1e-6, max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, layer_specs=specs, moe_num_experts=n_routed,
+                      moe_top_k=n_active, moe_norm_topk_prob=bool(norm_topk))
+        tok = make_deepseek_v1_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            if is_moe(i):
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate"),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_routed),
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_experts.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_experts.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_experts.down_proj"),
+                    },
+                }
+            else:
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                }
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": mlp,
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
 @register_model(ModelType.DEEPSEEK_CODER, ModelType.NUMINAMATH)
 class DeepSeekCoder(BaseLLM):
     # + {rope_scaling:f, rope_theta:f} (models/deepseek.h:44-48)

@@ -68,6 +68,60 @@ class Mistral(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
+@register_model(ModelType.MIXTRAL, ModelType.WIZARDLM2_MOE)
+class Mixtral(BaseLLM):
+    # mistral config + {num_experts_per_tok, num_local_experts}
+    # (models/mistral.h:45-49); experts named block_sparse_moe.experts.{j}.w1/w2/w3
+    EXTRA_FMT = "2if2i"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from dataclasses import replace
+
+        from ..nn.transformer import LayerSpec
+        from .base import load_moe_experts
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        n_kv, sliding_window, rope_theta, n_active, n_experts = extra
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, rope_theta=rope_theta,
+            sliding_window=max(0, sliding_window),
+            max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        sw = max(0, sliding_window)
+        specs = tuple(LayerSpec(sliding_window=sw, is_moe=True)
+                      for _ in range(base.num_hidden_layers))
+        cfg = replace(cfg, layer_specs=specs, moe_num_experts=n_experts,
+                      moe_top_k=n_active, moe_norm_topk_prob=True)
+        tok = make_mistral_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.block_sparse_moe.gate"),
+                    "experts": load_moe_experts(
+                        pb, f"{pfx}.block_sparse_moe", n_experts,
+                        names=("w1", "w3", "w2")),  # w1=gate, w3=up, w2=down
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
 @register_model(ModelType.MISTRAL2)
 class Mistral2(BaseLLM):
     # + head_dim (models/mistral.h:153-159)

@@ -59,24 +59,65 @@ class Qwen2(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
-def load_moe_experts(pb: ParamBuilder, pfx: str, n_experts: int) -> dict:
-    """Stack per-expert FFN weights `{pfx}.experts.{j}.*_proj.weight`
-    (reference concat-on-load, models/qwen.cpp:312-314) into dense [E, ...]
-    arrays for the expert einsum."""
-    import numpy as np
-    import jax.numpy as jnp
+from .base import load_moe_experts
 
-    gates, ups, downs = [], [], []
-    for j in range(n_experts):
-        gates.append(pb.raw_f32(f"{pfx}.experts.{j}.gate_proj.weight").T)
-        ups.append(pb.raw_f32(f"{pfx}.experts.{j}.up_proj.weight").T)
-        downs.append(pb.raw_f32(f"{pfx}.experts.{j}.down_proj.weight").T)
-    dt = pb.compute_dtype
-    return {
-        "gate": jnp.asarray(np.stack(gates), dtype=dt),   # [E, H, F]
-        "up": jnp.asarray(np.stack(ups), dtype=dt),       # [E, H, F]
-        "down": jnp.asarray(np.stack(downs), dtype=dt),   # [E, F, H]
-    }
+
+@register_model(ModelType.QWEN2MoE)
+class Qwen2MoE(BaseLLM):
+    # BaseConfig + {n_kv, moe_intermediate, shared_expert_intermediate,
+    # sliding_window, n_active, n_experts, norm_topk} + rope_theta
+    # (models/qwen.h:121-131)
+    EXTRA_FMT = "7if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from dataclasses import replace as _replace
+
+        from ..nn.transformer import LayerSpec
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, moe_inter, shared_inter, sliding_window, n_active, n_experts,
+         norm_topk, rope_theta) = extra
+        n_layers = base.num_hidden_layers
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, rope_theta=rope_theta,
+            rope_layout=ROPE_NEOX, norm_eps=1e-6, qkv_bias=True,
+            max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        specs = tuple(LayerSpec(is_moe=True) for _ in range(n_layers))
+        cfg = _replace(cfg, layer_specs=specs, moe_num_experts=n_experts,
+                       moe_top_k=n_active, moe_norm_topk_prob=bool(norm_topk))
+        tok = make_qwen_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate"),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_experts),
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_expert.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_expert.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_expert.down_proj"),
+                    },
+                    "shared_gate": pb.linear(f"{pfx}.mlp.shared_expert_gate"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
 @register_model(ModelType.QWEN3, ModelType.DEEPSEEK_R1_DISTILL_QWEN3)

@@ -170,7 +170,12 @@ def moe_mlp(cfg: TransformerConfig, p, x):
     out = jnp.einsum("enf,efh->enh", hidden, dw)                      # [E,N,H]
     y = jnp.einsum("enh,ne->nh", out, combine)
     if "shared" in p:
-        y = y + gated_mlp(cfg, p["shared"], xt)
+        sh = gated_mlp(cfg, p["shared"], xt)
+        if "shared_gate" in p:
+            # sigmoid-gated shared expert (Qwen2MoE `shared_expert_gate`)
+            gate = jax.nn.sigmoid(matmul(xt, p["shared_gate"]).astype(jnp.float32))
+            sh = (sh.astype(jnp.float32) * gate).astype(sh.dtype)
+        y = y + sh
     return y.reshape(B, T, H).astype(x.dtype)
 
 

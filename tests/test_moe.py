@@ -1,0 +1,87 @@
+"""MoE golden test: tiny Qwen2MoE vs HF (routing, top-k, shared expert with
+sigmoid gate)."""
+import struct
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from chatllm_tpu.ggmm.quants import GGMLType
+from chatllm_tpu.ggmm.writer import GGMMWriter
+from chatllm_tpu.models import ModelType, RuntimeConfig, load_model
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def make_tiny_qwen2moe(path, *, vocab=256, hidden=48, heads=4, kv=2, layers=2,
+                       inter=64, moe_inter=32, shared_inter=64, n_experts=4,
+                       top_k=2, max_len=128):
+    from chatllm_tpu.tokenizer.processor import byte_level_encode
+
+    torch.manual_seed(5)
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=vocab, hidden_size=hidden, num_attention_heads=heads,
+        num_key_value_heads=kv, num_hidden_layers=layers,
+        intermediate_size=inter, moe_intermediate_size=moe_inter,
+        shared_expert_intermediate_size=shared_inter,
+        num_experts=n_experts, num_experts_per_tok=top_k,
+        norm_topk_prob=False, decoder_sparse_step=1,
+        max_position_embeddings=max_len, rope_theta=10000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        output_router_logits=False, mlp_only_layers=[])
+    hf = transformers.Qwen2MoeForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.QWEN2MoE), 1, meta={})
+        w.write_config([int(GGMLType.F32), vocab, hidden, heads, layers, inter,
+                        max_len, -1, 0, -1, -1,
+                        kv, moe_inter, shared_inter, max_len, top_k,
+                        n_experts, 0], fmt="18i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        pieces = [byte_level_encode(bytes([b])) for b in range(vocab)]
+        w.write_vocab_bpe([(p, 1) for p in pieces], [])
+
+        def hf2disk(n):
+            return n
+        names = ["model.embed_tokens.weight"]
+        for i in range(layers):
+            pfx = f"model.layers.{i}"
+            names.append(f"{pfx}.input_layernorm.weight")
+            for j in range(n_experts):
+                names += [f"{pfx}.mlp.experts.{j}.down_proj.weight",
+                          f"{pfx}.mlp.experts.{j}.gate_proj.weight",
+                          f"{pfx}.mlp.experts.{j}.up_proj.weight"]
+            names += [f"{pfx}.mlp.gate.weight",
+                      f"{pfx}.mlp.shared_expert.down_proj.weight",
+                      f"{pfx}.mlp.shared_expert.gate_proj.weight",
+                      f"{pfx}.mlp.shared_expert.up_proj.weight",
+                      f"{pfx}.mlp.shared_expert_gate.weight",
+                      f"{pfx}.post_attention_layernorm.weight",
+                      f"{pfx}.self_attn.k_proj.weight",
+                      f"{pfx}.self_attn.k_proj.bias",
+                      f"{pfx}.self_attn.q_proj.weight",
+                      f"{pfx}.self_attn.q_proj.bias",
+                      f"{pfx}.self_attn.v_proj.weight",
+                      f"{pfx}.self_attn.v_proj.bias",
+                      f"{pfx}.self_attn.o_proj.weight"]
+        names += ["model.norm.weight", "lm_head.weight"]
+        for n in names:
+            w.write_tensor(n, sd[n], GGMLType.F32)
+    return hf
+
+
+def test_qwen2moe_logits_match_hf(tmp_path):
+    path = str(tmp_path / "tiny_q2moe.bin")
+    hf = make_tiny_qwen2moe(path)
+    rt = RuntimeConfig(weight_dtype="float32", compute_dtype="float32",
+                       cache_dtype="float32")
+    model = load_model(path, rt)
+    ids = np.array([[3, 17, 42, 99, 7, 200]], np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
