@@ -129,6 +129,122 @@ class DeepSeekV1MoE(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
+def yarn_get_mscale(scale: float, mscale: float) -> float:
+    """models/deepseek.h:329"""
+    import math
+
+    if scale <= 1.0:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+@register_model(ModelType.DEEPSEEK_V2_LIGHT, ModelType.DEEPSEEK_V2)
+class DeepSeekV2(BaseLLM):
+    """MLA + grouped MoE (reference models/deepseek.h:299-490; weights
+    pre-split by DeepSeekV2Converter, convert.py:7971)."""
+
+    # v1 config + 14i (n_kv..v_head_dim) + 7f (beta_fast..routed_scaling)
+    # [+ 2i q_lora_rank, topk_group for non-light]
+    EXTRA_FMT = "14i7f"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..nn.transformer import MLAConfig
+        from ..ops.rope import ROPE_NORMAL, RopeConfig
+        from .base import load_moe_experts
+
+        light = gf.model_type == ModelType.DEEPSEEK_V2_LIGHT
+        fmt = cls.EXTRA_FMT + ("" if light else "2i")
+        base, extra = BaseConfig.parse(gf, fmt)
+        (n_kv, first_k_dense, kv_lora_rank, moe_inter, moe_freq, n_group,
+         n_routed, n_shared, norm_topk, n_active, qk_nope, qk_rope,
+         orig_max_pos, v_head_dim) = extra[:14]
+        (beta_fast, beta_slow, factor, mscale, mscale_all, rope_theta,
+         routed_scale) = extra[14:21]
+        q_lora_rank, topk_group = (0, 1) if light else extra[21:23]
+
+        n_layers = base.num_hidden_layers
+
+        def is_moe(i):
+            return i >= first_k_dense and i % max(moe_freq, 1) == 0
+
+        dk = qk_nope + qk_rope
+        m = yarn_get_mscale(factor, mscale) / yarn_get_mscale(factor, mscale_all)
+        mscale_ad = yarn_get_mscale(factor, mscale_all)
+        attn_scale = (mscale_ad * mscale_ad) / (dk ** 0.5)
+        rope = RopeConfig(
+            head_dim=qk_rope, rot_dim=qk_rope, freq_base=rope_theta,
+            freq_scale=1.0 / factor if factor > 0 else 1.0,
+            layout=ROPE_NORMAL, ext_factor=1.0, attn_factor=m,
+            beta_fast=beta_fast, beta_slow=beta_slow, orig_ctx=orig_max_pos)
+
+        specs = tuple(LayerSpec(is_moe=is_moe(i)) for i in range(n_layers))
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=n_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=base.num_attention_heads,
+            intermediate_size=base.intermediate_size,
+            max_length=rt.max_length if rt.max_length > 0 else base.max_length,
+            norm_eps=1e-6, rope=rope, attention_scale=attn_scale,
+            layer_specs=specs, moe_num_experts=n_routed, moe_top_k=n_active,
+            moe_norm_topk_prob=bool(norm_topk), moe_n_group=max(1, n_group),
+            moe_topk_group=max(1, topk_group), moe_routed_scale=routed_scale,
+            mla=MLAConfig(q_lora_rank=q_lora_rank, kv_lora_rank=kv_lora_rank,
+                          qk_nope_head_dim=qk_nope, qk_rope_head_dim=qk_rope,
+                          v_head_dim=v_head_dim),
+            cache_dtype=rt.cache_dtype)
+
+        tok = make_deepseek_v1_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            attn = {
+                "d_kv": pb.linear(f"{pfx}.self_attn.d_kv_proj"),
+                "k_pe": pb.linear(f"{pfx}.self_attn.k_pe_proj"),
+                "kv_norm": pb.norm(f"{pfx}.self_attn.kv_norm"),
+                "u_k_nope": pb.linear(f"{pfx}.self_attn.u_k_nope_proj"),
+                "u_v": pb.linear(f"{pfx}.self_attn.u_v_proj"),
+                "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+            }
+            if q_lora_rank > 0:
+                attn["d_q"] = pb.linear(f"{pfx}.self_attn.d_q_proj")
+                attn["q_norm"] = pb.norm(f"{pfx}.self_attn.q_norm")
+                attn["u_q"] = pb.linear(f"{pfx}.self_attn.u_q_proj")
+            else:
+                attn["q"] = pb.linear(f"{pfx}.self_attn.q_proj")
+            if is_moe(i):
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate"),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_routed),
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_experts.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_experts.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_experts.down_proj"),
+                    },
+                }
+            else:
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                }
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": attn,
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": mlp,
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
 @register_model(ModelType.DEEPSEEK_CODER, ModelType.NUMINAMATH)
 class DeepSeekCoder(BaseLLM):
     # + {rope_scaling:f, rope_theta:f} (models/deepseek.h:44-48)

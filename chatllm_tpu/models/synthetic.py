@@ -21,16 +21,21 @@ def synth_linear(n_in: int, n_out: int, fmt: str, *, bias: bool = False,
     'q4'/'q8' = grouped-affine QuantLinear, 'bf16'/'f32' = dense."""
     G = 32
     if fmt in ("q4", "q8"):
+        packed = fmt == "q4"
+        rows = n_in // 2 if packed else n_in
+        qdt = jnp.uint8 if packed else jnp.int8
         if zeros:
-            q = jnp.zeros((n_in, n_out), jnp.int8)
+            q = jnp.zeros((rows, n_out), qdt)
             s = jnp.full((n_in // G, n_out), 0.01, jnp.float32)
         else:
             rng = rng or np.random.default_rng(0)
-            hi = 7 if fmt == "q4" else 127
-            q = jnp.asarray(rng.integers(-hi, hi, (n_in, n_out), dtype=np.int8))
+            if packed:
+                q = jnp.asarray(rng.integers(0, 255, (rows, n_out), dtype=np.uint8))
+            else:
+                q = jnp.asarray(rng.integers(-127, 127, (rows, n_out), dtype=np.int8))
             s = jnp.asarray((rng.random((n_in // G, n_out)).astype(np.float32) * 0.01))
         b = jnp.zeros((n_in // G, n_out), jnp.float32) if fmt == "q4" else None
-        return QuantLinear(q=q, s=s, b=b,
+        return QuantLinear(q=q, s=s, b=b, packed=packed,
                            bias=jnp.zeros((n_out,), jnp.float32) if bias else None)
     dt = jnp.bfloat16 if fmt == "bf16" else jnp.float32
     if zeros:

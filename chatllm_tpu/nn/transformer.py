@@ -24,7 +24,8 @@ from ..ops.attention import attention_with_cache, update_kv_cache
 from ..ops.norm import layer_norm, rms_norm
 from ..ops.qmm import matmul
 from ..ops.qtensor import DenseLinear, QuantLinear
-from ..ops.rope import RopeConfig, apply_rope, precompute_rope_cache
+from ..ops.rope import (ROPE_NORMAL as ROPE_NORMAL_LAYOUT, RopeConfig,
+                        apply_rope, precompute_rope_cache)
 
 
 @dataclass(frozen=True)
@@ -35,6 +36,17 @@ class LayerSpec:
     use_rope: bool = True
     is_moe: bool = False
     cross_attn: bool = False
+
+
+@dataclass(frozen=True)
+class MLAConfig:
+    """Multi-head latent attention dims (reference BaseMLAttention,
+    models/deepseek.h:251-327)."""
+    q_lora_rank: int = 0            # 0 = direct q projection (V2-Lite)
+    kv_lora_rank: int = 512
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
 
 
 @dataclass(frozen=True)
@@ -69,6 +81,11 @@ class TransformerConfig:
     moe_top_k: int = 0
     moe_norm_topk_prob: bool = True
     moe_shared_intermediate: int = 0
+    moe_n_group: int = 1            # DeepSeek grouped top-k routing
+    moe_topk_group: int = 1
+    moe_routed_scale: float = 1.0
+    moe_score_func: str = "softmax"  # softmax | sigmoid (V3)
+    mla: Optional[MLAConfig] = None
     cache_dtype: str = "bfloat16"
 
     def resolved_head_dim(self) -> int:
@@ -98,14 +115,19 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
                dtype=None) -> KVCache:
     max_len = max_len or cfg.max_length
     dtype = dtype or jnp.dtype(cfg.cache_dtype)
-    d = cfg.resolved_head_dim()
+    if cfg.mla is not None:
+        dk = cfg.mla.qk_nope_head_dim + cfg.mla.qk_rope_head_dim
+        dv = cfg.mla.v_head_dim
+        n_kv = cfg.num_attention_heads
+    else:
+        dk = dv = cfg.resolved_head_dim()
+        n_kv = cfg.num_key_value_heads
     ks, vs = [], []
     for i in range(cfg.num_hidden_layers):
         spec = cfg.layer_spec(i)
         s = max_len if spec.sliding_window <= 0 else min(max_len, spec.sliding_window)
-        shape = (batch, s, cfg.num_key_value_heads, d)
-        ks.append(jnp.zeros(shape, dtype))
-        vs.append(jnp.zeros(shape, dtype))
+        ks.append(jnp.zeros((batch, s, n_kv, dk), dtype))
+        vs.append(jnp.zeros((batch, s, n_kv, dv), dtype))
     return KVCache(k=tuple(ks), v=tuple(vs))
 
 
@@ -152,10 +174,33 @@ def moe_mlp(cfg: TransformerConfig, p, x):
     B, T, H = x.shape
     xt = x.reshape(B * T, H)
     router_logits = matmul(xt, p["gate"]).astype(jnp.float32)         # [N, E]
-    probs = jax.nn.softmax(router_logits, axis=-1)
-    topv, topi = jax.lax.top_k(probs, cfg.moe_top_k)                  # [N, K]
+    if cfg.moe_score_func == "sigmoid":
+        probs = jax.nn.sigmoid(router_logits)
+    else:
+        probs = jax.nn.softmax(router_logits, axis=-1)
+    sel = probs
+    if "gate_bias" in p:
+        # score-correction bias influences selection only (DeepSeek-V3
+        # e_score_correction_bias; reference BaseSparseMLP score bias)
+        sel = probs + p["gate_bias"].astype(jnp.float32)
+    if cfg.moe_n_group > 1:
+        # grouped top-k (reference GenericGroupedSparseMoE, src/layers.h:2429)
+        N = sel.shape[0]
+        G = cfg.moe_n_group
+        gsel = sel.reshape(N, G, -1)
+        if cfg.moe_score_func == "sigmoid":
+            gscore = jnp.sum(jax.lax.top_k(gsel, 2)[0], axis=-1)      # [N, G]
+        else:
+            gscore = jnp.max(gsel, axis=-1)
+        gtop, _ = jax.lax.top_k(gscore, cfg.moe_topk_group)
+        gmask = gscore >= gtop[..., -1:]
+        sel = jnp.where(gmask[:, :, None], gsel, -jnp.inf).reshape(N, -1)
+    _, topi = jax.lax.top_k(sel, cfg.moe_top_k)                       # [N, K]
+    topv = jnp.take_along_axis(probs, topi, axis=-1)
     if cfg.moe_norm_topk_prob:
-        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+        topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+    if cfg.moe_routed_scale != 1.0:
+        topv = topv * cfg.moe_routed_scale
     # dispatch one-hot: [N, K, E] → combine over experts
     E = cfg.moe_num_experts
     onehot = jax.nn.one_hot(topi, E, dtype=xt.dtype)                  # [N,K,E]
@@ -249,12 +294,54 @@ def _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T):
     return out.reshape(B, T, hq, d).astype(q.dtype)
 
 
+def mla_attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
+                        cos, sin, k_cache, v_cache, n_past):
+    """Multi-head latent attention, expanded ("speed") mode: the compressed
+    kv-lora is up-projected to full per-head K/V which are cached
+    (reference BaseMLAttention::forward_speed, models/deepseek.cpp; weights
+    pre-split by the converter, convert.py:7975-8007).  RoPE applies to the
+    TAIL qk_rope dims in interleaved lane order (permute_pair'd on disk)."""
+    B, T, H = x.shape
+    m = cfg.mla
+    h = cfg.num_attention_heads
+    dn, dr, dv = m.qk_nope_head_dim, m.qk_rope_head_dim, m.v_head_dim
+    dk = dn + dr
+
+    if m.q_lora_rank > 0:
+        cq = matmul(x, p["d_q"])
+        cq = rms_norm(cq, p["q_norm"]["w"], eps=cfg.norm_eps)
+        q = matmul(cq, p["u_q"]).reshape(B, T, h, dk)
+    else:
+        q = matmul(x, p["q"]).reshape(B, T, h, dk)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+    q_pe = apply_rope(q_pe, cos, sin, layout=ROPE_NORMAL_LAYOUT)
+
+    kv_lora = matmul(x, p["d_kv"])                                 # [B,T,rank]
+    k_pe = matmul(x, p["k_pe"]).reshape(B, T, 1, dr)
+    k_pe = apply_rope(k_pe, cos, sin, layout=ROPE_NORMAL_LAYOUT)
+    c = rms_norm(kv_lora, p["kv_norm"]["w"], eps=cfg.norm_eps)
+    k_nope = matmul(c, p["u_k_nope"]).reshape(B, T, h, dn)
+    v = matmul(c, p["u_v"]).reshape(B, T, h, dv)
+
+    q = jnp.concatenate([q_nope, q_pe], axis=-1).astype(x.dtype)
+    k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, (B, T, h, dr))],
+                        axis=-1).astype(x.dtype)
+
+    k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, n_past)
+    scale = cfg.attention_scale if cfg.attention_scale > 0 else dk ** -0.5
+    out = attention_with_cache(q, k_cache, v_cache, n_past, T,
+                               scale=scale, causal=True)
+    out = out.reshape(B, T, h * dv)
+    return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache
+
+
 def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
                   cos, sin, k_cache, v_cache, n_past):
     """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
     (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
     h = _norm(cfg, x, p["attn_norm"])
-    attn_out, k_cache, v_cache = attention_block(
+    attn_fn = mla_attention_block if cfg.mla is not None else attention_block
+    attn_out, k_cache, v_cache = attn_fn(
         cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past)
     if cfg.post_norms:
         attn_out = _norm(cfg, attn_out, p["post_attn_norm"])

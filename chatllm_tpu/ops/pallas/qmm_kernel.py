@@ -27,23 +27,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref, *, n_kt: int,
-            group: int, compute_dtype):
+            group: int, packed: bool, zero_point: int, compute_dtype):
     kt = pl.program_id(1)
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Dequant cost budget: exactly 2 VPU ops per weight (int8→bf16 convert +
-    # bf16 multiply).  The affine group bias is handled OUTSIDE the kernel:
+    # Dequant cost budget: 2 VPU ops per weight (int→bf16 convert + bf16
+    # multiply), +2 for the nibble unpack on the packed path.  The affine
+    # group bias is handled OUTSIDE the kernel:
     # Σ_k x_k (q s + b) = x·(q s) + (Σ_{k∈g} x_k)·b, so the wrapper adds a
     # tiny [B, K/G] @ [K/G, N] matmul on the XLA side in full f32.
-    q = q_ref[:]                                   # [TK, TN] int8
-    tk, tn = q.shape
-    gs = tk // group
+    q = q_ref[:]                                   # [TK(/2), TN] int8/uint8
+    tn = q.shape[1]
+    if packed:
+        # group-local pairing: byte row j of group g = rows (32g+j, 32g+j+16)
+        half = group // 2
+        qg = q.reshape(q.shape[0] // half, half, tn)
+        lo = (qg & jnp.uint8(0xF)).astype(compute_dtype)
+        hi = (qg >> jnp.uint8(4)).astype(compute_dtype)
+        wq = jnp.concatenate([lo, hi], axis=1)     # [gs, group, TN]
+        if zero_point:
+            wq = wq - jnp.asarray(zero_point, compute_dtype)
+        gs = wq.shape[0]
+        tk = gs * group
+    else:
+        tk = q.shape[0]
+        gs = tk // group
+        wq = q.astype(compute_dtype).reshape(gs, group, tn)
     s = s_ref[:].astype(compute_dtype)             # [gs, TN]
-    w = q.astype(compute_dtype).reshape(gs, group, tn) * s[:, None, :]
-    w = w.reshape(tk, tn)
+    w = (wq * s[:, None, :]).reshape(tk, tn)
     xc = x_ref[:].astype(compute_dtype)            # [B, TK]
     acc_ref[:] += jnp.dot(xc, w, preferred_element_type=jnp.float32)
 
@@ -66,13 +80,15 @@ def _pick_tile(dim: int, want: int, unit: int) -> int:
     return dim  # no aligned divisor: single tile covering the whole dim
 
 
-@functools.partial(jax.jit, static_argnames=("group", "tile_n", "tile_k",
+@functools.partial(jax.jit, static_argnames=("group", "packed", "zero_point",
+                                             "tile_n", "tile_k",
                                              "compute_dtype", "interpret"))
 def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
+               packed: bool = False, zero_point: int = 0,
                tile_n: int = 512, tile_k: int = 1024,
                compute_dtype=jnp.bfloat16, interpret: bool = False):
-    """x: [B, K] float; q: [K, N] int8; s/b: [K/group, N] f32; bias: [N].
-    Returns [B, N] f32."""
+    """x: [B, K] float; q: [K, N] int8 (or packed uint8 [K/2, N]);
+    s/b: [K/group, N] f32; bias: [N].  Returns [B, N] f32."""
     B, K = x.shape
     N = q.shape[1]
     # largest tile sizes that divide the problem (lane/sublane-aligned)
@@ -80,6 +96,7 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
     tile_k = _pick_tile(K, tile_k, group)
     assert tile_k % group == 0
     n_nt, n_kt = N // tile_n, K // tile_k
+    qdiv = 2 if packed else 1
 
     # pad batch to the f32 sublane minimum so the MXU tile is well-formed
     B_pad = max(8, B)
@@ -89,7 +106,8 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
     gs = tile_k // group
     in_specs = [
         pl.BlockSpec((B_pad, tile_k), lambda n, k: (0, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_k, tile_n), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k // qdiv, tile_n), lambda n, k: (k, n),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((gs, tile_n), lambda n, k: (k, n), memory_space=pltpu.VMEM),
     ]
     args = [x, q, s]
@@ -106,7 +124,8 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         idx += has_bias
         o_ref, acc_ref = refs[idx], refs[idx + 1]
         _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref,
-                n_kt=n_kt, group=group, compute_dtype=compute_dtype)
+                n_kt=n_kt, group=group, packed=packed,
+                zero_point=zero_point, compute_dtype=compute_dtype)
 
     out = pl.pallas_call(
         kernel,
@@ -121,7 +140,7 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_pad * N * K,
-            bytes_accessed=N * K + N * K // group * 4 + B_pad * K * 4,
+            bytes_accessed=N * K // qdiv + N * K // group * 4 + B_pad * K * 4,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -21,11 +21,24 @@ import jax.numpy as jnp
 from .qtensor import DenseLinear, QuantLinear
 
 
+def unpack_nibbles(q: jax.Array, group: int, zero: int = 0) -> jax.Array:
+    """uint8 [K/2, N] (group-local row pairing) -> int-valued [K, N] f32."""
+    k2, n = q.shape
+    half = group // 2
+    qg = q.reshape(k2 // half, half, n)
+    lo = qg & jnp.uint8(0xF)
+    hi = qg >> jnp.uint8(4)
+    u = jnp.concatenate([lo, hi], axis=1).reshape(k2 * 2, n)
+    return u.astype(jnp.float32) - float(zero)
+
+
 def dequant_weight(lin: QuantLinear, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the full weight [in, out] from the planar layout."""
-    cin, out = lin.q.shape
+    qv = (unpack_nibbles(lin.q, lin.group_size, lin.zero_point)
+          if lin.packed else lin.q)
+    cin, out = qv.shape
     g = lin.group_size
-    q = lin.q.reshape(cin // g, g, out).astype(jnp.float32)
+    q = qv.reshape(cin // g, g, out).astype(jnp.float32)
     w = q * lin.s[:, None, :]
     if lin.b is not None:
         w = w + lin.b[:, None, :]
@@ -55,7 +68,9 @@ def matmul(x: jax.Array, lin, *, compute_dtype=jnp.bfloat16) -> jax.Array:
             lead = x.shape[:-1]
             x2 = x.reshape(-1, x.shape[-1])
             y = qmm_pallas(x2, lin.q, lin.s, lin.b, lin.bias,
-                           group=lin.group_size, compute_dtype=compute_dtype)
+                           group=lin.group_size, packed=lin.packed,
+                           zero_point=lin.zero_point,
+                           compute_dtype=compute_dtype)
             return y.reshape(*lead, y.shape[-1])
         w = dequant_weight(lin, compute_dtype)
         y = jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)

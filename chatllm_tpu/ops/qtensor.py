@@ -50,16 +50,26 @@ class QuantLinear:
     """Grouped-affine quantized linear layer (planar layout, see module doc).
 
     y = x @ dequant(q, s, b)  where q is [in, out].
+
+    When `packed` is set, q is uint8 [in/2, out] holding two 4-bit values per
+    byte with GROUP-LOCAL row pairing: within each 32-row group, byte row j
+    holds rows (32g+j, 32g+j+16) in its (low, high) nibbles — so the kernel
+    unpacks with one and/shift + a concat along the group axis, never an
+    interleave.  Packed values are unsigned [0,15]; the static `zero_point`
+    (8 for symmetric formats) is subtracted in-kernel before scaling.
     """
-    q: jax.Array                     # int8 [in, out]
+    q: jax.Array                     # int8 [in, out] | uint8 [in/2, out] packed
     s: jax.Array                     # f32 [in // G, out]
     b: Optional[jax.Array] = None    # f32 [in // G, out]
     bias: Optional[jax.Array] = None # f32 [out]
     group_size: int = struct.field(pytree_node=False, default=32)
+    packed: bool = struct.field(pytree_node=False, default=False)
+    zero_point: int = struct.field(pytree_node=False, default=0)
 
     @property
     def shape_in_out(self):
-        return (self.q.shape[0], self.q.shape[1])
+        cin = self.q.shape[0] * (2 if self.packed else 1)
+        return (cin, self.q.shape[1])
 
 
 def _nibbles(qs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -202,6 +212,25 @@ _QUANT_TYPES = {
     GGMLType.Q2_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
 }
 
+# formats whose values fit 4 unsigned bits after zero-point folding
+_PACKABLE = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K, GGMLType.Q2_K}
+
+
+def pack_nibbles(q: np.ndarray, G: int):
+    """Pack int8 values with 4-bit range into uint8 pairs.
+
+    q: [K, N] int8 → (packed uint8 [K/2, N], zero_point) with
+    value = nibble - zero_point."""
+    K, N = q.shape
+    qf = q.astype(np.int16)
+    zero = max(0, -int(qf.min()))
+    assert qf.max() + zero <= 15, "values exceed 4-bit range"
+    u = (qf + zero).astype(np.uint8)
+    half = G // 2
+    ug = u.reshape(K // G, G, N)
+    packed = (ug[:, :half, :] | (ug[:, half:, :] << 4)).reshape(K // 2, N)
+    return packed, zero
+
 
 def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
                      dequant_to=None):
@@ -221,8 +250,12 @@ def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
         dt = dequant_to or jnp.float32
         return DenseLinear(w=jnp.asarray(np.ascontiguousarray(w.T), dtype=dt), bias=bias_arr)
     q, s, b, G = repack_quantized(raw, t, shape)
+    packed = t in _PACKABLE and q.ndim == 2 and q.shape[0] % G == 0
+    zero = 0
+    if packed:
+        q, zero = pack_nibbles(q, G)
     return QuantLinear(
         q=jnp.asarray(q), s=jnp.asarray(s),
         b=None if b is None else jnp.asarray(b),
-        bias=bias_arr, group_size=G,
+        bias=bias_arr, group_size=G, packed=packed, zero_point=zero,
     )

@@ -51,3 +51,38 @@ def test_qmm_bias():
     out = np.asarray(qmm_pallas(jnp.asarray(x), lin.q, lin.s, None, lin.bias,
                                 tile_n=128, tile_k=256, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_packed_nibbles_roundtrip():
+    """Packed int4 layout dequantizes identically to the unpacked layout."""
+    import jax
+
+    from chatllm_tpu.ggmm.quants import GGMLType, quantize
+    from chatllm_tpu.ops.qtensor import linear_from_ggml
+    from chatllm_tpu.ops.qmm import dequant_weight
+
+    rng = np.random.default_rng(7)
+    out_d, in_d = 64, 256
+    w = rng.standard_normal((out_d, in_d)).astype(np.float32) * 0.1
+    for t in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K):
+        raw = quantize(w, t)
+        lin = linear_from_ggml(raw, t, (out_d, in_d))
+        assert lin.packed, t
+        from chatllm_tpu.ggmm.quants import dequantize
+
+        ref = dequantize(raw, t, (out_d, in_d)).T
+        got = np.asarray(dequant_weight(lin, jnp.float32))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+        x = rng.standard_normal((2, in_d)).astype(np.float32)
+        from chatllm_tpu.ops.pallas.qmm_kernel import qmm_pallas
+
+        y = np.asarray(qmm_pallas(jnp.asarray(x), lin.q, lin.s, lin.b,
+                                  group=lin.group_size, packed=True,
+                                  zero_point=lin.zero_point,
+                                  tile_k=128, tile_n=64, interpret=True))
+        expect = x @ ref
+        rel = np.linalg.norm(y - expect) / np.linalg.norm(expect)
+        # bf16-weight noise; affine formats see a bit more (u*s term is
+        # larger than the centered weight before +b)
+        assert rel < 1e-2, (t, rel)
