@@ -300,7 +300,9 @@ def mla_attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
     kv-lora is up-projected to full per-head K/V which are cached
     (reference BaseMLAttention::forward_speed, models/deepseek.cpp; weights
     pre-split by the converter, convert.py:7975-8007).  RoPE applies to the
-    TAIL qk_rope dims in interleaved lane order (permute_pair'd on disk)."""
+    TAIL qk_rope dims; the converter's permute_pair re-lays the native
+    interleaved pairs into half-split order, and the reference runs
+    RoPEMode::Original (models/deepseek.h:421) — i.e. NEOX lanes here."""
     B, T, H = x.shape
     m = cfg.mla
     h = cfg.num_attention_heads
@@ -314,11 +316,11 @@ def mla_attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
     else:
         q = matmul(x, p["q"]).reshape(B, T, h, dk)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
-    q_pe = apply_rope(q_pe, cos, sin, layout=ROPE_NORMAL_LAYOUT)
+    q_pe = apply_rope(q_pe, cos, sin, layout=cfg.rope.layout)
 
     kv_lora = matmul(x, p["d_kv"])                                 # [B,T,rank]
     k_pe = matmul(x, p["k_pe"]).reshape(B, T, 1, dr)
-    k_pe = apply_rope(k_pe, cos, sin, layout=ROPE_NORMAL_LAYOUT)
+    k_pe = apply_rope(k_pe, cos, sin, layout=cfg.rope.layout)
     c = rms_norm(kv_lora, p["kv_norm"]["w"], eps=cfg.norm_eps)
     k_nope = matmul(c, p["u_k_nope"]).reshape(B, T, h, dn)
     v = matmul(c, p["u_v"]).reshape(B, T, h, dv)

@@ -45,8 +45,10 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref, *, n_kt: int,
         # group-local pairing: byte row j of group g = rows (32g+j, 32g+j+16)
         half = group // 2
         qg = q.reshape(q.shape[0] // half, half, tn)
-        lo = (qg & jnp.uint8(0xF)).astype(compute_dtype)
-        hi = (qg >> jnp.uint8(4)).astype(compute_dtype)
+        # Mosaic has no uint8 shifts/casts — widen to int32 for the bit ops
+        qi = qg.astype(jnp.int32)
+        lo = (qi & 0xF).astype(compute_dtype)
+        hi = ((qi >> 4) & 0xF).astype(compute_dtype)
         wq = jnp.concatenate([lo, hi], axis=1)     # [gs, group, TN]
         if zero_point:
             wq = wq - jnp.asarray(zero_point, compute_dtype)
