@@ -1,0 +1,321 @@
+"""OpenAI/Ollama/llama.cpp-compatible HTTP server (stdlib http.server).
+
+Routes (parity with /root/reference/bindings/server.nim:849-870):
+  POST /v1/chat/completions    (stream + non-stream)
+  POST /v1/completions         (prompt completion / FIM)
+  POST /v1/embeddings
+  GET  /v1/models
+  GET  /props  /slots  /health (llama.cpp)
+  GET  /api/tags /api/version /api/ps ; POST /api/show /api/chat /api/generate (ollama)
+
+Generation is serialized with a lock (single slot, like the reference's
+one-slot server); streaming uses SSE chunks in the OpenAI format.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..runtime.chat import MsgRole
+from ..runtime.generate import GenerationConfig
+from ..runtime.pipeline import Pipeline
+from ..runtime.streamer import BaseStreamer, TextType
+
+
+class _QueueStreamer(BaseStreamer):
+    """Streams chunks into a queue consumed by the HTTP response thread."""
+
+    def __init__(self, tokenizer):
+        super().__init__(tokenizer)
+        self.q: "queue.Queue[str|None]" = queue.Queue()
+
+    def put_chunk(self, first, chunk):
+        self.q.put(chunk)
+
+    def put_thought_chunk(self, first, chunk):
+        self.q.put(chunk)
+
+    def putln(self, line, text_type=TextType.META):
+        pass
+
+    def end(self):
+        super().end()
+        self.q.put(None)
+
+
+class ApiServer:
+    def __init__(self, model, *, model_name: str = "default",
+                 emb_model=None, gen_config: GenerationConfig | None = None):
+        self.model = model
+        self.model_name = model_name
+        self.emb_model = emb_model
+        self.gen_config = gen_config or GenerationConfig()
+        self.lock = threading.Lock()
+        self.busy = False
+
+    # ------------------------------------------------------------------
+    def _fresh_pipeline(self) -> Pipeline:
+        pipe = Pipeline(self.model)
+        pipe.gen_config = self.gen_config
+        return pipe
+
+    def _apply_sampling(self, body: dict) -> GenerationConfig:
+        import dataclasses
+
+        g = dataclasses.replace(self.gen_config)
+        if "temperature" in body:
+            g.temperature = float(body["temperature"])
+        if "top_p" in body:
+            g.top_p = float(body["top_p"])
+        if "top_k" in body:
+            g.top_k = int(body["top_k"])
+        if "max_tokens" in body:
+            g.max_new_tokens = int(body["max_tokens"])
+        if "max_completion_tokens" in body:
+            g.max_new_tokens = int(body["max_completion_tokens"])
+        if "seed" in body and body["seed"] is not None:
+            g.seed = int(body["seed"])
+        if "frequency_penalty" in body:
+            g.frequency_penalty = float(body["frequency_penalty"])
+        if "presence_penalty" in body:
+            g.presence_penalty = float(body["presence_penalty"])
+        return g
+
+    def chat(self, messages: list[dict], gen_config, on_chunk=None) -> str:
+        """Run one chat request on a fresh pipeline (stateless server)."""
+        with self.lock:
+            self.busy = True
+            try:
+                pipe = self._fresh_pipeline()
+                sys_prompt = None
+                last_user = ""
+                for m in messages:
+                    role = m.get("role", "user")
+                    content = m.get("content", "") or ""
+                    if isinstance(content, list):  # OAI content-part arrays
+                        content = "".join(p.get("text", "") for p in content
+                                          if isinstance(p, dict))
+                    if role == "system":
+                        sys_prompt = content
+                    elif role == "user":
+                        last_user = content
+                        if m is not messages[-1]:
+                            pipe.history.push_back(MsgRole.USER, content)
+                    elif role == "assistant":
+                        pipe.history.push_back(MsgRole.ASSISTANT, content)
+                    elif role == "tool":
+                        pipe.history.push_back(MsgRole.TOOL, content)
+                if sys_prompt is not None:
+                    pipe.tokenizer.sys_prompt = sys_prompt
+                streamer = None
+                if on_chunk is not None:
+                    from ..runtime.streamer import CallbackStreamer
+
+                    streamer = CallbackStreamer(
+                        pipe.tokenizer,
+                        on_chunk=lambda first, c: on_chunk(c))
+                return pipe.chat(last_user, streamer, gen_config)
+            finally:
+                self.busy = False
+
+    def completion(self, prompt: str, gen_config, on_chunk=None) -> str:
+        with self.lock:
+            self.busy = True
+            try:
+                pipe = self._fresh_pipeline()
+                streamer = None
+                if on_chunk is not None:
+                    from ..runtime.streamer import CallbackStreamer
+
+                    streamer = CallbackStreamer(
+                        pipe.tokenizer, on_chunk=lambda first, c: on_chunk(c))
+                return pipe.text_completion(prompt, streamer, gen_config)
+            finally:
+                self.busy = False
+
+    def embed(self, texts: list[str]):
+        model = self.emb_model or self.model
+        assert hasattr(model, "embed"), "no embedding model loaded"
+        return [model.embed(t).tolist() for t in texts]
+
+
+def _make_handler(api: ApiServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        # -- helpers -----------------------------------------------------
+        def _json(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            if n == 0:
+                return {}
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+        def _sse(self, obj):
+            data = b"data: " + json.dumps(obj).encode() + b"\n\n"
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+        def _sse_done(self):
+            data = b"data: [DONE]\n\n"
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        # -- GET ---------------------------------------------------------
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/v1/models":
+                self._json({"object": "list", "data": [
+                    {"id": api.model_name, "object": "model",
+                     "created": int(time.time()), "owned_by": "chatllm_tpu"}]})
+            elif path == "/health":
+                self._json({"status": "ok"})
+            elif path == "/props":
+                self._json({"total_slots": 1,
+                            "default_generation_settings": {"n_ctx": api.model.cfg.max_length},
+                            "model_path": api.model_name})
+            elif path == "/slots":
+                self._json([{"id": 0, "state": 1 if api.busy else 0}])
+            elif path == "/api/tags":
+                self._json({"models": [{"name": api.model_name,
+                                        "model": api.model_name,
+                                        "size": 0, "digest": ""}]})
+            elif path == "/api/version":
+                self._json({"version": "0.1.0-chatllm_tpu"})
+            elif path == "/api/ps":
+                self._json({"models": ([{"name": api.model_name}] if api.busy else [])})
+            elif path == "/":
+                self._json({"service": "chatllm_tpu", "endpoints": [
+                    "/v1/chat/completions", "/v1/completions", "/v1/embeddings",
+                    "/v1/models", "/api/chat", "/api/generate", "/health"]})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        # -- POST --------------------------------------------------------
+        def do_POST(self):
+            path = self.path.split("?")[0]
+            body = self._body()
+            if path == "/v1/chat/completions":
+                self._chat_completions(body)
+            elif path == "/v1/completions":
+                self._completions(body)
+            elif path == "/v1/embeddings":
+                inputs = body.get("input", [])
+                if isinstance(inputs, str):
+                    inputs = [inputs]
+                embs = api.embed(inputs)
+                self._json({"object": "list", "model": api.model_name,
+                            "data": [{"object": "embedding", "index": i,
+                                      "embedding": e} for i, e in enumerate(embs)],
+                            "usage": {"prompt_tokens": 0, "total_tokens": 0}})
+            elif path == "/api/chat":
+                self._ollama_chat(body)
+            elif path == "/api/generate":
+                self._ollama_generate(body)
+            elif path == "/api/show":
+                self._json({"details": {"family": "chatllm_tpu"},
+                            "model_info": {"name": api.model_name}})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def _chat_completions(self, body):
+            gen = api._apply_sampling(body)
+            rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+            created = int(time.time())
+            if body.get("stream"):
+                self._sse_start()
+
+                def on_chunk(text):
+                    self._sse({"id": rid, "object": "chat.completion.chunk",
+                               "created": created, "model": api.model_name,
+                               "choices": [{"index": 0,
+                                            "delta": {"content": text},
+                                            "finish_reason": None}]})
+
+                api.chat(body.get("messages", []), gen, on_chunk)
+                self._sse({"id": rid, "object": "chat.completion.chunk",
+                           "created": created, "model": api.model_name,
+                           "choices": [{"index": 0, "delta": {},
+                                        "finish_reason": "stop"}]})
+                self._sse_done()
+            else:
+                text = api.chat(body.get("messages", []), gen)
+                perf = api.model.perf
+                self._json({"id": rid, "object": "chat.completion",
+                            "created": created, "model": api.model_name,
+                            "choices": [{"index": 0,
+                                         "message": {"role": "assistant",
+                                                     "content": text},
+                                         "finish_reason": "stop"}],
+                            "usage": {"prompt_tokens": perf.prompt_tokens,
+                                      "completion_tokens": perf.gen_tokens,
+                                      "total_tokens": perf.prompt_tokens + perf.gen_tokens}})
+
+        def _completions(self, body):
+            gen = api._apply_sampling(body)
+            rid = f"cmpl-{uuid.uuid4().hex[:12]}"
+            created = int(time.time())
+            prompt = body.get("prompt", "")
+            if isinstance(prompt, list):
+                prompt = prompt[0] if prompt else ""
+            if body.get("stream"):
+                self._sse_start()
+
+                def on_chunk(text):
+                    self._sse({"id": rid, "object": "text_completion",
+                               "created": created, "model": api.model_name,
+                               "choices": [{"index": 0, "text": text,
+                                            "finish_reason": None}]})
+
+                api.completion(prompt, gen, on_chunk)
+                self._sse_done()
+            else:
+                text = api.completion(prompt, gen)
+                self._json({"id": rid, "object": "text_completion",
+                            "created": created, "model": api.model_name,
+                            "choices": [{"index": 0, "text": text,
+                                         "finish_reason": "stop"}]})
+
+        def _ollama_chat(self, body):
+            gen = api._apply_sampling(body.get("options", {}))
+            text = api.chat(body.get("messages", []), gen)
+            self._json({"model": api.model_name,
+                        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        "message": {"role": "assistant", "content": text},
+                        "done": True})
+
+        def _ollama_generate(self, body):
+            gen = api._apply_sampling(body.get("options", {}))
+            text = api.completion(body.get("prompt", ""), gen)
+            self._json({"model": api.model_name,
+                        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        "response": text, "done": True})
+
+    return Handler
+
+
+def serve(model, host: str = "127.0.0.1", port: int = 11434, **kw):
+    api = ApiServer(model, **kw)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(api))
+    print(f"chatllm_tpu serving on http://{host}:{port}")
+    httpd.serve_forever()
