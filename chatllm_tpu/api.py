@@ -1,0 +1,167 @@
+"""The libchatllm-equivalent embedding API.
+
+Mirrors the C ABI surface (/root/reference/bindings/libchatllm.h:69-510) and
+the Python binding's ChatLLM class (bindings/chatllm.py:431) semantics:
+objects are configured with the SAME param strings as the CLI, started, then
+driven with user_input / tool_input / abort; output flows through callbacks
+with the typed-line protocol.  This is the surface HTTP servers, tool-calling
+scripts, and ports build on.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional
+
+from .main import Args, build_gen_config, parse_args
+from .models import RuntimeConfig, load_model
+from .runtime.chat import MsgRole
+from .runtime.pipeline import ExtendingMethod, Pipeline
+from .runtime.streamer import CallbackStreamer, TextType, ThoughtChunkInterceptor
+
+
+class ChatLLM:
+    """chatllm_create/append_param/start/user_input lifecycle
+    (libchatllm.h:76-140, 285-305)."""
+
+    def __init__(self, *params: str):
+        self._params: list[str] = list(params)
+        self.pipeline: Optional[Pipeline] = None
+        self.args: Optional[Args] = None
+        self.streamer: Optional[CallbackStreamer] = None
+        self.on_print: Callable[[str], None] = lambda s: None
+        self.on_print_meta: Callable[[str, int], None] = lambda s, t: None
+        self.on_thought: Callable[[str], None] = lambda s: None
+        self.on_end: Callable[[], None] = lambda: None
+        self._async_thread: Optional[threading.Thread] = None
+        self._is_async_busy = False
+        self.references: list[str] = []
+
+    # -- lifecycle -----------------------------------------------------------
+    def append_param(self, *params: str):
+        self._params.extend(params)
+
+    def start(self):
+        """chatllm_start (libchatllm.h:131; impl src/main.cpp:1783)."""
+        a = parse_args(self._params)
+        self.args = a
+        rt = RuntimeConfig(cache_dtype=a.cache_dtype, max_length=a.max_length)
+        model = load_model(a.model_path, rt)
+        pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
+        pipe.gen_config = build_gen_config(a)
+        if a.system is not None:
+            model.tokenizer.sys_prompt = a.system
+        self.pipeline = pipe
+
+        def on_line(line, ttype):
+            if ttype == TextType.REF:
+                self.references.append(line)
+            self.on_print_meta(line, int(ttype))
+
+        self.streamer = CallbackStreamer(
+            model.tokenizer,
+            on_chunk=lambda first, c: self.on_print(c),
+            on_line=on_line,
+            on_thought=lambda first, c: self.on_thought(c),
+            on_end=lambda: self.on_end(),
+        )
+        if a.detect_thoughts:
+            self.streamer.set_interceptor(ThoughtChunkInterceptor())
+        if a.load_session:
+            pipe.load_session(a.load_session)
+        return self
+
+    # -- chat ----------------------------------------------------------------
+    def chat(self, user_input: str) -> str:
+        """chatllm_user_input (sync) — returns the full reply."""
+        assert self.pipeline is not None, "call start() first"
+        self.references.clear()
+        return self.pipeline.chat(user_input, self.streamer)
+
+    user_input = chat
+
+    def async_chat(self, user_input: str):
+        """chatllm_async_user_input (libchatllm.h:1876 impl): worker thread,
+        completion signalled via on_end."""
+        assert not self._is_async_busy, "async operation in progress"
+        self._is_async_busy = True
+
+        def run():
+            try:
+                self.chat(user_input)
+            finally:
+                self._is_async_busy = False
+
+        self._async_thread = threading.Thread(target=run, daemon=True)
+        self._async_thread.start()
+
+    def wait(self):
+        if self._async_thread is not None:
+            self._async_thread.join()
+
+    def tool_input(self, content: str) -> str:
+        """chatllm_tool_input (libchatllm.h:285): feed a tool result."""
+        assert self.pipeline is not None
+        self.pipeline.history.push_back(MsgRole.TOOL, content)
+        ids = self.pipeline.tokenizer.encode_history(
+            self.pipeline.history, self.pipeline.model.cfg.max_length,
+            incremental=True)
+        out = self.pipeline._gen(ids, self.streamer)
+        text = self.pipeline.tokenizer.decode(out)
+        self.pipeline.history.push_back(MsgRole.ASSISTANT, text)
+        if self.streamer:
+            self.streamer.end()
+        return text
+
+    def ai_continue(self) -> str:
+        """chatllm_ai_continue (libchatllm.h:305)."""
+        return self.pipeline.chat_continue(self.streamer)
+
+    def abort_generation(self):
+        """chatllm_abort_generation (libchatllm.h:361)."""
+        if self.pipeline:
+            self.pipeline.abort_generation()
+
+    # -- history / sessions --------------------------------------------------
+    def restart(self, sys_prompt: str | None = None):
+        """chatllm_restart (libchatllm.h:144-156)."""
+        if sys_prompt is not None:
+            self.pipeline.tokenizer.sys_prompt = sys_prompt
+            self.pipeline.restart(keep_sys_prompt=False)
+        else:
+            self.pipeline.restart(keep_sys_prompt=True)
+        self.pipeline.history.clear()
+
+    def history_append(self, role: int, content: str):
+        self.pipeline.history.push_back(MsgRole(role), content)
+
+    def get_cursor(self) -> int:
+        return self.pipeline.n_past
+
+    def save_session(self, path: str) -> int:
+        self.pipeline.save_session(path)
+        return 0
+
+    def load_session(self, path: str) -> int:
+        self.pipeline.load_session(path)
+        return 0
+
+    # -- other modalities ----------------------------------------------------
+    def text_embedding(self, text: str):
+        """chatllm_text_embedding (libchatllm.h:331)."""
+        model = self.pipeline.model
+        assert hasattr(model, "embed"), "not an embedding model"
+        return list(model.embed(text))
+
+    def qa_rank(self, question: str, answer: str) -> float:
+        """chatllm_qa_rank (libchatllm.h:339)."""
+        model = self.pipeline.model
+        assert hasattr(model, "qa_rank"), "not a reranker model"
+        return model.qa_rank(question, answer)
+
+    def text_tokenize(self, text: str) -> list[int]:
+        """chatllm_text_tokenize (libchatllm.h:325)."""
+        return self.pipeline.tokenizer.encode(text)
+
+    def show_statistics(self) -> str:
+        """chatllm_show_statistics (libchatllm.h:369-375)."""
+        return self.pipeline.show_statistics()

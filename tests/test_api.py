@@ -1,0 +1,62 @@
+"""ChatLLM embedding-API tests (the libchatllm-equivalent surface)."""
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from test_model_forward import make_tiny_qwen2
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("api") / "tiny.bin")
+    make_tiny_qwen2(p)
+    return p
+
+
+def test_chatllm_lifecycle(model_path):
+    from chatllm_tpu.api import ChatLLM
+
+    chunks = []
+    llm = ChatLLM("-m", model_path, "--sampling", "greedy",
+                  "--max_new_tokens", "6")
+    llm.on_print = chunks.append
+    llm.start()
+    reply = llm.chat("hello")
+    assert "".join(chunks) == reply
+    assert llm.get_cursor() > 0
+    ids = llm.text_tokenize("hello")
+    assert isinstance(ids, list) and ids
+    stats = llm.show_statistics()
+    assert "eval time" in stats
+
+    # restart clears history
+    llm.restart()
+    assert len(llm.pipeline.history) == 0
+
+
+def test_chatllm_async(model_path):
+    from chatllm_tpu.api import ChatLLM
+
+    done = []
+    llm = ChatLLM("-m", model_path, "--sampling", "greedy",
+                  "--max_new_tokens", "4").start()
+    llm.on_end = lambda: done.append(True)
+    llm.async_chat("hi")
+    llm.wait()
+    assert done
+
+
+def test_ppl_harness(model_path):
+    from chatllm_tpu.api import ChatLLM
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.ppl import perplexity_from_ids
+
+    model = load_model(model_path, RuntimeConfig(
+        weight_dtype="float32", compute_dtype="float32", cache_dtype="float32"))
+    ids = list(np.random.default_rng(0).integers(0, 255, 100))
+    r = perplexity_from_ids(model, [int(i) for i in ids], ctx=33)
+    assert r["tokens"] > 50
+    assert r["ppl"] > 1.0
+    # random weights → ppl should be near vocab size order
+    assert r["ppl"] < 1e5
