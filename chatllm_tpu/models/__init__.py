@@ -16,6 +16,7 @@ from . import gemma      # noqa: F401
 from . import yi         # noqa: F401
 from . import deepseek   # noqa: F401
 from . import bce        # noqa: F401
+from . import glm        # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

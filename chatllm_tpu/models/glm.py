@@ -1,0 +1,194 @@
+"""ChatGLM/GLM family (reference: /root/reference/models/chatglm.{h,cpp}).
+
+GLM2-architecture generations (ChatGLM2/3, GLM-4, CodeGeeX): consolidated
+qkv with bias, fused gate+up swiglu MLP, partial rotary (head_dim/2,
+interleaved), tied=false.
+"""
+from __future__ import annotations
+
+from ..nn.transformer import TransformerConfig
+from ..ops.rope import ROPE_NORMAL, RopeConfig
+from ..runtime.chat import ChatTokenizer, HistoryEncoder
+from ..tokenizer.processor import BPEProcessor2
+from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
+                   register_model)
+from .model_types import ModelType
+
+GLM4_REGEX = [
+    r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+
+
+class GLM4Encoder(HistoryEncoder):
+    """[gMASK]<sop><|role|>\\n content template (models/chatglm.cpp v4)."""
+
+    add_nl_token = True
+
+    def _role(self, ids, role_tok):
+        tok = self.tokenizer
+        ids.append(role_tok)
+        if self.add_nl_token:
+            ids.append(tok.nl_token_id)
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        ids.extend([tok.gmask_token_id, tok.sop_token_id])
+        if tok.sys_prompt:
+            self._role(ids, tok.system_token_id)
+            ids.extend(tok.encode(tok.sys_prompt))
+
+    def append_user(self, round_idx, user, ids):
+        tok = self.tokenizer
+        self._role(ids, tok.user_token_id)
+        ids.extend(tok.encode(user))
+
+    def append_ai(self, round_idx, ai, ids):
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(self.tokenizer.encode(ai))
+
+    def append_ai_opening(self, round_idx, ids):
+        self._role(ids, self.tokenizer.assistant_token_id)
+
+
+def make_glm4_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
+    """models/chatglm.cpp v4 Tokenizer::do_load: special ids assigned
+    sequentially after <|endoftext|>."""
+    tp = BPEProcessor2(GLM4_REGEX)
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tp.enable_return_special_token(True)
+    tok = ChatTokenizer(tp, GLM4Encoder(), sys_prompt="")
+    eos = base.eos_token_id
+    if eos < 0:
+        eos = tp.piece_to_id("<|endoftext|>")
+    tok.eos_token_id = eos
+    tok.bos_token_id = base.bos_token_id
+    sid = eos + 1
+    tok.mask_token_id = sid; sid += 1
+    tok.gmask_token_id = sid; sid += 1
+    tok.smask_token_id = sid; sid += 1
+    tok.sop_token_id = sid; sid += 1
+    tok.eop_token_id = sid; sid += 1
+    tok.system_token_id = sid; sid += 1
+    tok.user_token_id = sid; sid += 1
+    tok.assistant_token_id = sid; sid += 1
+    tok.observation_token_id = sid; sid += 1
+    tok.nl_token_id = tp.encode("\n")[0]
+    tok.terminate_ids |= {eos, tok.user_token_id, tok.observation_token_id}
+    specials = {tok.mask_token_id, tok.gmask_token_id, tok.smask_token_id,
+                tok.sop_token_id, tok.eop_token_id, tok.system_token_id,
+                tok.user_token_id, tok.assistant_token_id,
+                tok.observation_token_id, eos}
+    tok.is_special_id = lambda i: i in specials
+    return tok
+
+
+def load_glm2_params(pb: ParamBuilder, n_layers: int) -> dict:
+    """ChatGLM2Converter weight names (convert.py:3999)."""
+    params = {
+        "embed": pb.embedding("transformer.embedding.word_embeddings.weight"),
+        "final_norm": pb.norm("transformer.encoder.final_layernorm"),
+        "lm_head": pb.linear("transformer.output_layer"),
+        "layers": [],
+    }
+    for i in range(n_layers):
+        pfx = f"transformer.encoder.layers.{i}"
+        params["layers"].append({
+            "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+            "attn": {
+                "qkv": pb.linear(f"{pfx}.self_attention.query_key_value"),
+                "o": pb.linear(f"{pfx}.self_attention.dense"),
+            },
+            "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+            "mlp": {
+                "gate_up": pb.linear(f"{pfx}.mlp.dense_h_to_4h"),
+                "down": pb.linear(f"{pfx}.mlp.dense_4h_to_h"),
+            },
+        })
+    params["layers"] = tuple(params["layers"])
+    return params
+
+
+@register_model(ModelType.GLM4_0414)
+class GLM40414(BaseLLM):
+    """GLM-4-0414 generation (HF Glm4ForCausalLM): separate q/k/v, partial
+    interleaved rotary, sandwich norms (LMBlock4, models/chatglm.h
+    glm4_0414 namespace; converter convert.py:4083 GLM4Converter)."""
+
+    # BaseConfig + {n_kv, use_attention_bias, rope_dim} + rope_theta:f
+    EXTRA_FMT = "3if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, attn_bias, rope_dim, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        head_dim = base.hidden_size // base.num_attention_heads
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=base.num_hidden_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=n_kv,
+            intermediate_size=base.intermediate_size,
+            max_length=rt.max_length if rt.max_length > 0 else base.max_length,
+            norm_eps=1e-5, post_norms=True,
+            qkv_bias=bool(attn_bias),
+            rope=RopeConfig(head_dim=head_dim, rot_dim=rope_dim,
+                            freq_base=rope_theta, layout=ROPE_NORMAL),
+            cache_dtype=rt.cache_dtype)
+        tok = make_glm4_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "post_attn_norm": pb.norm(f"{pfx}.post_self_attn_layernorm"),
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "post_ffn_norm": pb.norm(f"{pfx}.post_mlp_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.GLM4, ModelType.CODEGEEX4)
+class GLM4(BaseLLM):
+    # v4 Config: BaseConfig + num_kv_heads + rope_ratio:f
+    # (models/chatglm.h:46-49, 123-126)
+    EXTRA_FMT = "if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, rope_ratio) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        head_dim = base.hidden_size // base.num_attention_heads
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=base.num_hidden_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=n_kv,
+            intermediate_size=base.intermediate_size,
+            max_length=rt.max_length if rt.max_length > 0 else base.max_length,
+            norm_eps=1e-5,
+            # partial rotary: head_dim/2 dims, interleaved; freq_base scaled
+            # by rope_ratio (models/chatglm.cpp v4 ctor)
+            rope=RopeConfig(head_dim=head_dim, rot_dim=head_dim // 2,
+                            freq_base=10000.0 * rope_ratio,
+                            layout=ROPE_NORMAL),
+            cache_dtype=rt.cache_dtype)
+        tok = make_glm4_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_glm2_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

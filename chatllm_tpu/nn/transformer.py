@@ -152,9 +152,16 @@ def _norm(cfg: TransformerConfig, x, p):
 
 
 def gated_mlp(cfg: TransformerConfig, p, x):
-    """GatedMLP (reference src/layers.h:2277): down(act(gate(x)) * up(x))."""
-    g = matmul(x, p["gate"])
-    u = matmul(x, p["up"])
+    """GatedMLP (reference src/layers.h:2277): down(act(gate(x)) * up(x)).
+    With a fused `gate_up` weight (GLM2MLP dense_h_to_4h, src/layers.h:1079),
+    the projection is split in halves: act(h[:F]) * h[F:]."""
+    if "gate_up" in p:
+        h2 = matmul(x, p["gate_up"])
+        F = h2.shape[-1] // 2
+        g, u = h2[..., :F], h2[..., F:]
+    else:
+        g = matmul(x, p["gate"])
+        u = matmul(x, p["up"])
     h = (_act(cfg.act)(g) * u).astype(x.dtype)
     return matmul(h, p["down"]).astype(x.dtype)
 
@@ -230,9 +237,18 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
     d = cfg.resolved_head_dim()
     hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
 
-    q = matmul(x, p["q"]).reshape(B, T, hq, d)
-    k = matmul(x, p["k"]).reshape(B, T, hkv, d)
-    v = matmul(x, p["v"]).reshape(B, T, hkv, d)
+    if "qkv" in p:
+        # consolidated projection (BaseConsolidatedQKVAttention,
+        # src/layers.h:1773): rows ordered [q | k | v]
+        fused = matmul(x, p["qkv"])
+        qo, kvo = hq * d, hkv * d
+        q = fused[..., :qo].reshape(B, T, hq, d)
+        k = fused[..., qo:qo + kvo].reshape(B, T, hkv, d)
+        v = fused[..., qo + kvo:].reshape(B, T, hkv, d)
+    else:
+        q = matmul(x, p["q"]).reshape(B, T, hq, d)
+        k = matmul(x, p["k"]).reshape(B, T, hkv, d)
+        v = matmul(x, p["v"]).reshape(B, T, hkv, d)
 
     if cfg.qk_norm != "none":
         # per-head RMS norm over head_dim (reference QKNormedAttention

@@ -130,3 +130,57 @@ def test_qwen3_logits_match_hf(tmp_path):
     with torch.no_grad():
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=2e-3, rtol=2e-3)
+
+
+def make_tiny_glm4_0414(path, *, vocab=256, hidden=64, heads=4, kv=2,
+                        layers=2, inter=96, max_len=128):
+    torch.manual_seed(9)
+    cfg = transformers.Glm4Config(
+        vocab_size=vocab, hidden_size=hidden, num_attention_heads=heads,
+        num_key_value_heads=kv, num_hidden_layers=layers,
+        intermediate_size=inter, partial_rotary_factor=0.5,
+        head_dim=hidden // heads, attention_bias=False,
+        max_position_embeddings=max_len, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, bos_token_id=None)
+    hf = transformers.Glm4ForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.GLM4_0414), 1, meta={})
+        rope_dim = (hidden // heads) // 2
+        w.write_config([int(GGMLType.F32), vocab, hidden, heads, layers, inter,
+                        max_len, -1, 0, -1, -1, kv, 0, rope_dim], fmt="14i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        w.write_vocab_bpe([(p, 1) for p in _bpe_pieces(vocab)], [])
+        names = ["model.embed_tokens.weight"]
+        for i in range(layers):
+            names += [f"model.layers.{i}.{n}" for n in [
+                "input_layernorm.weight",
+                "mlp.down_proj.weight",
+                "post_attention_layernorm.weight",
+                "post_mlp_layernorm.weight",
+                "post_self_attn_layernorm.weight",
+                "self_attn.k_proj.weight", "self_attn.q_proj.weight",
+                "self_attn.v_proj.weight", "self_attn.o_proj.weight"]]
+        names += ["model.norm.weight", "lm_head.weight"]
+        for n in names:
+            w.write_tensor(n, sd[n], GGMLType.F32)
+        # gate_up_proj split (converter GLM4Converter.state_dict_pp)
+        for i in range(layers):
+            gu = sd[f"model.layers.{i}.mlp.gate_up_proj.weight"]
+            F2 = gu.shape[0] // 2
+            w.write_tensor(f"model.layers.{i}.mlp.gate_proj.weight", gu[:F2], GGMLType.F32)
+            w.write_tensor(f"model.layers.{i}.mlp.up_proj.weight", gu[F2:], GGMLType.F32)
+    return hf
+
+
+def test_glm4_0414_logits_match_hf(tmp_path):
+    path = str(tmp_path / "tiny_glm4.bin")
+    hf = make_tiny_glm4_0414(path)
+    model = load_model(path, RuntimeConfig(**RT32))
+    ids = np.array([[5, 77, 101, 32, 9, 200]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=2e-3, rtol=2e-3)
