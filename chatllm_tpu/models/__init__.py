@@ -17,6 +17,8 @@ from . import yi         # noqa: F401
 from . import deepseek   # noqa: F401
 from . import bce        # noqa: F401
 from . import glm        # noqa: F401
+from . import phi        # noqa: F401
+from . import internlm   # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

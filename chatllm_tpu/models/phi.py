@@ -1,0 +1,141 @@
+"""Phi family (reference: /root/reference/models/phi.{h,cpp}).
+
+Phi-3 (+Phi-3-SU LongRoPE, Phi-4): llama-like blocks after the converter
+splits qkv_proj/gate_up_proj and permutes q/k to interleaved rope
+(Phi3Converter.state_dict_pp, convert.py:4483).
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+
+from ..runtime.chat import ChatTokenizer, HistoryEncoder
+from ..tokenizer.processor import BPEProcessor1
+from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
+                   load_llama_family_params, register_model)
+from .llama import build_dense_config
+from .model_types import ModelType
+
+MAX_FACTOR_LEN = 64  # models/phi.h
+
+
+class Phi3Encoder(HistoryEncoder):
+    """<|user|>\\n ... <|end|>\\n template (models/phi.cpp Phi3Tokenizer)."""
+
+    add_bos = True
+
+    def _msg(self, ids, text, type_tok, end_tok=True):
+        tok = self.tokenizer
+        if type_tok >= 0:
+            ids.append(type_tok)
+            if tok.nl_token_id >= 0:
+                ids.append(tok.nl_token_id)
+        ids.extend(tok.encode(text))
+        if end_tok:
+            ids.append(tok.end_token_id)
+            ids.append(tok.nl_token_id)
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        if self.add_bos and tok.bos_token_id >= 0:
+            ids.append(tok.bos_token_id)
+        if tok.sys_prompt:
+            self._msg(ids, tok.sys_prompt, tok.system_token_id)
+
+    def append_user(self, round_idx, user, ids):
+        self._msg(ids, user, self.tokenizer.user_token_id)
+
+    def append_ai(self, round_idx, ai, ids):
+        self.append_ai_opening(round_idx, ids)
+        tok = self.tokenizer
+        ids.extend(tok.encode(ai))
+        ids.append(tok.end_token_id)
+        ids.append(tok.nl_token_id)
+
+    def append_ai_opening(self, round_idx, ids):
+        tok = self.tokenizer
+        ids.append(tok.assistant_token_id)
+        if tok.nl_token_id >= 0:
+            ids.append(tok.nl_token_id)
+
+
+def make_phi3_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
+    tp = BPEProcessor1()
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tok = ChatTokenizer(tp, Phi3Encoder(), sys_prompt="")
+    tok.bos_token_id = base.bos_token_id
+    tok.eos_token_id = base.eos_token_id
+    tok.system_token_id = tp.piece_to_id("<|system|>")
+    tok.user_token_id = tp.piece_to_id("<|user|>")
+    tok.assistant_token_id = tp.piece_to_id("<|assistant|>")
+    tok.end_token_id = tp.piece_to_id("<|end|>")
+    tok.nl_token_id = tp.piece_to_id("\n")
+    if tok.system_token_id < 0 and tp.get_piece_size() == 32000:
+        tok.system_token_id, tok.user_token_id = 32006, 32010
+        tok.assistant_token_id, tok.end_token_id = 32001, 32007
+    tok.pad_token_id = tok.eos_token_id
+    if tok.end_token_id >= 0:
+        tok.terminate_ids.add(tok.end_token_id)
+    tok.is_special_id = lambda i: i in (tok.system_token_id, tok.user_token_id,
+                                        tok.assistant_token_id, tok.end_token_id)
+    return tok
+
+
+@register_model(ModelType.PHI3)
+class Phi3(BaseLLM):
+    # BaseConfig + {n_kv, orig_max_pos, sliding_window} + rope_theta
+    # (models/phi.h:110-116)
+    EXTRA_FMT = "3if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, orig_max, sliding_window, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, rope_theta=rope_theta,
+            sliding_window=max(0, sliding_window + 1),
+            max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        tok = make_phi3_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.PHI3_SU, ModelType.PHI3_SU2, ModelType.PHI3_SU3,
+                ModelType.PHI4_MINI)
+class Phi3SU(BaseLLM):
+    """Phi-3 small/medium 128k with SU (LongRoPE) per-dim factors
+    (models/phi.h:191-201; Phi3SUSelfAttention src/layers.h:3257)."""
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        import math
+
+        # layout (models/phi.h:191-201): {max_position_embeddings, n_kv,
+        # original_max_pos, sliding_window, rope_scaling} i + rope_theta f
+        # + short_factor[64] + long_factor[64]
+        fmt = "5if" + f"{MAX_FACTOR_LEN}f{MAX_FACTOR_LEN}f"
+        if gf.model_type in (ModelType.PHI3_SU3, ModelType.PHI4_MINI):
+            fmt += "ff"   # short_mscale, long_mscale (models/phi.h:230-234)
+        base, extra = BaseConfig.parse(gf, fmt)
+        (max_pos, n_kv, orig_max, sliding_window, rope_scaling) = extra[:5]
+        rope_theta = float(extra[5])
+        long_factor = extra[6 + MAX_FACTOR_LEN:6 + 2 * MAX_FACTOR_LEN]
+        rot = base.hidden_size // base.num_attention_heads
+        half = rot // 2
+        # use the long factors (contexts beyond orig_max use them; the
+        # reference switches dynamically — long covers the serving case)
+        ff = tuple(float(f) for f in long_factor[:half])
+        scale = max_pos / max(orig_max, 1)
+        if len(extra) > 6 + 2 * MAX_FACTOR_LEN:
+            mscale = float(extra[6 + 2 * MAX_FACTOR_LEN + 1])  # long_mscale
+        else:
+            mscale = (1.0 if scale <= 1.0
+                      else math.sqrt(1.0 + math.log(scale) / math.log(max(orig_max, 2))))
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, rope_theta=rope_theta,
+            freq_factors=ff, sliding_window=max(0, sliding_window + 1),
+            max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, rope=replace(cfg.rope, mscale_all=mscale))
+        tok = make_phi3_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
