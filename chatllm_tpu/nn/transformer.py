@@ -106,15 +106,23 @@ class KVCache:
     """Per-layer K/V tensors, [n_layers][B, S_layer, H_kv, D].
 
     Sliding-window layers allocate only `window` slots (ring-written), the
-    reference's partial-cache design (src/layers.h:1973-2016)."""
+    reference's partial-cache design (src/layers.h:1973-2016).
+
+    Quantized mode (`--cache_dtype q8_0` analog, reference src/layers.cpp:
+    2933): k/v are int8 with per-(token, head) f32 scales in k_scale/v_scale
+    [B, S, H]; attention folds the scales into the score / probability
+    tensors so the dequantized cache is never materialized."""
     k: tuple
     v: tuple
+    k_scale: Optional[tuple] = None
+    v_scale: Optional[tuple] = None
 
 
 def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
                dtype=None) -> KVCache:
     max_len = max_len or cfg.max_length
-    dtype = dtype or jnp.dtype(cfg.cache_dtype)
+    quantized = cfg.cache_dtype in ("int8", "q8_0", "q8")
+    dtype = dtype or (jnp.int8 if quantized else jnp.dtype(cfg.cache_dtype))
     if cfg.mla is not None:
         dk = cfg.mla.qk_nope_head_dim + cfg.mla.qk_rope_head_dim
         dv = cfg.mla.v_head_dim
@@ -122,13 +130,18 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
     else:
         dk = dv = cfg.resolved_head_dim()
         n_kv = cfg.num_key_value_heads
-    ks, vs = [], []
+    ks, vs, kss, vss = [], [], [], []
     for i in range(cfg.num_hidden_layers):
         spec = cfg.layer_spec(i)
         s = max_len if spec.sliding_window <= 0 else min(max_len, spec.sliding_window)
         ks.append(jnp.zeros((batch, s, n_kv, dk), dtype))
         vs.append(jnp.zeros((batch, s, n_kv, dv), dtype))
-    return KVCache(k=tuple(ks), v=tuple(vs))
+        if quantized:
+            kss.append(jnp.zeros((batch, s, n_kv), jnp.float32))
+            vss.append(jnp.zeros((batch, s, n_kv), jnp.float32))
+    return KVCache(k=tuple(ks), v=tuple(vs),
+                   k_scale=tuple(kss) if quantized else None,
+                   v_scale=tuple(vss) if quantized else None)
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +245,8 @@ def moe_mlp(cfg: TransformerConfig, p, x):
 
 
 def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
-                    cos, sin, k_cache, v_cache, n_past):
+                    cos, sin, k_cache, v_cache, n_past,
+                    k_scale=None, v_scale=None):
     B, T, H = x.shape
     d = cfg.resolved_head_dim()
     hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -262,13 +276,25 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
 
     if spec.sliding_window > 0 and k_cache.shape[1] < cfg.max_length:
         # ring cache write (partial cache, reference src/layers.h:1973)
+        from ..ops.attention import quantize_kv
+
         S = k_cache.shape[1]
         pos = jnp.mod(n_past + jnp.arange(T), S)
-        k_cache = k_cache.at[:, pos].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[:, pos].set(v.astype(v_cache.dtype))
-        out = _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T)
+        if k_scale is not None:
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            k_cache = k_cache.at[:, pos].set(kq)
+            v_cache = v_cache.at[:, pos].set(vq)
+            k_scale = k_scale.at[:, pos].set(ks)
+            v_scale = v_scale.at[:, pos].set(vs)
+        else:
+            k_cache = k_cache.at[:, pos].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[:, pos].set(v.astype(v_cache.dtype))
+        out = _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T,
+                              k_scale, v_scale)
     else:
-        k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, n_past)
+        k_cache, v_cache, k_scale, v_scale = update_kv_cache(
+            k_cache, v_cache, k, v, n_past, k_scale, v_scale)
         scale = cfg.attention_scale if cfg.attention_scale > 0 else d ** -0.5
         out = attention_with_cache(
             q, k_cache, v_cache, n_past, T,
@@ -276,12 +302,14 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
             logit_softcap=cfg.logit_softcap,
             sliding_window=spec.sliding_window,
             sinks=p.get("sinks"),
+            k_scale=k_scale, v_scale=v_scale,
         )
     out = out.reshape(B, T, hq * d)
-    return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache
+    return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache, k_scale, v_scale
 
 
-def _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T):
+def _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T,
+                    k_scale=None, v_scale=None):
     """Attention over a ring-buffer cache of S = window slots: key absolute
     position reconstructed from ring index for masking + RoPE'd keys stored
     rotated (keys carry absolute-position rope, as in the reference)."""
@@ -302,16 +330,21 @@ def _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T):
     mask = jnp.where(valid, 0.0, -1e30)                        # [T,S]
     qg = q.reshape(B, T, hkv, hq // hkv, d).astype(jnp.float32)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_cache.astype(jnp.float32)) * scale
+    if k_scale is not None:
+        scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     if cfg.logit_softcap > 0:
         scores = jnp.tanh(scores / cfg.logit_softcap) * cfg.logit_softcap
     scores = scores + mask[None, None, None]
     p = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        p = p * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum("bhgts,bshd->bthgd", p, v_cache.astype(jnp.float32))
     return out.reshape(B, T, hq, d).astype(q.dtype)
 
 
 def mla_attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
-                        cos, sin, k_cache, v_cache, n_past):
+                        cos, sin, k_cache, v_cache, n_past,
+                        k_scale=None, v_scale=None):
     """Multi-head latent attention, expanded ("speed") mode: the compressed
     kv-lora is up-projected to full per-head K/V which are cached
     (reference BaseMLAttention::forward_speed, models/deepseek.cpp; weights
@@ -345,22 +378,26 @@ def mla_attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
     k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, (B, T, h, dr))],
                         axis=-1).astype(x.dtype)
 
-    k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, n_past)
+    k_cache, v_cache, k_scale, v_scale = update_kv_cache(
+        k_cache, v_cache, k, v, n_past, k_scale, v_scale)
     scale = cfg.attention_scale if cfg.attention_scale > 0 else dk ** -0.5
     out = attention_with_cache(q, k_cache, v_cache, n_past, T,
-                               scale=scale, causal=True)
+                               scale=scale, causal=True,
+                               k_scale=k_scale, v_scale=v_scale)
     out = out.reshape(B, T, h * dv)
-    return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache
+    return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache, k_scale, v_scale
 
 
 def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
-                  cos, sin, k_cache, v_cache, n_past):
+                  cos, sin, k_cache, v_cache, n_past,
+                  k_scale=None, v_scale=None):
     """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
     (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
     h = _norm(cfg, x, p["attn_norm"])
     attn_fn = mla_attention_block if cfg.mla is not None else attention_block
-    attn_out, k_cache, v_cache = attn_fn(
-        cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past)
+    attn_out, k_cache, v_cache, k_scale, v_scale = attn_fn(
+        cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past,
+        k_scale, v_scale)
     if cfg.post_norms:
         attn_out = _norm(cfg, attn_out, p["post_attn_norm"])
 
@@ -374,7 +411,7 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
         if cfg.post_norms:
             mlp_out = _norm(cfg, mlp_out, p["post_ffn_norm"])
         x = x + mlp_out
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, k_scale, v_scale
 
 
 # ---------------------------------------------------------------------------
@@ -416,13 +453,20 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
     cos, sin = precompute_rope_cache(positions, cfg.rope)
 
     ks, vs = list(cache.k), list(cache.v)
+    quant = cache.k_scale is not None
+    kss = list(cache.k_scale) if quant else [None] * cfg.num_hidden_layers
+    vss = list(cache.v_scale) if quant else [None] * cfg.num_hidden_layers
     for i in range(cfg.num_hidden_layers):
         spec = cfg.layer_spec(i)
-        x, ks[i], vs[i] = decoder_layer(
-            cfg, spec, params["layers"][i], x, cos, sin, ks[i], vs[i], n_past)
+        x, ks[i], vs[i], kss[i], vss[i] = decoder_layer(
+            cfg, spec, params["layers"][i], x, cos, sin, ks[i], vs[i], n_past,
+            kss[i], vss[i])
 
     x = _norm(cfg, x, params["final_norm"])
     if last_only:
         x = x[:, -1:, :]
     logits = lm_logits(cfg, params, x)
-    return logits, KVCache(k=tuple(ks), v=tuple(vs))
+    return logits, KVCache(
+        k=tuple(ks), v=tuple(vs),
+        k_scale=tuple(kss) if quant else None,
+        v_scale=tuple(vss) if quant else None)

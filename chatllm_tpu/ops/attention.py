@@ -24,12 +24,32 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def update_kv_cache(k_cache, v_cache, k, v, n_past):
-    """Write new K/V ([B,T,H,D]) at position n_past. Returns updated caches."""
-    zeros = (0, 0, 0)
+def quantize_kv(x):
+    """Per-(token, head) symmetric int8 quantization of K/V vectors
+    (the q8 cache mode; reference quantized KV cache src/layers.cpp:2933).
+    x: [B,T,H,D] → (int8 [B,T,H,D], scale f32 [B,T,H])."""
+    xf = x.astype(jnp.float32)
+    m = jnp.max(jnp.abs(xf), axis=-1)
+    scale = m / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+    q = jnp.clip(jnp.round(xf * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def update_kv_cache(k_cache, v_cache, k, v, n_past, k_scale=None, v_scale=None):
+    """Write new K/V ([B,T,H,D]) at position n_past. Returns updated caches
+    (+ updated scale tensors when the cache is quantized)."""
+    if k_scale is not None:
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, n_past, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, n_past, 0, 0))
+        k_scale = jax.lax.dynamic_update_slice(k_scale, ks, (0, n_past, 0))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, vs, (0, n_past, 0))
+        return k_cache, v_cache, k_scale, v_scale
     k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, n_past, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, n_past, 0, 0))
-    return k_cache, v_cache
+    return k_cache, v_cache, None, None
 
 
 def attention_with_cache(
@@ -46,6 +66,8 @@ def attention_with_cache(
     sinks: Optional[jax.Array] = None,        # [Hq] learned sink logits
     alibi_slopes: Optional[jax.Array] = None, # [Hq]
     mask_extra: Optional[jax.Array] = None,   # [B, T, S] additive mask
+    k_scale: Optional[jax.Array] = None,      # [B, S, Hkv] (q8 cache)
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     B, T, Hq, D = q.shape
     S = k_cache.shape[1]
@@ -58,6 +80,9 @@ def attention_with_cache(
     kf = k_cache.astype(jnp.float32)
     # scores: [B, Hkv, G, T, S]
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * scale
+    if k_scale is not None:
+        # int8 K: fold per-(token, head) scale into scores
+        scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
 
     if logit_softcap > 0.0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
@@ -91,6 +116,9 @@ def attention_with_cache(
     else:
         p = jax.nn.softmax(scores, axis=-1)
 
+    if v_scale is not None:
+        # int8 V: fold per-(token, head) scale into the probabilities
+        p = p * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum("bhgts,bshd->bthgd", p, v_cache.astype(jnp.float32))
     return out.reshape(B, T, Hq, v_cache.shape[-1]).astype(q.dtype)
 

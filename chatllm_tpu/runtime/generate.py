@@ -152,9 +152,14 @@ class InferenceEngine:
 
         cfg = self.cfg
 
+        from ..ops.attention import quantize_kv
+
         @partial(jax.jit, donate_argnums=(0,))
         def do_shift(cache, shift, keep):
             ks, vs = list(cache.k), list(cache.v)
+            quant = cache.k_scale is not None
+            kss = list(cache.k_scale) if quant else [None] * cfg.num_hidden_layers
+            vss = list(cache.v_scale) if quant else [None] * cfg.num_hidden_layers
             for i in range(cfg.num_hidden_layers):
                 k, v = ks[i], vs[i]
                 S = k.shape[1]
@@ -162,6 +167,9 @@ class InferenceEngine:
                 src = jnp.where(pos < keep, pos, jnp.minimum(pos + shift, S - 1))
                 k_new = jnp.take(k, src, axis=1)
                 v_new = jnp.take(v, src, axis=1)
+                if quant:
+                    kss[i] = jnp.take(kss[i], src, axis=1)
+                    vss[i] = jnp.take(vss[i], src, axis=1)
                 if cfg.layer_spec(i).use_rope and cfg.rope is not None:
                     # moved keys carry rope for their OLD absolute position;
                     # rotate by -shift (without the attn mscale, which is
@@ -171,12 +179,20 @@ class InferenceEngine:
                     m = rope_mscale(cfg.rope)
                     if m != 1.0:
                         cos, sin = cos / m, sin / m
-                    k_rot = apply_rope(k_new, cos, sin, layout=cfg.rope.layout,
+                    kf = k_new
+                    if quant:
+                        kf = k_new.astype(jnp.float32) * kss[i][..., None]
+                    k_rot = apply_rope(kf, cos, sin, layout=cfg.rope.layout,
                                        rot_dim=cfg.rope.resolved_rot_dim())
-                    k_new = jnp.where((pos < keep)[None, :, None, None], k_new, k_rot)
+                    if quant:
+                        k_rot, ks_rot = quantize_kv(k_rot)
+                        kss[i] = jnp.where((pos < keep)[None, :, None], kss[i], ks_rot)
+                    k_new = jnp.where((pos < keep)[None, :, None, None], k_new, k_rot.astype(k.dtype))
                 ks[i] = k_new.astype(k.dtype)
                 vs[i] = v_new.astype(v.dtype)
-            return KVCache(k=tuple(ks), v=tuple(vs))
+            return KVCache(k=tuple(ks), v=tuple(vs),
+                           k_scale=tuple(kss) if quant else None,
+                           v_scale=tuple(vss) if quant else None)
 
         return do_shift(cache, jnp.int32(shift), jnp.int32(keep))
 

@@ -189,6 +189,11 @@ class Pipeline:
             for i, (k, v) in enumerate(zip(self._cache.k, self._cache.v)):
                 arrays[f"k{i}"] = np.asarray(k[:, : self.n_past])
                 arrays[f"v{i}"] = np.asarray(v[:, : self.n_past])
+            if self._cache.k_scale is not None:
+                for i, (ks, vs) in enumerate(zip(self._cache.k_scale,
+                                                 self._cache.v_scale)):
+                    arrays[f"ks{i}"] = np.asarray(ks[:, : self.n_past])
+                    arrays[f"vs{i}"] = np.asarray(vs[:, : self.n_past])
         np.savez(path, __meta__=json.dumps(meta), **arrays)
 
     def load_session(self, path: str):
@@ -207,16 +212,22 @@ class Pipeline:
         eng = self.model.engine
         self._cache = eng.new_cache(1, eng.max_length)
         if "k0" in data:
-            import jax
+            from ..nn.transformer import KVCache
 
             ks, vs = list(self._cache.k), list(self._cache.v)
+            quant = self._cache.k_scale is not None
+            kss = list(self._cache.k_scale) if quant else None
+            vss = list(self._cache.v_scale) if quant else None
             for i in range(len(ks)):
                 kk = data[f"k{i}"]
                 ks[i] = ks[i].at[:, : kk.shape[1]].set(kk)
                 vs[i] = vs[i].at[:, : kk.shape[1]].set(data[f"v{i}"])
-            from ..nn.transformer import KVCache
-
-            self._cache = KVCache(k=tuple(ks), v=tuple(vs))
+                if quant and f"ks{i}" in data:
+                    kss[i] = kss[i].at[:, : kk.shape[1]].set(data[f"ks{i}"])
+                    vss[i] = vss[i].at[:, : kk.shape[1]].set(data[f"vs{i}"])
+            self._cache = KVCache(k=tuple(ks), v=tuple(vs),
+                                  k_scale=tuple(kss) if quant else None,
+                                  v_scale=tuple(vss) if quant else None)
         if self.initial_n_past > 0 and self.tokenizer.chat_encoder:
             self.tokenizer.chat_encoder.skip_sys_prompt = True
 

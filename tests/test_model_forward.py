@@ -156,3 +156,32 @@ def test_generate_greedy_deterministic(tmp_path):
     out2, _, _ = model.generate([3, 17, 42], gen)
     assert out1 == out2
     assert len(out1) == 8
+
+
+def test_quantized_kv_cache_close_to_fp(tmp_path):
+    """int8 KV cache (--cache_dtype q8_0 analog) stays close to the fp cache
+    and generates the same greedy tokens on the tiny model."""
+    path = str(tmp_path / "tiny_qkv.bin")
+    make_tiny_qwen2(path)
+    rt_fp = RuntimeConfig(weight_dtype="float32", compute_dtype="float32",
+                          cache_dtype="float32")
+    rt_q8 = RuntimeConfig(weight_dtype="float32", compute_dtype="float32",
+                          cache_dtype="q8_0")
+    m_fp = load_model(path, rt_fp)
+    m_q8 = load_model(path, rt_q8)
+    ids = [3, 17, 42, 99, 7, 250]
+
+    lo_fp, _ = m_fp.forward_logits(np.array([ids], np.int32))
+    lo_q8, _ = m_q8.forward_logits(np.array([ids], np.int32))
+    a, b = np.asarray(lo_fp), np.asarray(lo_q8)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 2e-2, rel
+
+    from chatllm_tpu.runtime.generate import GenerationConfig
+
+    gen = GenerationConfig(do_sample=False, max_new_tokens=8)
+    out_fp, _, _ = m_fp.generate(ids, gen)
+    out_q8, _, _ = m_q8.generate(ids, gen)
+    # random-weight logit gaps are tiny, so int8 cache noise may flip late
+    # tokens; the leading tokens must agree
+    assert out_fp[:3] == out_q8[:3]
