@@ -123,3 +123,23 @@ def test_thought_interceptor():
     assert "".join(t for t in thoughts if t != "<END>") == "pondering"
     assert "<END>" in thoughts
     assert "".join(out) == "hello"
+
+
+def test_beam_search(tiny_model):
+    from chatllm_tpu.runtime.beam import BeamSearchPipeline
+    from chatllm_tpu.runtime.generate import GenerationConfig
+
+    pipe = BeamSearchPipeline(tiny_model, beam_size=3)
+    pipe.gen_config = GenerationConfig(do_sample=False, max_new_tokens=6)
+    results = pipe._decode_beams_host([3, 17, 42], 6)
+    assert len(results) == 3
+    # sorted best-first
+    scores = [s for s, _ in results]
+    assert scores == sorted(scores, reverse=True)
+    # greedy transcript == best beam's first token
+    out, _, _ = tiny_model.generate([3, 17, 42],
+                                    GenerationConfig(do_sample=False, max_new_tokens=1))
+    assert results[0][1][0] == out[0] or any(r[1][0] == out[0] for r in results)
+
+    reply = pipe.chat("hello")
+    assert isinstance(reply, str)
