@@ -249,11 +249,19 @@ def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
         w = dequantize(raw, t, shape)
         dt = dequant_to or jnp.float32
         return DenseLinear(w=jnp.asarray(np.ascontiguousarray(w.T), dtype=dt), bias=bias_arr)
-    q, s, b, G = repack_quantized(raw, t, shape)
-    packed = t in _PACKABLE and q.ndim == 2 and q.shape[0] % G == 0
-    zero = 0
-    if packed:
-        q, zero = pack_nibbles(q, G)
+    # native (C++ threaded) repack for the hot formats; numpy fallback
+    from ..native import native_repack
+
+    nat = native_repack(np.asarray(raw) if not isinstance(raw, np.ndarray) else raw,
+                        int(t), shape)
+    if nat is not None:
+        q, s, b, G, packed, zero = nat
+    else:
+        q, s, b, G = repack_quantized(raw, t, shape)
+        packed = t in _PACKABLE and q.ndim == 2 and q.shape[0] % G == 0
+        zero = 0
+        if packed:
+            q, zero = pack_nibbles(q, G)
     return QuantLinear(
         q=jnp.asarray(q), s=jnp.asarray(s),
         b=None if b is None else jnp.asarray(b),
