@@ -86,7 +86,9 @@ def native_repack(raw: np.ndarray, ggml_type: int, shape):
     if lib is None or len(shape) != 2:
         return None
     out_dim, in_dim = int(shape[0]), int(shape[1])
-    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        raw = np.frombuffer(raw, dtype=np.uint8)
+    raw = np.ascontiguousarray(raw.view(np.uint8))
     t = GGMLType(ggml_type)
     if t == GGMLType.Q4_K and in_dim % 256 == 0:
         qp = np.empty((in_dim // 2, out_dim), np.uint8)
