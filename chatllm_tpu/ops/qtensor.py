@@ -252,8 +252,7 @@ def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
     # native (C++ threaded) repack for the hot formats; numpy fallback
     from ..native import native_repack
 
-    nat = native_repack(np.asarray(raw) if not isinstance(raw, np.ndarray) else raw,
-                        int(t), shape)
+    nat = native_repack(raw, int(t), shape)
     if nat is not None:
         q, s, b, G, packed, zero = nat
     else:
