@@ -438,15 +438,24 @@ def lm_logits(cfg: TransformerConfig, params, x):
 
 def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
                         n_past, *, last_only: bool = False,
-                        positions=None):
+                        positions=None, input_embeds=None):
     """ids: [B, T] int32 → (logits [B, T|1, V] f32, new cache).
+
+    `input_embeds` [B, T, H] overrides token embedding lookup (multimodal
+    prompts splice projected media embeddings between text embeddings —
+    replaces the reference's extended-embedding-table trick,
+    models/internvl.cpp ExtendEmbedding/before_generate).
 
     The reference analog is HeterogeneousModel::forward
     (/root/reference/src/models.cpp:1399-1449); here the per-layer device
     moves are replaced by sharding annotations on the param tree.
     """
-    B, T = ids.shape
-    x = embed_tokens(cfg, params, ids)
+    if input_embeds is not None:
+        x = input_embeds
+        B, T = x.shape[:2]
+    else:
+        B, T = ids.shape
+        x = embed_tokens(cfg, params, ids)
     if positions is None:
         positions = n_past + jnp.arange(T)[None, :]            # [1,T]
         positions = jnp.broadcast_to(positions, (B, T))

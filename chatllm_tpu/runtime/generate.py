@@ -222,6 +222,68 @@ class InferenceEngine:
             done += n
         return logits, cache, n_past
 
+    def prefill_embeds(self, embeds, cache: KVCache, n_past: int):
+        """Prefill from pre-computed input embeddings [1, T, H] (multimodal
+        prompts with spliced media embeddings)."""
+        cfg = self.cfg
+        T = embeds.shape[1]
+        tpad = _bucket(T, hi=max(16, self.max_length))
+        if tpad != T:
+            embeds = jnp.pad(embeds, ((0, 0), (0, tpad - T), (0, 0)))
+
+        key_s = ("embeds", tpad)
+        if key_s not in self._prefill_cache:
+            @partial(jax.jit, donate_argnums=(1,))
+            def prefill_e(params, cache, embeds, n_past, n_tokens):
+                logits, cache = transformer_forward(
+                    cfg, params, None, cache, n_past, input_embeds=embeds)
+                last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
+                return last[:, 0, :], cache
+
+            self._prefill_cache[key_s] = prefill_e
+        fn = self._prefill_cache[key_s]
+        logits, cache = fn(self.params, cache, embeds, jnp.int32(n_past), jnp.int32(T))
+        return logits, cache, n_past + T
+
+    def generate_from_logits(self, logits, cache, n_past, gen_cfg,
+                             *, is_terminator=lambda t: False, on_token=None,
+                             should_stop=lambda: False, max_new=-1):
+        """Continue decoding given last-token logits (post-prefill)."""
+        scfg = gen_cfg.sampler_config()
+        max_len = self.max_length if gen_cfg.max_length <= 0 else min(gen_cfg.max_length, self.max_length)
+        if max_new <= 0:
+            max_new = gen_cfg.max_new_tokens if gen_cfg.max_new_tokens > 0 else max_len
+        penalty = PenaltyState.init(self.cfg.vocab_size, scfg.penalty_window)
+        key = jax.random.key(gen_cfg.seed or 0)
+        tok, _ = sample_token(logits[0], scfg, jax.random.split(key, 2)[1], penalty)
+        penalty = penalty_accept(penalty, tok)
+        tok = tok[None, None]
+        first = int(tok[0, 0])
+        out: list[int] = []
+        if is_terminator(first):
+            return out, cache, n_past
+        out.append(first)
+        if on_token:
+            on_token(first)
+        block = max(1, min(self.decode_block, max_new))
+        decode = self._decode_fn(scfg, block)
+        done = False
+        while not done and len(out) < max_new and n_past + 1 < max_len and not should_stop():
+            steps = min(block, max_new - len(out), max_len - 1 - n_past)
+            toks, tok, cache, penalty, key = decode(
+                self.params, cache, tok, jnp.int32(n_past), penalty, key)
+            toks_host = np.asarray(toks)
+            for j in range(steps):
+                t = int(toks_host[j])
+                n_past += 1
+                if is_terminator(t):
+                    done = True
+                    break
+                out.append(t)
+                if on_token:
+                    on_token(t)
+        return out, cache, n_past
+
     def generate(
         self,
         input_ids: list[int],

@@ -1,0 +1,84 @@
+"""Image preprocessing for vision models.
+
+Port of the reference's vision_process semantics
+(/root/reference/src/vision_process.h:17-160) with PIL instead of the
+ImageMagick shell-out: load/resize/normalize, and the InternVL dynamic
+tiling (closest-aspect-ratio grid split + optional thumbnail).
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+
+
+def load_image(path_or_obj):
+    from PIL import Image
+
+    img = Image.open(path_or_obj) if not hasattr(path_or_obj, "convert") else path_or_obj
+    return img.convert("RGB")
+
+
+def to_array(img, size: int | tuple[int, int], mean, std) -> np.ndarray:
+    """Resize to `size` and normalize → [H, W, 3] f32."""
+    from PIL import Image
+
+    if isinstance(size, int):
+        size = (size, size)
+    img = img.resize(size, Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return (arr - mean) / std
+
+
+def find_closest_aspect_ratio(aspect: float, ratios: Iterable[tuple[int, int]],
+                              width: int, height: int, image_size: int):
+    """InternVL dynamic_preprocess ratio selection."""
+    best_diff = float("inf")
+    best = (1, 1)
+    area = width * height
+    for r in ratios:
+        target = r[0] / r[1]
+        diff = abs(aspect - target)
+        if diff < best_diff:
+            best_diff = diff
+            best = r
+        elif diff == best_diff:
+            if area > 0.5 * image_size * image_size * r[0] * r[1]:
+                best = r
+    return best
+
+
+def internvl_tiles(img, *, image_size: int = 448, min_num: int = 1,
+                   max_num: int = 12, use_thumbnail: bool = True,
+                   mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+    """InternVL dynamic preprocessing: split into up to max_num image_size²
+    tiles matching the closest grid aspect ratio, plus an optional thumbnail.
+    Returns (tiles [N, S, S, 3] f32, grid (gw, gh))."""
+    from PIL import Image
+
+    w, h = img.size
+    aspect = w / h
+    ratios = sorted(
+        {(i, j) for n in range(min_num, max_num + 1)
+         for i in range(1, n + 1) for j in range(1, n + 1)
+         if min_num <= i * j <= max_num},
+        key=lambda r: r[0] * r[1])
+    gw, gh = find_closest_aspect_ratio(aspect, ratios, w, h, image_size)
+    tw, th = image_size * gw, image_size * gh
+    resized = img.resize((tw, th), Image.BICUBIC)
+    tiles = []
+    for idx in range(gw * gh):
+        x = (idx % gw) * image_size
+        y = (idx // gw) * image_size
+        tile = resized.crop((x, y, x + image_size, y + image_size))
+        tiles.append(np.asarray(tile, np.float32) / 255.0)
+    if use_thumbnail and len(tiles) != 1:
+        thumb = img.resize((image_size, image_size), Image.BICUBIC)
+        tiles.append(np.asarray(thumb, np.float32) / 255.0)
+    arr = np.stack(tiles)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return (arr - mean) / std, (gw, gh)
