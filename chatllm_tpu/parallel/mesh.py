@@ -69,7 +69,8 @@ def _linear_spec(lin, shard_dim: str):
             q=ws, s=ws,
             b=None if lin.b is None else ws,
             bias=None if lin.bias is None else bias,
-            group_size=lin.group_size)
+            group_size=lin.group_size, packed=lin.packed,
+            zero_point=lin.zero_point)
     if isinstance(lin, DenseLinear):
         return DenseLinear(w=ws, bias=None if lin.bias is None else bias)
     raise TypeError(type(lin))
