@@ -20,6 +20,7 @@ from . import glm        # noqa: F401
 from . import phi        # noqa: F401
 from . import internlm   # noqa: F401
 from . import internvl   # noqa: F401
+from . import misc_llama # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

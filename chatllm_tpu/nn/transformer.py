@@ -75,6 +75,9 @@ class TransformerConfig:
     attention_scale: float = -1.0           # score scale; -1 = 1/sqrt(head_dim)
     parallel_residual: bool = False         # LMBlock2 (GPT-NeoX/Phi style)
     post_norms: bool = False                # LMBlock4 sandwich (Gemma2)
+    pre_norm: bool = True                   # False: OLMo2 (post-norms only)
+    residual_scale: float = 1.0             # Granite residual_multiplier
+    logit_scale: float = 1.0                # Cohere logit_scale / Granite 1/logits_scaling
     layer_specs: tuple = ()                 # per-layer LayerSpec; () = uniform
     # MoE (used when a LayerSpec has is_moe):
     moe_num_experts: int = 0
@@ -185,6 +188,14 @@ def simple_mlp(cfg: TransformerConfig, p, x):
     return matmul(h, p["down"]).astype(x.dtype)
 
 
+def mlp_dispatch(cfg: TransformerConfig, spec: LayerSpec, p, x):
+    if spec.is_moe:
+        return moe_mlp(cfg, p, x)
+    if "gate" in p or "gate_up" in p:
+        return gated_mlp(cfg, p, x)
+    return simple_mlp(cfg, p, x)
+
+
 def moe_mlp(cfg: TransformerConfig, p, x):
     """Sparse MoE FFN (reference GenericSparseMLP src/layers.h:2373):
     softmax router → top-k experts → weighted sum; optional shared expert
@@ -264,7 +275,13 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
         k = matmul(x, p["k"]).reshape(B, T, hkv, d)
         v = matmul(x, p["v"]).reshape(B, T, hkv, d)
 
-    if cfg.qk_norm != "none":
+    if cfg.qk_norm == "rmsnorm_full":
+        # RMS norm over the whole projection (OLMo2-style)
+        q = rms_norm(q.reshape(B, T, hq * d), p["q_norm"]["w"],
+                     eps=cfg.norm_eps).reshape(B, T, hq, d)
+        k = rms_norm(k.reshape(B, T, hkv * d), p["k_norm"]["w"],
+                     eps=cfg.norm_eps).reshape(B, T, hkv, d)
+    elif cfg.qk_norm != "none":
         # per-head RMS norm over head_dim (reference QKNormedAttention
         # src/layers.h:3073)
         q = rms_norm(q, p["q_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
@@ -393,24 +410,25 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
                   k_scale=None, v_scale=None):
     """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
     (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
-    h = _norm(cfg, x, p["attn_norm"])
+    h = _norm(cfg, x, p["attn_norm"]) if cfg.pre_norm else x
     attn_fn = mla_attention_block if cfg.mla is not None else attention_block
     attn_out, k_cache, v_cache, k_scale, v_scale = attn_fn(
         cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past,
         k_scale, v_scale)
     if cfg.post_norms:
         attn_out = _norm(cfg, attn_out, p["post_attn_norm"])
+    rs = cfg.residual_scale
 
     if cfg.parallel_residual:
-        mlp_out = gated_mlp(cfg, p["mlp"], h) if not spec.is_moe else moe_mlp(cfg, p["mlp"], h)
-        x = x + attn_out + mlp_out
+        mlp_out = mlp_dispatch(cfg, spec, p["mlp"], h)
+        x = x + rs * (attn_out + mlp_out) if rs != 1.0 else x + attn_out + mlp_out
     else:
-        x = x + attn_out
-        h = _norm(cfg, x, p["ffn_norm"])
-        mlp_out = moe_mlp(cfg, p["mlp"], h) if spec.is_moe else gated_mlp(cfg, p["mlp"], h)
+        x = x + rs * attn_out if rs != 1.0 else x + attn_out
+        h = _norm(cfg, x, p["ffn_norm"]) if cfg.pre_norm else x
+        mlp_out = mlp_dispatch(cfg, spec, p["mlp"], h)
         if cfg.post_norms:
             mlp_out = _norm(cfg, mlp_out, p["post_ffn_norm"])
-        x = x + mlp_out
+        x = x + rs * mlp_out if rs != 1.0 else x + mlp_out
     return x, k_cache, v_cache, k_scale, v_scale
 
 
@@ -431,6 +449,8 @@ def lm_logits(cfg: TransformerConfig, params, x):
         logits = jnp.dot(x.astype(w.dtype), w.T, preferred_element_type=jnp.float32)
     else:
         logits = matmul(x, params["lm_head"])
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     return logits
