@@ -44,7 +44,8 @@ class ChatLLM:
         """chatllm_start (libchatllm.h:131; impl src/main.cpp:1783)."""
         a = parse_args(self._params)
         self.args = a
-        rt = RuntimeConfig(cache_dtype=a.cache_dtype, max_length=a.max_length)
+        rt = RuntimeConfig(cache_dtype=a.cache_dtype, max_length=a.max_length,
+                           re_quantize=a.re_quantize)
         model = load_model(a.model_path, rt)
         pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
         pipe.gen_config = build_gen_config(a)

@@ -236,7 +236,8 @@ def main(argv=None) -> int:
     from .runtime.pipeline import ExtendingMethod, Pipeline
     from .runtime.streamer import TextStreamer, ThoughtChunkInterceptor
 
-    rt = RuntimeConfig(cache_dtype=a.cache_dtype, max_length=a.max_length)
+    rt = RuntimeConfig(cache_dtype=a.cache_dtype, max_length=a.max_length,
+                       re_quantize=a.re_quantize)
     model = load_model(a.model_path, rt)
     pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
     pipe.gen_config = build_gen_config(a)

@@ -49,6 +49,9 @@ class RuntimeConfig:
     compute_dtype: str = "bfloat16" # activation dtype
     cache_dtype: str = "bfloat16"   # KV cache dtype
     max_length: int = -1            # context override (-1 = model default)
+    re_quantize: str = ""           # on-the-fly requantization target, e.g.
+                                    # "q4_0"/"q4_k"/"q8_0" (reference
+                                    # --re_quantize, src/chat.h:710)
     additional: dict = field(default_factory=dict)  # --set k v
 
 
@@ -111,7 +114,9 @@ class ParamBuilder:
         return jnp.asarray(self.raw_f32(name), dtype=self.compute_dtype)
 
     def linear(self, prefix: str, *, bias: bool | str = "auto", transpose_ok=True):
-        """Load `{prefix}.weight` (+ `.bias`) as a DenseLinear/QuantLinear."""
+        """Load `{prefix}.weight` (+ `.bias`) as a DenseLinear/QuantLinear,
+        optionally re-quantizing on the fly (reference read_tensor_data with
+        a target type, src/chat.h:710)."""
         wname = prefix + ".weight"
         e = self.gf.tensors[wname]
         self.loaded.add(wname)
@@ -119,11 +124,18 @@ class ParamBuilder:
         b = None
         if (bias is True) or (bias == "auto" and self.gf.has_tensor(bname)):
             b = self.raw_f32(bname)
+        raw, dtype = self.gf.raw_tensor(wname), e.dtype
+        if self.rt.re_quantize and len(e.shape) == 2:
+            from ..ggmm.quants import dequantize, quantize
+
+            target = GGMLType[self.rt.re_quantize.upper()]
+            if target != dtype:
+                w = dequantize(raw, dtype, e.shape)
+                raw, dtype = quantize(w, target), target
         dq = self._dequant_to()
-        if dq is None and e.dtype in (GGMLType.F16, GGMLType.F32, GGMLType.BF16):
+        if dq is None and dtype in (GGMLType.F16, GGMLType.F32, GGMLType.BF16):
             dq = self.compute_dtype
-        return linear_from_ggml(self.gf.raw_tensor(wname), e.dtype, e.shape,
-                                bias=b, dequant_to=dq)
+        return linear_from_ggml(raw, dtype, e.shape, bias=b, dequant_to=dq)
 
     def norm(self, prefix: str, *, bias: bool | str = "auto") -> dict:
         p = {"w": self.array(prefix + ".weight")}

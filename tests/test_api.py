@@ -60,3 +60,26 @@ def test_ppl_harness(model_path):
     assert r["ppl"] > 1.0
     # random weights → ppl should be near vocab size order
     assert r["ppl"] < 1e5
+
+
+def test_re_quantize_and_lens(model_path):
+    import numpy as np
+
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.lens import format_lens, lens_logits
+
+    m_fp = load_model(model_path, RuntimeConfig(
+        weight_dtype="float32", compute_dtype="float32", cache_dtype="float32"))
+    m_q8 = load_model(model_path, RuntimeConfig(
+        weight_dtype="float32", compute_dtype="float32", cache_dtype="float32",
+        re_quantize="q8_0"))
+    ids = np.array([[3, 17, 42, 99]], np.int32)
+    a, _ = m_fp.forward_logits(ids)
+    b, _ = m_q8.forward_logits(ids)
+    rel = np.linalg.norm(np.asarray(a) - np.asarray(b)) / np.linalg.norm(np.asarray(a))
+    assert 0 < rel < 0.1   # requantized, close but not identical
+
+    r = lens_logits(m_fp, [3, 17, 42, 99], top_k=4)
+    assert r["logits"].shape[0] == m_fp.cfg.num_hidden_layers + 1
+    txt = format_lens(m_fp, r)
+    assert "final" in txt
