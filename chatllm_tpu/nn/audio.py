@@ -1,0 +1,83 @@
+"""Whisper-style audio encoder (ASR tower).
+
+Reference: the qwen_asr audio tower (/root/reference/models/qwen_asr.h:4-120
+— conv subsampling + sinusoidal positions + pre-LN cacheless transformer +
+projector) and qwen2-audio/glm-asr variants; all are Whisper-encoder
+descendants.  This implements the Whisper encoder faithfully (HF-golden) as
+the shared tower; per-model variants adjust the conv stack / projector.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.norm import layer_norm
+from ..ops.qmm import matmul
+
+
+@dataclass(frozen=True)
+class AudioEncoderConfig:
+    n_mels: int
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    intermediate_size: int
+    max_source_positions: int = 1500
+    norm_eps: float = 1e-5
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper sinusoidal position embedding."""
+    log_timescale = np.log(10000) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+def _conv1d(x, w, b, stride: int, padding: int):
+    """x: [B, T, C_in]; w: [k, C_in, C_out]."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=(stride,), padding=[(padding, padding)],
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return y + b
+
+
+def audio_encoder_forward(cfg: AudioEncoderConfig, params, mel):
+    """mel: [B, n_mels, frames] → hidden [B, frames//2, hidden]
+    (whisper encoder: conv1(k3,s1) gelu → conv2(k3,s2) gelu → +pos → layers
+    → final LN)."""
+    x = jnp.transpose(mel, (0, 2, 1))                     # [B, T, n_mels]
+    x = jax.nn.gelu(_conv1d(x, params["conv1_w"], params["conv1_b"], 1, 1),
+                    approximate=False)
+    x = jax.nn.gelu(_conv1d(x, params["conv2_w"], params["conv2_b"], 2, 1),
+                    approximate=False)
+    T = x.shape[1]
+    x = x + params["pos"][None, :T]
+
+    for p in params["layers"]:
+        h = layer_norm(x, p["norm1"]["w"], p["norm1"]["b"], eps=cfg.norm_eps)
+        attn = _audio_attention(cfg, p["attn"], h)
+        x = x + attn
+        h = layer_norm(x, p["norm2"]["w"], p["norm2"]["b"], eps=cfg.norm_eps)
+        h = jax.nn.gelu(matmul(h, p["mlp"]["fc0"]).astype(jnp.float32),
+                        approximate=False).astype(x.dtype)
+        x = x + matmul(h, p["mlp"]["fc1"]).astype(x.dtype)
+    return layer_norm(x, params["post_norm"]["w"], params["post_norm"]["b"],
+                      eps=cfg.norm_eps)
+
+
+def _audio_attention(cfg, p, x):
+    B, T, H = x.shape
+    nh = cfg.num_attention_heads
+    d = H // nh
+    q = matmul(x, p["q"]).reshape(B, T, nh, d).astype(jnp.float32)
+    k = matmul(x, p["k"]).reshape(B, T, nh, d).astype(jnp.float32)
+    v = matmul(x, p["v"]).reshape(B, T, nh, d).astype(jnp.float32)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (d ** -0.5)
+    pr = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", pr, v).reshape(B, T, H)
+    return matmul(out.astype(x.dtype), p["o"]).astype(x.dtype)
