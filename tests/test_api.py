@@ -83,3 +83,35 @@ def test_re_quantize_and_lens(model_path):
     assert r["logits"].shape[0] == m_fp.cfg.num_hidden_layers + 1
     txt = format_lens(m_fp, r)
     assert "final" in txt
+
+
+def test_tool_registry_and_detection():
+    from chatllm_tpu.tools.toolcall import (ToolRegistry, detect_tool_call,
+                                            qwen_system_prompt)
+
+    reg = ToolRegistry()
+
+    @reg.register(description="Get current weather")
+    def get_weather(city: str, unit: str = "c"):
+        return {"city": city, "temp": 21}
+
+    schemas = reg.schemas()
+    assert schemas[0]["name"] == "get_weather"
+    assert "city" in schemas[0]["parameters"]["properties"]
+    assert schemas[0]["parameters"]["required"] == ["city"]
+
+    prompt = qwen_system_prompt(schemas)
+    assert "<tools>" in prompt and "get_weather" in prompt
+
+    call = detect_tool_call(
+        'blah <tool_call>\n{"name": "get_weather", "arguments": '
+        '{"city": "Paris"}}\n</tool_call>')
+    assert call == ("get_weather", {"city": "Paris"})
+    assert json.loads(reg.call(*call))["temp"] == 21
+
+    call2 = detect_tool_call('{"name": "get_weather", "parameters": {"city": "Oslo"}}')
+    assert call2 == ("get_weather", {"city": "Oslo"})
+    assert detect_tool_call("just a normal reply") is None
+
+
+import json  # noqa: E402
