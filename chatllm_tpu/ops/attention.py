@@ -52,6 +52,72 @@ def update_kv_cache(k_cache, v_cache, k, v, n_past, k_scale=None, v_scale=None):
     return k_cache, v_cache, None, None
 
 
+CHUNKED_ATTN_THRESHOLD = 4096   # use online-softmax KV chunks beyond this
+
+
+def _chunked_attention(qg, k_cache, v_cache, n_past, n_tokens, *, scale,
+                       causal, sliding_window, logit_softcap,
+                       k_scale=None, v_scale=None, chunk: int = 1024):
+    """Flash-style attention over KV chunks with a running softmax, so the
+    [T, S] score matrix never materializes (long-context prefill).  Exact
+    (not approximate); same masking semantics as the dense path."""
+    B, T, Hkv, G, D = qg.shape
+    S = k_cache.shape[1]
+    if S % chunk != 0:
+        chunk = S  # degenerate; caller gates on size anyway
+    nc = S // chunk
+    Dv = v_cache.shape[-1]
+
+    q_pos = n_past + jnp.arange(T)[:, None]                    # [T,1]
+
+    ks = jnp.moveaxis(k_cache.reshape(B, nc, chunk, Hkv, D), 1, 0)
+    vs = jnp.moveaxis(v_cache.reshape(B, nc, chunk, Hkv, Dv), 1, 0)
+    xs = [ks, vs, jnp.arange(nc)]
+    if k_scale is not None:
+        xs.append(jnp.moveaxis(k_scale.reshape(B, nc, chunk, Hkv), 1, 0))
+        xs.append(jnp.moveaxis(v_scale.reshape(B, nc, chunk, Hkv), 1, 0))
+
+    m0 = jnp.full((B, Hkv, G, T), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, G, T), jnp.float32)
+    a0 = jnp.zeros((B, Hkv, G, T, Dv), jnp.float32)
+
+    def body(carry, inp):
+        m, l, acc = carry
+        if k_scale is not None:
+            kc, vc, ci, ksc, vsc = inp
+        else:
+            kc, vc, ci = inp
+            ksc = vsc = None
+        scores = jnp.einsum("bthgd,bshd->bhgts", qg, kc.astype(jnp.float32)) * scale
+        if ksc is not None:
+            scores = scores * ksc.transpose(0, 2, 1)[:, :, None, None, :]
+        if logit_softcap > 0.0:
+            scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+        k_pos = ci * chunk + jnp.arange(chunk)[None, :]
+        valid = k_pos < (n_past + n_tokens)
+        if causal:
+            valid &= k_pos <= q_pos
+        if sliding_window > 0:
+            valid &= k_pos > (q_pos - sliding_window)
+        scores = scores + jnp.where(valid, 0.0, NEG_INF)[None, None, None]
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+        p = jnp.exp(scores - m_new[..., None])
+        if vsc is not None:
+            p_v = p * vsc.transpose(0, 2, 1)[:, :, None, None, :]
+        else:
+            p_v = p
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhgts,bshd->bhgtd", p_v, vc.astype(jnp.float32))
+        return (m_new, l, acc), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), tuple(xs))
+    out = acc / jnp.maximum(l[..., None], 1e-30)
+    # [B,Hkv,G,T,Dv] -> [B,T,Hkv,G,Dv]
+    return jnp.moveaxis(out, 3, 1)
+
+
 def attention_with_cache(
     q: jax.Array,                 # [B, T, Hq, D]
     k_cache: jax.Array,           # [B, S, Hkv, D] (already holds new keys)
@@ -77,6 +143,16 @@ def attention_with_cache(
         n_tokens = T
 
     qg = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
+
+    if (S >= CHUNKED_ATTN_THRESHOLD and sinks is None
+            and alibi_slopes is None and mask_extra is None
+            and S % 1024 == 0):
+        out = _chunked_attention(
+            qg, k_cache, v_cache, n_past, n_tokens, scale=scale,
+            causal=causal, sliding_window=sliding_window,
+            logit_softcap=logit_softcap, k_scale=k_scale, v_scale=v_scale)
+        return out.reshape(B, T, Hq, v_cache.shape[-1]).astype(q.dtype)
+
     kf = k_cache.astype(jnp.float32)
     # scores: [B, Hkv, G, T, S]
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * scale

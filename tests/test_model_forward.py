@@ -185,3 +185,43 @@ def test_quantized_kv_cache_close_to_fp(tmp_path):
     # random-weight logit gaps are tiny, so int8 cache noise may flip late
     # tokens; the leading tokens must agree
     assert out_fp[:3] == out_q8[:3]
+
+
+def test_chunked_attention_matches_dense():
+    """Long-context online-softmax path == dense attention path."""
+    import jax.numpy as jnp
+
+    from chatllm_tpu.ops import attention as A
+
+    rng = np.random.default_rng(5)
+    B, T, Hq, Hkv, D, S = 1, 8, 4, 2, 16, 4096
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32) * 0.3)
+    n_past = 3000
+
+    old = A.CHUNKED_ATTN_THRESHOLD
+    try:
+        A.CHUNKED_ATTN_THRESHOLD = 1 << 30       # force dense
+        dense = np.asarray(A.attention_with_cache(
+            q, k, v, n_past, T, scale=D ** -0.5))
+        A.CHUNKED_ATTN_THRESHOLD = 1             # force chunked
+        chunked = np.asarray(A.attention_with_cache(
+            q, k, v, n_past, T, scale=D ** -0.5))
+    finally:
+        A.CHUNKED_ATTN_THRESHOLD = old
+    np.testing.assert_allclose(chunked, dense, atol=2e-5, rtol=2e-5)
+
+    # with sliding window + softcap
+    try:
+        A.CHUNKED_ATTN_THRESHOLD = 1 << 30
+        dense = np.asarray(A.attention_with_cache(
+            q, k, v, n_past, T, scale=D ** -0.5, sliding_window=512,
+            logit_softcap=30.0))
+        A.CHUNKED_ATTN_THRESHOLD = 1
+        chunked = np.asarray(A.attention_with_cache(
+            q, k, v, n_past, T, scale=D ** -0.5, sliding_window=512,
+            logit_softcap=30.0))
+    finally:
+        A.CHUNKED_ATTN_THRESHOLD = old
+    np.testing.assert_allclose(chunked, dense, atol=2e-5, rtol=2e-5)
