@@ -146,6 +146,8 @@ class DeepSeekV2(BaseLLM):
     # v1 config + 14i (n_kv..v_head_dim) + 7f (beta_fast..routed_scaling)
     # [+ 2i q_lora_rank, topk_group for non-light]
     EXTRA_FMT = "14i7f"
+    SCORE_FUNC = "softmax"
+    HAS_GATE_BIAS = False
 
     @classmethod
     def load(cls, gf, rt: RuntimeConfig):
@@ -169,14 +171,16 @@ class DeepSeekV2(BaseLLM):
             return i >= first_k_dense and i % max(moe_freq, 1) == 0
 
         dk = qk_nope + qk_rope
-        m = yarn_get_mscale(factor, mscale) / yarn_get_mscale(factor, mscale_all)
-        mscale_ad = yarn_get_mscale(factor, mscale_all)
+        has_yarn = factor > 1.0
+        m = yarn_get_mscale(factor, mscale) / yarn_get_mscale(factor, mscale_all) if has_yarn else 1.0
+        mscale_ad = yarn_get_mscale(factor, mscale_all) if has_yarn else 1.0
         attn_scale = (mscale_ad * mscale_ad) / (dk ** 0.5)
         rope = RopeConfig(
             head_dim=qk_rope, rot_dim=qk_rope, freq_base=rope_theta,
-            freq_scale=1.0 / factor if factor > 0 else 1.0,
-            layout=ROPE_NORMAL, ext_factor=1.0, attn_factor=m,
-            beta_fast=beta_fast, beta_slow=beta_slow, orig_ctx=orig_max_pos)
+            freq_scale=1.0 / factor if has_yarn else 1.0,
+            layout=ROPE_NORMAL, ext_factor=1.0 if has_yarn else 0.0,
+            attn_factor=m, beta_fast=beta_fast, beta_slow=beta_slow,
+            orig_ctx=orig_max_pos)
 
         specs = tuple(LayerSpec(is_moe=is_moe(i)) for i in range(n_layers))
         cfg = TransformerConfig(
@@ -190,6 +194,7 @@ class DeepSeekV2(BaseLLM):
             layer_specs=specs, moe_num_experts=n_routed, moe_top_k=n_active,
             moe_norm_topk_prob=bool(norm_topk), moe_n_group=max(1, n_group),
             moe_topk_group=max(1, topk_group), moe_routed_scale=routed_scale,
+            moe_score_func=cls.SCORE_FUNC,
             mla=MLAConfig(q_lora_rank=q_lora_rank, kv_lora_rank=kv_lora_rank,
                           qk_nope_head_dim=qk_nope, qk_rope_head_dim=qk_rope,
                           v_head_dim=v_head_dim),
@@ -229,6 +234,10 @@ class DeepSeekV2(BaseLLM):
                         "down": pb.linear(f"{pfx}.mlp.shared_experts.down_proj"),
                     },
                 }
+                if cls.HAS_GATE_BIAS:
+                    # V3 e_score_correction_bias (selection-only bias)
+                    mlp["gate_bias"] = pb.array(
+                        f"{pfx}.mlp.gate.e_score_correction_bias")
             else:
                 mlp = {
                     "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
@@ -243,6 +252,14 @@ class DeepSeekV2(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.DEEPSEEK_V3, ModelType.MOONLIGHT)
+class DeepSeekV3(DeepSeekV2):
+    """DeepSeek-V3 / Moonlight: V2's MLA layout + sigmoid scoring with
+    e_score_correction_bias (noaux_tc top-k) — converter convert.py:8127."""
+    SCORE_FUNC = "sigmoid"
+    HAS_GATE_BIAS = True
 
 
 @register_model(ModelType.DEEPSEEK_CODER, ModelType.NUMINAMATH)

@@ -108,6 +108,65 @@ def load_glm2_params(pb: ParamBuilder, n_layers: int) -> dict:
     return params
 
 
+class GLM2Encoder(HistoryEncoder):
+    """ChatGLM2 template: every encode is prefixed [gMASK] sop; rounds use
+    "[Round N]\\n\\n问：.../答：..." (models/chatglm.cpp v2)."""
+
+    def _enc(self, text, ids):
+        tok = self.tokenizer
+        ids.extend([tok.gmask_token_id, tok.sop_token_id])
+        ids.extend(tok.encode(text))
+
+    def append_user(self, round_idx, user, ids):
+        self._enc(f"[Round {round_idx + 1}]\n\n问：{user}\n\n", ids)
+
+    def append_ai(self, round_idx, ai, ids):
+        self._enc(f"答：{ai}\n\n", ids)
+
+    def append_ai_opening(self, round_idx, ids):
+        self._enc("答：", ids)
+
+
+@register_model(ModelType.CHATGLM2, ModelType.CODEGEEX2, ModelType.CHATGLM3)
+class ChatGLM2(BaseLLM):
+    """ChatGLM2/3, CodeGeeX2 (GLM2 arch; models/chatglm.cpp v2/v3).
+    Config: BaseConfig + num_kv_heads (models/chatglm.h:46-49)."""
+    EXTRA_FMT = "i"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..tokenizer.processor import BPEProcessor1
+
+        base, (n_kv,) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        head_dim = base.hidden_size // base.num_attention_heads
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=base.num_hidden_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=n_kv,
+            intermediate_size=base.intermediate_size,
+            max_length=rt.max_length if rt.max_length > 0 else base.max_length,
+            norm_eps=1e-5,
+            rope=RopeConfig(head_dim=head_dim, rot_dim=head_dim // 2,
+                            freq_base=10000.0, layout=ROPE_NORMAL),
+            cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tok = ChatTokenizer(tp, GLM2Encoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        sid = tp.get_piece_size()
+        tok.mask_token_id = sid
+        tok.gmask_token_id = sid + 1
+        tok.smask_token_id = sid + 2
+        tok.sop_token_id = sid + 3
+        tok.eop_token_id = sid + 4
+        tok.is_special_id = lambda i: i >= sid
+        pb = ParamBuilder(gf, rt)
+        params = load_glm2_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
 @register_model(ModelType.GLM4_0414)
 class GLM40414(BaseLLM):
     """GLM-4-0414 generation (HF Glm4ForCausalLM): separate q/k/v, partial
