@@ -80,10 +80,85 @@ class Gemma(BaseLLM):
             head_dim=head_dim, act="gelu_tanh", norm_eps=1e-6,
             rope=RopeConfig(head_dim=head_dim, freq_base=rope_theta,
                             layout=ROPE_NORMAL),
-            tie_lm_head=True, cache_dtype=rt.cache_dtype)
+            tie_lm_head=True,
+            # the converter bakes ×sqrt(H) into the embedding (input path);
+            # the tied unembedding must not carry it
+            logit_scale=base.hidden_size ** -0.5,
+            cache_dtype=rt.cache_dtype)
         tok = make_gemma_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers, tie_lm_head=True)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.GEMMA3)
+class Gemma3(BaseLLM):
+    """Gemma3 text (models/gemma.h:255-266): qk-norm (weights 1+w folded by
+    the converter), 5:1 local/global SWA pattern with separate rope bases,
+    sandwich norms; no softcaps.  No q/k permutation → NeoX rope."""
+
+    # BaseConfig + {n_kv, head_dim, query_pre_attn_scalar, sliding_window,
+    # sliding_window_pattern} + {rope_local_base, rope_theta, rope_factor}
+    EXTRA_FMT = "5i3f"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..ops.rope import ROPE_NEOX
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, head_dim, query_pre_attn_scalar, sliding_window, swa_pattern,
+         rope_local_base, rope_theta, rope_factor) = extra
+        n_layers = base.num_hidden_layers
+        # ((layer+1) % pattern) != 0 → sliding (models/gemma.cpp:833)
+        specs = tuple(
+            LayerSpec(sliding_window=sliding_window, local_rope=True)
+            if ((i + 1) % max(swa_pattern, 1)) != 0 else LayerSpec()
+            for i in range(n_layers))
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=n_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=n_kv, intermediate_size=base.intermediate_size,
+            max_length=rt.max_length if rt.max_length > 0 else base.max_length,
+            head_dim=head_dim, act="gelu_tanh", norm_eps=1e-6,
+            rope=RopeConfig(head_dim=head_dim, freq_base=rope_theta,
+                            freq_scale=1.0 / rope_factor if rope_factor > 0 else 1.0,
+                            layout=ROPE_NEOX),
+            rope_local=RopeConfig(head_dim=head_dim, freq_base=rope_local_base,
+                                  layout=ROPE_NEOX),
+            attention_scale=float(query_pre_attn_scalar) ** -0.5,
+            qk_norm="rmsnorm", post_norms=True, layer_specs=specs,
+            tie_lm_head=True, logit_scale=base.hidden_size ** -0.5,
+            cache_dtype=rt.cache_dtype)
+        tok = make_gemma_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                    "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                    "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
+                },
+                "post_attn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "ffn_norm": pb.norm(f"{pfx}.pre_feedforward_layernorm"),
+                "post_ffn_norm": pb.norm(f"{pfx}.post_feedforward_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
@@ -114,6 +189,7 @@ class Gemma2(BaseLLM):
             attention_scale=float(query_pre_attn_scalar) ** -0.5,
             logit_softcap=attn_softcap, final_logit_softcap=final_softcap,
             post_norms=True, layer_specs=specs, tie_lm_head=True,
+            logit_scale=base.hidden_size ** -0.5,
             cache_dtype=rt.cache_dtype)
         tok = make_gemma_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)

@@ -34,6 +34,7 @@ class LayerSpec:
     no-rope layers, MoE-vs-dense — anything that changes the traced graph)."""
     sliding_window: int = 0        # 0 = full attention
     use_rope: bool = True
+    local_rope: bool = False       # use cfg.rope_local table (Gemma3 SWA layers)
     is_moe: bool = False
     cross_attn: bool = False
 
@@ -89,6 +90,7 @@ class TransformerConfig:
     moe_routed_scale: float = 1.0
     moe_score_func: str = "softmax"  # softmax | sigmoid (V3)
     mla: Optional[MLAConfig] = None
+    rope_local: Optional[RopeConfig] = None  # second rope table (Gemma3)
     cache_dtype: str = "bfloat16"
 
     def resolved_head_dim(self) -> int:
@@ -480,6 +482,9 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
         positions = n_past + jnp.arange(T)[None, :]            # [1,T]
         positions = jnp.broadcast_to(positions, (B, T))
     cos, sin = precompute_rope_cache(positions, cfg.rope)
+    cos_l = sin_l = None
+    if cfg.rope_local is not None:
+        cos_l, sin_l = precompute_rope_cache(positions, cfg.rope_local)
 
     ks, vs = list(cache.k), list(cache.v)
     quant = cache.k_scale is not None
@@ -487,8 +492,9 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
     vss = list(cache.v_scale) if quant else [None] * cfg.num_hidden_layers
     for i in range(cfg.num_hidden_layers):
         spec = cfg.layer_spec(i)
+        c, s_ = (cos_l, sin_l) if (spec.local_rope and cos_l is not None) else (cos, sin)
         x, ks[i], vs[i], kss[i], vss[i] = decoder_layer(
-            cfg, spec, params["layers"][i], x, cos, sin, ks[i], vs[i], n_past,
+            cfg, spec, params["layers"][i], x, c, s_, ks[i], vs[i], n_past,
             kss[i], vss[i])
 
     x = _norm(cfg, x, params["final_norm"])

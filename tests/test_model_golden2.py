@@ -213,3 +213,52 @@ def test_smollm3_matches_hf(tmp_path):
                 arr = _permute(arr, kv)
             w.write_tensor(n, arr, GGMLType.F32)
     _check(path, hf)
+
+
+def test_gemma3_matches_hf(tmp_path):
+    if not hasattr(transformers, "Gemma3ForCausalLM"):
+        pytest.skip("no Gemma3")
+    vocab, hidden, heads, kv, layers, inter, max_len = 256, 64, 4, 2, 6, 96, 128
+    hd = 16
+    torch.manual_seed(36)
+    hf = transformers.Gemma3ForCausalLM(transformers.Gemma3TextConfig(
+        vocab_size=vocab, hidden_size=hidden, num_attention_heads=heads,
+        num_key_value_heads=kv, num_hidden_layers=layers,
+        intermediate_size=inter, head_dim=hd,
+        max_position_embeddings=max_len, rope_theta=1000000.0,
+        rope_local_base_freq=10000.0, sliding_window=32,
+        sliding_window_pattern=3, query_pre_attn_scalar=hd,
+        rms_norm_eps=1e-6, tie_word_embeddings=True,
+        attention_bias=False, rope_scaling=None,
+        pad_token_id=0, eos_token_id=1, bos_token_id=2)).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "g3.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.GEMMA3), 1, meta={})
+        w.write_config(_base_cfg_vals(vocab, hidden, heads, layers, inter, max_len)
+                       + [kv, hd, hd, 32, 3], fmt="16i")
+        f.write(struct.pack("<3f", 10000.0, 1000000.0, 1.0))
+        w._patch_offset(12)
+        # gemma tokenizer is SP; write minimal SP vocab
+        w.write_vocab_sp([(f"w{i}".encode(), -float(i)) for i in range(vocab)])
+        names = ["model.embed_tokens.weight"]
+        for i in range(layers):
+            names += [f"model.layers.{i}.{n}" for n in [
+                "input_layernorm.weight", "mlp.down_proj.weight",
+                "mlp.gate_proj.weight", "mlp.up_proj.weight",
+                "post_attention_layernorm.weight",
+                "post_feedforward_layernorm.weight",
+                "pre_feedforward_layernorm.weight",
+                "self_attn.k_norm.weight", "self_attn.k_proj.weight",
+                "self_attn.o_proj.weight", "self_attn.q_norm.weight",
+                "self_attn.q_proj.weight", "self_attn.v_proj.weight"]]
+        names += ["model.norm.weight"]
+        for n in names:
+            arr = sd[n]
+            # converter folds (Gemma3Converter.pp): embed*sqrt(H), norms+1
+            if n == "model.embed_tokens.weight":
+                arr = arr * (hidden ** 0.5)
+            elif (n.endswith("layernorm.weight") or n.endswith("norm.weight")):
+                arr = 1 + arr
+            w.write_tensor(n, arr, GGMLType.F32)
+    _check(path, hf, atol=4e-3)
