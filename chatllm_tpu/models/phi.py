@@ -80,6 +80,69 @@ def make_phi3_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
     return tok
 
 
+@register_model(ModelType.PHI2_V2, ModelType.DOLPHINPHI2_V2)
+class Phi2(BaseLLM):
+    """Phi-2 (HF-format files, models/phi.h v2 namespace): parallel residual
+    (LMBlock2, src/layers.h:2861), LayerNorm+bias, partial NEOX rotary,
+    biased gelu MLP, biased lm_head."""
+
+    # BaseConfig + rope_dim + rope_theta (models/phi.h:85-89)
+    EXTRA_FMT = "if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..nn.transformer import TransformerConfig
+        from ..ops.rope import ROPE_NEOX, RopeConfig
+
+        base, (rope_dim, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        head_dim = base.hidden_size // base.num_attention_heads
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=base.num_hidden_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=base.num_attention_heads,
+            intermediate_size=base.intermediate_size,
+            max_length=rt.max_length if rt.max_length > 0 else base.max_length,
+            act="gelu_tanh", norm_type="layernorm", norm_eps=1e-5,
+            rope=RopeConfig(head_dim=head_dim, rot_dim=rope_dim,
+                            freq_base=rope_theta, layout=ROPE_NEOX),
+            qkv_bias=True, o_bias=True, parallel_residual=True,
+            cache_dtype=rt.cache_dtype)
+        from ..tokenizer.processor import BPEProcessor2
+
+        tp = BPEProcessor2()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        from ..runtime.chat import ChatTokenizer
+
+        tok = ChatTokenizer(tp, None, sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.final_layernorm", bias=True),
+            "lm_head": pb.linear("lm_head", bias=True),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm", bias=True),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj", bias=True),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj", bias=True),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj", bias=True),
+                    "o": pb.linear(f"{pfx}.self_attn.dense", bias=True),
+                },
+                "mlp": {
+                    "up": pb.linear(f"{pfx}.mlp.fc1", bias=True),
+                    "down": pb.linear(f"{pfx}.mlp.fc2", bias=True),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
 @register_model(ModelType.PHI3)
 class Phi3(BaseLLM):
     # BaseConfig + {n_kv, orig_max_pos, sliding_window} + rope_theta

@@ -262,3 +262,39 @@ def test_gemma3_matches_hf(tmp_path):
                 arr = 1 + arr
             w.write_tensor(n, arr, GGMLType.F32)
     _check(path, hf, atol=4e-3)
+
+
+def test_phi2_matches_hf(tmp_path):
+    vocab, hidden, heads, layers, inter, max_len = 256, 64, 4, 2, 128, 128
+    torch.manual_seed(37)
+    hf = transformers.PhiForCausalLM(transformers.PhiConfig(
+        vocab_size=vocab, hidden_size=hidden, num_attention_heads=heads,
+        num_key_value_heads=heads, num_hidden_layers=layers,
+        intermediate_size=inter, max_position_embeddings=max_len,
+        rope_theta=10000.0, partial_rotary_factor=0.5,
+        layer_norm_eps=1e-5, hidden_act="gelu_new",
+        tie_word_embeddings=False, qk_layernorm=False,
+        pad_token_id=0, eos_token_id=1, bos_token_id=None)).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    rope_dim = int(0.5 * hidden // heads)
+    path = str(tmp_path / "phi2.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.PHI2_V2), 1, meta={})
+        w.write_config(_base_cfg_vals(vocab, hidden, heads, layers, inter, max_len)
+                       + [rope_dim], fmt="12i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        w.write_vocab_bpe([(p, 1) for p in _bpe_pieces(vocab)], [])
+        names = ["model.embed_tokens.weight"]
+        for i in range(layers):
+            for n in ["input_layernorm"]:
+                names += [f"model.layers.{i}.{n}.bias", f"model.layers.{i}.{n}.weight"]
+            for n in ["self_attn.q_proj", "self_attn.k_proj",
+                      "self_attn.v_proj", "self_attn.dense",
+                      "mlp.fc1", "mlp.fc2"]:
+                names += [f"model.layers.{i}.{n}.bias", f"model.layers.{i}.{n}.weight"]
+        names += ["model.final_layernorm.bias", "model.final_layernorm.weight",
+                  "lm_head.bias", "lm_head.weight"]
+        for n in names:
+            w.write_tensor(n, sd[n], GGMLType.F32)
+    _check(path, hf)
