@@ -338,6 +338,55 @@ class CohereCommandR(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
+class MiniCPMEncoder(HistoryEncoder):
+    """<用户>...<AI>... template (models/minicpm.cpp)."""
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        if tok.bos_token_id >= 0:
+            ids.append(tok.bos_token_id)
+        if tok.sys_prompt:
+            ids.extend(tok.encode(tok.sys_prompt))
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode(f"<用户>{user}"))
+
+    def append_ai(self, round_idx, ai, ids):
+        ids.extend(self.tokenizer.encode(f"<AI>{ai}"))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode("<AI>"))
+
+
+@register_model(ModelType.MINICPM)
+class MiniCPM(BaseLLM):
+    """MiniCPM v1 (models/minicpm.cpp:11-17): llama arch + μP residual
+    scaling (converter stores scale_depth/sqrt(L), applied to both residual
+    branches; embed×scale_emb and tied-head scaling baked by the
+    converter)."""
+    EXTRA_FMT = "i3f"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, rope_scaling, rope_theta, scale_depth) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        tie = not gf.has_tensor("lm_head.weight")
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, tie_lm_head=tie,
+                                 norm_eps=1e-5, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, residual_scale=scale_depth)
+        if rope_scaling > 0 and rope_scaling != 1.0:
+            cfg = replace(cfg, rope=replace(cfg.rope, freq_scale=1.0 / rope_scaling))
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tok = ChatTokenizer(tp, MiniCPMEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers, tie_lm_head=tie)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
 @register_model(ModelType.GRANITE)
 class Granite(BaseLLM):
     """Granite 3.x dense: attention/residual/logit multipliers
