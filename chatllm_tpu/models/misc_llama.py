@@ -338,6 +338,56 @@ class CohereCommandR(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
+class ExaoneEncoder(HistoryEncoder):
+    """[|system|]/[|user|]/[|assistant|] template (models/exaone.cpp)."""
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        if tok.sys_prompt:
+            ids.extend(tok.encode(f"[|system|]{tok.sys_prompt}[|endofturn|]\n"))
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode(f"[|user|]{user}\n"))
+
+    def append_ai(self, round_idx, ai, ids):
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(self.tokenizer.encode(f"{ai}[|endofturn|]\n"))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode("[|assistant|]"))
+
+
+@register_model(ModelType.EXAONE)
+class Exaone(BaseLLM):
+    """EXAONE 3.x (models/exaone.cpp:92-102): llama arch + llama3.1-style
+    rope scaling + [|role|] template."""
+    EXTRA_FMT = "3ififff"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .llama import _llama31_factors
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, sliding_window, tie_flag, rope_theta, orig_max,
+         factor, low_f, high_f) = extra
+        tie = bool(tie_flag)
+        ff = None
+        if factor > 1.0 and orig_max > 0:
+            rot = base.hidden_size // base.num_attention_heads
+            ff = _llama31_factors(rot, rope_theta, factor, low_f, high_f, orig_max)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, freq_factors=ff,
+                                 sliding_window=max(0, sliding_window),
+                                 tie_lm_head=tie, norm_eps=1e-5,
+                                 max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        tok = _bpe2_tokenizer(
+            gf, base, ExaoneEncoder(),
+            sys_prompt="You are EXAONE model from LG AI Research, a helpful assistant.")
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers, tie_lm_head=tie)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
 class MiniCPMEncoder(HistoryEncoder):
     """<用户>...<AI>... template (models/minicpm.cpp)."""
 
