@@ -196,7 +196,7 @@ class Llama2(BaseLLM):
 
 
 @register_model(ModelType.LLAMA3, ModelType.LLAMA3_GROQ_TOOL,
-                ModelType.DEEPSEEK_R1_DISTILL_LLAMA, ModelType.ERNIE_DENSE)
+                ModelType.DEEPSEEK_R1_DISTILL_LLAMA)
 class Llama3(BaseLLM):
     EXTRA_FMT = "if"   # num_key_value_heads, rope_theta (models/llama.h:103)
 

@@ -437,6 +437,28 @@ class MiniCPM(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
+@register_model(ModelType.ERNIE_DENSE)
+class ErnieDense(BaseLLM):
+    """ERNIE 4.5 dense (models/ernie.h:10-16): llama arch, interleaved rope
+    (q/k permuted by the converter), SP llama2 tokenizer."""
+    EXTRA_FMT = "3if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .mistral import make_mistral_tokenizer
+
+        base, (n_kv, head_dim, tie_flag, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        tie = bool(tie_flag)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 head_dim=head_dim, rope_theta=rope_theta,
+                                 tie_lm_head=tie, norm_eps=1e-5,
+                                 max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        tok = make_mistral_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers, tie_lm_head=tie)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
 @register_model(ModelType.GRANITE)
 class Granite(BaseLLM):
     """Granite 3.x dense: attention/residual/logit multipliers
