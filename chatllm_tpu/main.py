@@ -47,6 +47,7 @@ class Args:
     beam_size: int = -1
     tokenize: bool = False
     format: str = "chat"
+    profile_dir: str = ""      # jax.profiler trace output dir
     additional: dict = field(default_factory=dict)
     dump_tensors: set = field(default_factory=set)
 
@@ -141,6 +142,8 @@ def parse_args(argv: list[str]) -> Args:
             a.beam_size = int(nxt())
         elif arg == "--tokenize":
             a.tokenize = True
+        elif arg == "--profile":
+            a.profile_dir = nxt()
         elif arg == "--format":
             a.format = nxt()
         elif arg == "--set":
@@ -309,7 +312,15 @@ def main(argv=None) -> int:
     else:
         print(f"You  > {a.prompt}")
         print("A.I. > ", end="", flush=True)
-        pipe.chat(a.prompt, streamer)
+        if a.profile_dir:
+            # jax profiler trace (the reference's timing/tracing analog,
+            # SURVEY.md §5.1)
+            import jax
+
+            with jax.profiler.trace(a.profile_dir):
+                pipe.chat(a.prompt, streamer)
+        else:
+            pipe.chat(a.prompt, streamer)
         print()
         print(pipe.show_statistics())
 

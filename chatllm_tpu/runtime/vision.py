@@ -82,3 +82,35 @@ def internvl_tiles(img, *, image_size: int = 448, min_num: int = 1,
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
     return (arr - mean) / std, (gw, gh)
+
+
+def extract_video_frames(path: str, max_frames: int = 8, fps: float = 1.0):
+    """Extract frames from a video via ffmpeg (reference video handling,
+    src/vision_process.h:17-160 uses the same shell-out).  Returns a list of
+    PIL images."""
+    import io
+    import shutil
+    import subprocess
+
+    from PIL import Image
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError("need ffmpeg for video input")
+    out = subprocess.run(
+        [ffmpeg, "-nostdin", "-i", path, "-vf", f"fps={fps}",
+         "-frames:v", str(max_frames), "-f", "image2pipe",
+         "-vcodec", "png", "pipe:1"],
+        check=True, capture_output=True)
+    frames = []
+    data = out.stdout
+    sig = b"\x89PNG\r\n\x1a\n"
+    starts = []
+    i = data.find(sig)
+    while i >= 0:
+        starts.append(i)
+        i = data.find(sig, i + 8)
+    for j, s in enumerate(starts):
+        e = starts[j + 1] if j + 1 < len(starts) else len(data)
+        frames.append(Image.open(io.BytesIO(data[s:e])).convert("RGB"))
+    return frames
