@@ -21,6 +21,7 @@ from . import phi        # noqa: F401
 from . import internlm   # noqa: F401
 from . import internvl   # noqa: F401
 from . import misc_llama # noqa: F401
+from . import orpheus    # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",
