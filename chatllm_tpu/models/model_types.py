@@ -234,6 +234,8 @@ class ModelType(enum.IntEnum):
     QWEN2_AUDIO = TAG_ChatAudioIn + 0x00001
 
     QWEN2_5_VL = TAG_ChatImageInVideoIn + 0x00001
+    QWEN2_VL = TAG_ChatImageInVideoIn + 0x00002
+    QWEN3_VL = TAG_ChatImageInVideoIn + 0x00003
     GLM4V = TAG_ChatImageInVideoIn + 0x00040
     KIMI_VL = TAG_ChatImageInVideoIn + 0x00100
     SMOL_VLM = TAG_ChatImageInVideoIn + 0x00200

@@ -1,0 +1,220 @@
+"""Qwen2-VL / Qwen2.5-VL vision tower.
+
+Reference: /root/reference/models/qwen.cpp namespace chatllm::qwen::vit
+(PatchEmbedding :909, TensorPosHelper window partition :1004, VisionTransformer
+:1209) and models/qwen.h (GenericViTSelfAttention2D :459, GenMultiModalProjector
+:538, LayerBlock/LayerBlockV2 :599).
+
+TPU-native design: the reference builds per-window ragged attention via a
+host-written block-diagonal mask tensor; here the window partition is a static
+numpy permutation computed per grid on the host, and window locality becomes a
+segment-id equality mask inside one dense attention — fully static shapes, one
+fused softmax on the VPU, matmuls on the MXU.
+
+  - Qwen2.5-VL: RMSNorm + SwiGLU blocks, window attention (except
+    `fullatt_block_indices`), merger with RMSNorm.
+  - Qwen2-VL ("v2"): LayerNorm + quick-GELU blocks, full attention everywhere,
+    merger with LayerNorm.  (The HF tower uses quick_gelu; HF is the numeric
+    oracle here.)
+
+Both use 2-D rope over the full head dim (half h / half w frequencies) and a
+temporal-pair patch embedding (two conv kernels summed — identical frames for
+still images).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.norm import layer_norm, rms_norm
+from ..ops.qmm import matmul
+from ..ops.rope import apply_rope, vision_rope_cos_sin
+
+
+@dataclass(frozen=True)
+class QwenViTConfig:
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    intermediate_size: int
+    patch_size: int = 14
+    spatial_merge_size: int = 2
+    temporal_patch_size: int = 2
+    window_size: int = 112                  # 0 → full attention everywhere
+    fullatt_block_indices: tuple = ()
+    is_v2: bool = False                     # Qwen2-VL (LN + quick-GELU, full attn)
+    norm_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass
+class GridLayout:
+    """Host-side static layout for one (grid_h, grid_w)."""
+    perm: np.ndarray          # [S] raster patch index for each sequence slot
+    pos_h: np.ndarray         # [S] patch row per sequence slot
+    pos_w: np.ndarray         # [S] patch col per sequence slot
+    seg_ids: np.ndarray       # [S] window id per sequence slot (all 0 if full)
+    reverse: np.ndarray       # [S/m²] output slot for each merge block (raster)
+
+
+def grid_layout(cfg: QwenViTConfig, grid_h: int, grid_w: int) -> GridLayout:
+    """Window partition + rope coordinates (TensorPosHelper::prepare,
+    models/qwen.cpp:1004).  Sequence order:
+
+      v2 / full: merge blocks in raster order, m×m raster inside each.
+      windowed:  windows in raster order, merge blocks raster inside the
+                 window, m×m raster inside each block.
+
+    `reverse[b]` maps merge block b (raster order) to its slot in the merged
+    output sequence, undoing the window shuffle after the merger.
+    """
+    m = cfg.spatial_merge_size
+    assert grid_h % m == 0 and grid_w % m == 0
+    bh, bw = grid_h // m, grid_w // m
+    if cfg.is_v2 or cfg.window_size <= 0:
+        win = max(bh, bw)  # one window == whole image
+    else:
+        win = cfg.window_size // cfg.patch_size // m
+
+    perm, pos_h, pos_w, seg, block_order = [], [], [], [], []
+    wid = 0
+    for wy in range(0, bh, win):
+        for wx in range(0, bw, win):
+            for by in range(wy, min(wy + win, bh)):
+                for bx in range(wx, min(wx + win, bw)):
+                    block_order.append(by * bw + bx)
+                    for iy in range(m):
+                        for ix in range(m):
+                            y, x = by * m + iy, bx * m + ix
+                            perm.append(y * grid_w + x)
+                            pos_h.append(y)
+                            pos_w.append(x)
+                            seg.append(wid)
+            wid += 1
+    inv = np.empty(len(block_order), np.int64)
+    inv[np.asarray(block_order, np.int64)] = np.arange(len(block_order))
+    return GridLayout(
+        perm=np.asarray(perm, np.int32), pos_h=np.asarray(pos_h, np.int32),
+        pos_w=np.asarray(pos_w, np.int32), seg_ids=np.asarray(seg, np.int32),
+        reverse=inv.astype(np.int32))
+
+
+def _vit_attention(cfg: QwenViTConfig, p, x, cos, sin, mask):
+    S = x.shape[0]
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    q = matmul(x, p["q"]).reshape(S, H, D)
+    k = matmul(x, p["k"]).reshape(S, H, D)
+    v = matmul(x, p["v"]).reshape(S, H, D)
+    q = apply_rope(q[None], cos[None], sin[None])[0]
+    k = apply_rope(k[None], cos[None], sin[None])[0]
+    scores = jnp.einsum("shd,thd->hst", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (D ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask[None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hst,thd->shd", probs.astype(v.dtype), v)
+    return matmul(out.reshape(S, H * D), p["o"])
+
+
+def _vit_mlp(cfg: QwenViTConfig, p, x):
+    if cfg.is_v2:
+        h = matmul(x, p["fc0"]).astype(jnp.float32)
+        h = h * jax.nn.sigmoid(1.702 * h)           # quick_gelu
+        return matmul(h.astype(x.dtype), p["fc1"])
+    g = matmul(x, p["gate"]).astype(jnp.float32)
+    u = matmul(x, p["up"]).astype(jnp.float32)
+    return matmul((jax.nn.silu(g) * u).astype(x.dtype), p["down"])
+
+
+def _vnorm(cfg: QwenViTConfig, x, p):
+    if cfg.is_v2:
+        return layer_norm(x, p["w"], p.get("b"), eps=cfg.norm_eps)
+    return rms_norm(x, p["w"], eps=cfg.norm_eps)
+
+
+def qwen_vit_forward(cfg: QwenViTConfig, params, frames, layout: GridLayout,
+                     grid_h: int, grid_w: int):
+    """frames: [2, grid_h*patch, grid_w*patch, 3] normalized pixels (both
+    frames identical for still images) → merged embeddings
+    [grid_h*grid_w/m², lm_hidden] in merge-block raster order."""
+    p = cfg.patch_size
+    emb = params["embed"]
+
+    def pconv(img, w):  # w: [hidden, 3, p, p] (torch layout)
+        k = jnp.transpose(jnp.asarray(w), (2, 3, 1, 0))        # HWIO
+        y = jax.lax.conv_general_dilated(
+            img[None].astype(jnp.float32), k.astype(jnp.float32),
+            window_strides=(p, p), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        return y.reshape(grid_h * grid_w, -1)
+
+    x = pconv(frames[0], emb["proj0"]) + pconv(frames[1], emb["proj1"])
+    x = x[jnp.asarray(layout.perm)]
+
+    cos, sin = vision_rope_cos_sin(jnp.asarray(layout.pos_h),
+                                   jnp.asarray(layout.pos_w), cfg.head_dim)
+    seg = jnp.asarray(layout.seg_ids)
+    window_mask = seg[:, None] == seg[None, :]
+    n_windows = int(layout.seg_ids.max()) + 1
+
+    for i, lp in enumerate(params["layers"]):
+        full = cfg.is_v2 or (i in cfg.fullatt_block_indices) or n_windows == 1
+        mask = None if full else window_mask
+        x = x + _vit_attention(cfg, lp["attn"], _vnorm(cfg, x, lp["norm1"]),
+                               cos, sin, mask)
+        x = x + _vit_mlp(cfg, lp["mlp"], _vnorm(cfg, x, lp["norm2"]))
+
+    # merger: norm per patch → concat m² patches → GELU MLP → lm hidden
+    mg = params["merger"]
+    x = _vnorm(cfg, x, mg["ln_q"])
+    m2 = cfg.spatial_merge_size ** 2
+    x = x.reshape(x.shape[0] // m2, m2 * cfg.hidden_size)
+    x = matmul(x, mg["fc0"]).astype(jnp.float32)
+    x = jax.nn.gelu(x, approximate=False)
+    x = matmul(x, mg["fc1"])
+    return x[jnp.asarray(layout.reverse)]
+
+
+def load_qwen_vit_params(pb, cfg: QwenViTConfig, prefix: str = "visual.") -> dict:
+    """Weight names per QWen2_5VLConverter / QWen2_VLConverter
+    (convert.py:5099-5131, :5019-5053)."""
+    params = {
+        "embed": {
+            "proj0": pb.raw_f32(f"{prefix}patch_embed.proj.0.weight"),
+            "proj1": pb.raw_f32(f"{prefix}patch_embed.proj.1.weight"),
+        },
+        "merger": {
+            "ln_q": pb.norm(f"{prefix}merger.ln_q"),
+            "fc0": pb.linear(f"{prefix}merger.mlp.0", bias=True),
+            "fc1": pb.linear(f"{prefix}merger.mlp.2", bias=True),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pfx = f"{prefix}blocks.{i}"
+        lp = {
+            "norm1": pb.norm(f"{pfx}.norm1"),
+            "norm2": pb.norm(f"{pfx}.norm2"),
+            "attn": {
+                "q": pb.linear(f"{pfx}.attn.q_proj", bias=True),
+                "k": pb.linear(f"{pfx}.attn.k_proj", bias=True),
+                "v": pb.linear(f"{pfx}.attn.v_proj", bias=True),
+                "o": pb.linear(f"{pfx}.attn.proj", bias=True),
+            },
+        }
+        if cfg.is_v2:
+            lp["mlp"] = {"fc0": pb.linear(f"{pfx}.mlp.fc1", bias=True),
+                         "fc1": pb.linear(f"{pfx}.mlp.fc2", bias=True)}
+        else:
+            lp["mlp"] = {"gate": pb.linear(f"{pfx}.mlp.gate_proj", bias=True),
+                         "up": pb.linear(f"{pfx}.mlp.up_proj", bias=True),
+                         "down": pb.linear(f"{pfx}.mlp.down_proj", bias=True)}
+        params["layers"].append(lp)
+    params["layers"] = tuple(params["layers"])
+    return params

@@ -481,7 +481,15 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
     if positions is None:
         positions = n_past + jnp.arange(T)[None, :]            # [1,T]
         positions = jnp.broadcast_to(positions, (B, T))
-    cos, sin = precompute_rope_cache(positions, cfg.rope)
+    if positions.ndim == 3:
+        # M-RoPE: [A, B, T] position streams (t, h, w[, e]) — Qwen2-VL
+        # family multimodal prefill (models/qwen.cpp TensorPosHelper3D)
+        from ..ops.rope import precompute_mrope_cache
+        cos, sin = precompute_mrope_cache(positions, cfg.rope)
+    else:
+        # (for an mrope model with 1-D positions all axes share the position,
+        # which reduces exactly to standard rope — no special casing)
+        cos, sin = precompute_rope_cache(positions, cfg.rope)
     cos_l = sin_l = None
     if cfg.rope_local is not None:
         cos_l, sin_l = precompute_rope_cache(positions, cfg.rope_local)

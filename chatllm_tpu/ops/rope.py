@@ -44,6 +44,11 @@ class RopeConfig:
     # LongRoPE per-dim factors (length rot_dim/2), optional:
     freq_factors: Optional[tuple] = None
     mscale_all: float = 1.0              # explicit attn-scale multiplier
+    # M-RoPE (Qwen2-VL family): per-frequency axis sections over (t, h, w[, e])
+    # in half-dim units (ggml_rope_multi GGML_ROPE_TYPE_MROPE semantics,
+    # wired in /root/reference/models/qwen.cpp:1653).  None disables.
+    mrope_sections: Optional[tuple] = None
+    mrope_interleaved: bool = False      # IMROPE (Qwen3-VL)
 
     def resolved_rot_dim(self) -> int:
         return self.head_dim if self.rot_dim <= 0 else self.rot_dim
@@ -89,6 +94,64 @@ def precompute_rope_cache(positions: jax.Array, cfg: RopeConfig):
         theta = cfg.freq_scale * theta_extrap
 
     return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
+
+
+def mrope_axis_ids(cfg: RopeConfig) -> np.ndarray:
+    """Static per-frequency axis selector [half] for M-RoPE.
+
+    Non-interleaved (MROPE): frequency j uses axis t/h/w/e by cumulative
+    section boundaries (modulo the section sum).  Interleaved (IMROPE,
+    Qwen3-VL): axis cycles j%3 with per-axis bounds 3*sections[axis].
+    Mirrors ggml's `ggml_mrope_cache_init` sector logic (behavioral spec;
+    reference wires it via models/qwen.cpp:1653,2585).
+    """
+    half = cfg.resolved_rot_dim() // 2
+    secs = list(cfg.mrope_sections) + [0] * (4 - len(cfg.mrope_sections))
+    ids = np.zeros(half, dtype=np.int64)
+    if cfg.mrope_interleaved:
+        for j in range(half):
+            a = j % 3
+            ids[j] = a if j < 3 * secs[a] else 3
+    else:
+        total = max(1, sum(secs))
+        bounds = np.cumsum(secs)
+        for j in range(half):
+            ids[j] = int(np.searchsorted(bounds, j % total, side="right"))
+    return ids
+
+
+def precompute_mrope_cache(positions: jax.Array, cfg: RopeConfig):
+    """Multi-axis rope tables.  positions: int [A, ...] — one position stream
+    per M-RoPE axis (t, h, w[, e]); returns (cos, sin) [..., half] where each
+    frequency column takes its angle from the axis `mrope_axis_ids` assigns.
+
+    When every stream is identical this reduces exactly to standard NeoX rope,
+    so text-only decode needs no special casing.
+    """
+    cos, sin = precompute_rope_cache(positions, cfg)        # [A, ..., half]
+    ids = np.minimum(mrope_axis_ids(cfg), positions.shape[0] - 1)
+    onehot = jnp.asarray(np.eye(positions.shape[0], dtype=np.float32)[ids].T)
+    sel = onehot.reshape((positions.shape[0],) + (1,) * (cos.ndim - 2) + (-1,))
+    return (cos * sel).sum(0), (sin * sel).sum(0)
+
+
+def vision_rope_cos_sin(pos_h: jax.Array, pos_w: jax.Array, head_dim: int,
+                        freq_base: float = 10000.0):
+    """2-D rope tables for the Qwen ViT towers (GGML_ROPE_TYPE_VISION with
+    sections [d/4, d/4]; reference models/qwen.h:484 apply_2d_rope).
+
+    Frequencies restart per section: column j of the [T, d/2] table uses
+    pos_h for j < d/4 and pos_w otherwise, with angle
+    pos * base^(-4*(j mod d/4)/d) — HF Qwen2-VL `VisionRotaryEmbedding`
+    semantics.  Apply with `apply_rope(..., layout=ROPE_NEOX, rot_dim=d)`.
+    """
+    quarter = head_dim // 4
+    inv_freq = jnp.power(jnp.float32(freq_base),
+                         -4.0 * jnp.arange(quarter, dtype=jnp.float32) / head_dim)
+    th = pos_h.astype(jnp.float32)[..., None] * inv_freq    # [T, d/4]
+    tw = pos_w.astype(jnp.float32)[..., None] * inv_freq
+    theta = jnp.concatenate([th, tw], axis=-1)              # [T, d/2]
+    return jnp.cos(theta), jnp.sin(theta)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,

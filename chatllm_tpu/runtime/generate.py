@@ -93,6 +93,10 @@ class InferenceEngine:
         self.params = params
         self.max_length = max_length if max_length > 0 else cfg.max_length
         self.decode_block = decode_block
+        # rope-position offset relative to cache slots (M-RoPE models: image
+        # tokens advance cache slots faster than the time axis, so text
+        # continuation positions lag n_past; qwen.cpp TensorPosHelper3D)
+        self.pos_delta = 0
         self._prefill_cache = {}
         self._decode_fns = {}
 
@@ -103,8 +107,11 @@ class InferenceEngine:
         cfg = self.cfg
 
         @partial(jax.jit, donate_argnums=(1,))
-        def prefill(params, cache, ids, n_past, n_tokens):
-            logits, cache = transformer_forward(cfg, params, ids, cache, n_past)
+        def prefill(params, cache, ids, n_past, n_tokens, pos_delta):
+            B, T = ids.shape
+            pos = jnp.broadcast_to((n_past + pos_delta) + jnp.arange(T)[None, :], (B, T))
+            logits, cache = transformer_forward(cfg, params, ids, cache, n_past,
+                                                positions=pos)
             last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
             return last[:, 0, :], cache
 
@@ -122,10 +129,13 @@ class InferenceEngine:
         cfg = self.cfg
 
         @partial(jax.jit, donate_argnums=(1,), static_argnums=())
-        def decode_block(params, cache, tok, n_past, penalty, key):
+        def decode_block(params, cache, tok, n_past, penalty, key, pos_delta):
             def body(carry, _):
                 tok, cache, n_past, penalty, key = carry
-                logits, cache = transformer_forward(cfg, params, tok, cache, n_past)
+                pos = jnp.broadcast_to((n_past + pos_delta)[None, None],
+                                       (tok.shape[0], 1))
+                logits, cache = transformer_forward(cfg, params, tok, cache, n_past,
+                                                    positions=pos)
                 lf = logits[:, -1, :]
                 key, sub = jax.random.split(key)
                 nxt, _conf = sample_token(lf[0], scfg, sub, penalty)
@@ -217,32 +227,48 @@ class InferenceEngine:
             buf[:, :n] = ids[:, done : done + n]
             fn = self._prefill_fn(tpad)
             logits, cache = fn(self.params, cache, jnp.asarray(buf),
-                               jnp.int32(n_past), jnp.int32(n))
+                               jnp.int32(n_past), jnp.int32(n),
+                               jnp.int32(self.pos_delta))
             n_past += n
             done += n
         return logits, cache, n_past
 
-    def prefill_embeds(self, embeds, cache: KVCache, n_past: int):
+    def prefill_embeds(self, embeds, cache: KVCache, n_past: int,
+                       positions=None):
         """Prefill from pre-computed input embeddings [1, T, H] (multimodal
-        prompts with spliced media embeddings)."""
+        prompts with spliced media embeddings).
+
+        `positions` (optional): explicit rope positions — [T] 1-D, or [A, T]
+        M-RoPE axis streams (t, h, w[, e]) for Qwen-VL-style models."""
         cfg = self.cfg
         T = embeds.shape[1]
         tpad = _bucket(T, hi=max(16, self.max_length))
         if tpad != T:
             embeds = jnp.pad(embeds, ((0, 0), (0, tpad - T), (0, 0)))
+        if positions is not None:
+            positions = jnp.asarray(np.atleast_2d(np.asarray(positions, np.int32)))
+            if positions.shape[-1] != tpad:
+                positions = jnp.pad(positions,
+                                    ((0, 0), (0, tpad - positions.shape[-1])))
+            positions = positions[:, None, :]          # [A, B=1, T]
+            if positions.shape[0] == 1:                # plain 1-D positions
+                positions = positions[0]               # [B=1, T]
 
-        key_s = ("embeds", tpad)
+        key_s = ("embeds", tpad, positions is not None,
+                 None if positions is None else positions.shape[0])
         if key_s not in self._prefill_cache:
             @partial(jax.jit, donate_argnums=(1,))
-            def prefill_e(params, cache, embeds, n_past, n_tokens):
+            def prefill_e(params, cache, embeds, n_past, n_tokens, pos):
                 logits, cache = transformer_forward(
-                    cfg, params, None, cache, n_past, input_embeds=embeds)
+                    cfg, params, None, cache, n_past, input_embeds=embeds,
+                    positions=pos)
                 last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
                 return last[:, 0, :], cache
 
             self._prefill_cache[key_s] = prefill_e
         fn = self._prefill_cache[key_s]
-        logits, cache = fn(self.params, cache, embeds, jnp.int32(n_past), jnp.int32(T))
+        logits, cache = fn(self.params, cache, embeds, jnp.int32(n_past),
+                           jnp.int32(T), positions)
         return logits, cache, n_past + T
 
     def generate_from_logits(self, logits, cache, n_past, gen_cfg,
@@ -271,7 +297,8 @@ class InferenceEngine:
         while not done and len(out) < max_new and n_past + 1 < max_len and not should_stop():
             steps = min(block, max_new - len(out), max_len - 1 - n_past)
             toks, tok, cache, penalty, key = decode(
-                self.params, cache, tok, jnp.int32(n_past), penalty, key)
+                self.params, cache, tok, jnp.int32(n_past), penalty, key,
+                jnp.int32(self.pos_delta))
             toks_host = np.asarray(toks)
             for j in range(steps):
                 t = int(toks_host[j])
@@ -337,7 +364,8 @@ class InferenceEngine:
         while not done and len(out) < max_new and n_past + 1 < max_len and not should_stop():
             steps = min(block, max_new - len(out), max_len - 1 - n_past)
             toks, tok, cache, penalty, key = decode(
-                self.params, cache, tok, jnp.int32(n_past), penalty, key)
+                self.params, cache, tok, jnp.int32(n_past), penalty, key,
+                jnp.int32(self.pos_delta))
             toks_host = np.asarray(toks)            # one sync per block
             for j in range(steps):
                 t = int(toks_host[j])

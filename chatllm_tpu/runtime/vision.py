@@ -84,6 +84,42 @@ def internvl_tiles(img, *, image_size: int = 448, min_num: int = 1,
     return (arr - mean) / std, (gw, gh)
 
 
+def qwen_smart_resize(height: int, width: int, factor: int = 28,
+                      min_pixels: int = 56 * 56,
+                      max_pixels: int = 14 * 14 * 4 * 1280) -> tuple[int, int]:
+    """Qwen2-VL smart_resize: round each side to a multiple of
+    `factor` (= patch*merge) keeping total pixels within [min, max]
+    (reference vision preprocessing for qwen, src/vision_process.cpp)."""
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("aspect ratio too extreme")
+    h_bar = max(factor, round(height / factor) * factor)
+    w_bar = max(factor, round(width / factor) * factor)
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+def qwen_image_frames(img, *, patch_size: int = 14, merge_size: int = 2,
+                      min_pixels: int = 56 * 56,
+                      max_pixels: int = 14 * 14 * 4 * 1280,
+                      mean=(0.48145466, 0.4578275, 0.40821073),
+                      std=(0.26862954, 0.26130258, 0.27577711)):
+    """Qwen-VL still image → ([2, H, W, 3] f32 normalized temporal frame pair
+    (duplicated for stills), grid_h, grid_w)."""
+    w, h = img.size
+    h_bar, w_bar = qwen_smart_resize(h, w, patch_size * merge_size,
+                                     min_pixels, max_pixels)
+    arr = to_array(img, (w_bar, h_bar), mean, std)
+    frames = np.stack([arr, arr])
+    return frames, h_bar // patch_size, w_bar // patch_size
+
+
 def extract_video_frames(path: str, max_frames: int = 8, fps: float = 1.0):
     """Extract frames from a video via ffmpeg (reference video handling,
     src/vision_process.h:17-160 uses the same shell-out).  Returns a list of

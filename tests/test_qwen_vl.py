@@ -1,0 +1,233 @@
+"""Qwen2.5-VL HF-golden tests: windowed ViT tower, M-RoPE LLM forward with
+spliced image embeddings, and the chat_image flow."""
+import struct
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from chatllm_tpu.ggmm.quants import GGMLType
+from chatllm_tpu.ggmm.writer import GGMMWriter
+from chatllm_tpu.models import ModelType, RuntimeConfig, load_model
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+RT32 = dict(weight_dtype="float32", compute_dtype="float32", cache_dtype="float32")
+
+VOCAB = 300
+HIDDEN, HEADS, KV, LAYERS, INTER = 64, 4, 2, 2, 96
+V_HIDDEN, V_HEADS, V_DEPTH, V_INTER, PATCH = 32, 2, 3, 48, 4
+MERGE, WINDOW = 2, 16          # window = 2x2 merge blocks
+
+
+def _pieces():
+    from chatllm_tpu.tokenizer.processor import byte_level_encode
+
+    pieces = [byte_level_encode(bytes([b])) for b in range(256)]
+    specials = [b"<|endoftext|>", b"<|im_start|>", b"<|im_end|>",
+                b"<|vision_start|>", b"<|vision_end|>", b"<|image_pad|>",
+                b"<|video_pad|>"]
+    pieces += specials
+    pieces += [f"<x{i}>".encode() for i in range(VOCAB - len(pieces))]
+    return pieces, {s.decode(): 256 + i for i, s in enumerate(specials)}
+
+
+def make_tiny_qwen25vl(path):
+    torch.manual_seed(7)
+    _, sp = _pieces()
+    cfg = transformers.Qwen2_5_VLConfig(
+        text_config=dict(
+            vocab_size=VOCAB, hidden_size=HIDDEN, num_attention_heads=HEADS,
+            num_key_value_heads=KV, num_hidden_layers=LAYERS,
+            intermediate_size=INTER, max_position_embeddings=256,
+            rope_theta=10000.0, rms_norm_eps=1e-6, tie_word_embeddings=False,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]}),
+        vision_config=dict(
+            depth=V_DEPTH, hidden_size=V_HIDDEN, intermediate_size=V_INTER,
+            num_heads=V_HEADS, patch_size=PATCH, spatial_merge_size=MERGE,
+            temporal_patch_size=2, window_size=WINDOW,
+            fullatt_block_indexes=[1], out_hidden_size=HIDDEN,
+            hidden_act="silu"),
+        image_token_id=sp["<|image_pad|>"],
+        video_token_id=sp["<|video_pad|>"],
+        vision_start_token_id=sp["<|vision_start|>"],
+        vision_end_token_id=sp["<|vision_end|>"])
+    hf = transformers.Qwen2_5_VLForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    # normalize HF prefixes: model.language_model. -> model., model.visual. -> visual.
+    sd = {k.replace("model.language_model.", "model.")
+           .replace("model.visual.", "visual."): v for k, v in sd.items()}
+
+    meta = {
+        "model_name": "tiny-qwen25vl",
+        "config.json": {
+            "model_type": "qwen2_5_vl",
+            "vision_config": {
+                "depth": V_DEPTH, "hidden_size": V_HIDDEN,
+                "intermediate_size": V_INTER, "num_heads": V_HEADS,
+                "patch_size": PATCH, "spatial_merge_size": MERGE,
+                "spatial_patch_size": PATCH, "temporal_patch_size": 2,
+                "window_size": WINDOW, "fullatt_block_indexes": [1],
+                "tokens_per_second": 2,
+            },
+        },
+        "preprocessor_config.json": {
+            "image_mean": [0.5, 0.5, 0.5], "image_std": [0.5, 0.5, 0.5],
+            "merge_size": MERGE, "min_pixels": 64, "max_pixels": 4096,
+        },
+    }
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.QWEN2_5_VL), 1, meta=meta)
+        # Qwen2 config + tie + mrope_section[4] (convert.py:5091)
+        w.write_config([int(GGMLType.F32), VOCAB, HIDDEN, HEADS, LAYERS, INTER,
+                        256, -1, 0, -1, -1, KV, 0], fmt="13i")
+        f.write(struct.pack("<f", 10000.0))
+        f.write(struct.pack("<5i", 0, 2, 3, 3, 0))
+        w._patch_offset(12)
+        pieces, _ = _pieces()
+        w.write_vocab_bpe([(p, 1) for p in pieces], [])
+
+        names = ["model.embed_tokens.weight"]
+        for i in range(LAYERS):
+            names += [f"model.layers.{i}.{n}" for n in [
+                "input_layernorm.weight",
+                "self_attn.q_proj.weight", "self_attn.q_proj.bias",
+                "self_attn.k_proj.weight", "self_attn.k_proj.bias",
+                "self_attn.v_proj.weight", "self_attn.v_proj.bias",
+                "self_attn.o_proj.weight",
+                "post_attention_layernorm.weight",
+                "mlp.gate_proj.weight", "mlp.up_proj.weight",
+                "mlp.down_proj.weight"]]
+        names += ["model.norm.weight", "lm_head.weight"]
+        for n in names:
+            w.write_tensor(n, sd[n], GGMLType.F32)
+
+        # vision tower with converter transforms (convert.py:5059-5079)
+        pe = sd["visual.patch_embed.proj.weight"]       # [h, 3, 2, p, p]
+        w.write_tensor("visual.patch_embed.proj.0.weight", pe[:, :, 0], GGMLType.F32)
+        w.write_tensor("visual.patch_embed.proj.1.weight", pe[:, :, 1], GGMLType.F32)
+        for i in range(V_DEPTH):
+            pfx = f"visual.blocks.{i}"
+            for part in ("weight", "bias"):
+                qkv = sd[f"{pfx}.attn.qkv.{part}"]
+                q, k, v = np.split(qkv, 3, axis=0)
+                w.write_tensor(f"{pfx}.attn.q_proj.{part}", q, GGMLType.F32)
+                w.write_tensor(f"{pfx}.attn.k_proj.{part}", k, GGMLType.F32)
+                w.write_tensor(f"{pfx}.attn.v_proj.{part}", v, GGMLType.F32)
+            for n in ("attn.proj.weight", "attn.proj.bias",
+                      "mlp.gate_proj.weight", "mlp.gate_proj.bias",
+                      "mlp.up_proj.weight", "mlp.up_proj.bias",
+                      "mlp.down_proj.weight", "mlp.down_proj.bias",
+                      "norm1.weight", "norm2.weight"):
+                w.write_tensor(f"{pfx}.{n}", sd[f"{pfx}.{n}"], GGMLType.F32)
+        for n in ("merger.ln_q.weight", "merger.mlp.0.weight",
+                  "merger.mlp.0.bias", "merger.mlp.2.weight",
+                  "merger.mlp.2.bias"):
+            w.write_tensor(f"visual.{n}", sd[f"visual.{n}"], GGMLType.F32)
+    return hf, sp
+
+
+def _hf_pixel_values(frames, gh, gw):
+    """frames [2, H, W, 3] -> HF flattened patches [gh*gw, 3*2*p*p]
+    (Qwen2VLImageProcessor._preprocess patch flattening)."""
+    p, m = PATCH, MERGE
+    x = frames.transpose(0, 3, 1, 2)                    # [T, C, H, W]
+    x = x.reshape(1, 2, 3, gh // m, m, p, gw // m, m, p)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return x.reshape(gh * gw, 3 * 2 * p * p)
+
+
+@pytest.fixture(scope="module")
+def vl(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("qvl") / "tiny_qwen25vl.bin")
+    hf, sp = make_tiny_qwen25vl(path)
+    model = load_model(path, RuntimeConfig(**RT32))
+    return hf, sp, model
+
+
+def test_vision_tower_golden(vl):
+    """Window partition + 2D rope + merger vs HF visual (ragged 3x2-block
+    grid so windows are uneven)."""
+    import jax.numpy as jnp
+
+    from chatllm_tpu.nn.qwen_vit import grid_layout, qwen_vit_forward
+
+    hf, sp, model = vl
+    gh, gw = 6, 4                                        # blocks 3x2, win 2x2
+    rng = np.random.default_rng(3)
+    frames = rng.standard_normal((2, gh * PATCH, gw * PATCH, 3)).astype(np.float32)
+
+    layout = grid_layout(model.vis_cfg, gh, gw)
+    mine = np.asarray(qwen_vit_forward(model.vis_cfg, model.vis_params,
+                                       jnp.asarray(frames), layout, gh, gw))
+
+    pv = torch.from_numpy(_hf_pixel_values(frames, gh, gw))
+    grid = torch.tensor([[1, gh, gw]])
+    with torch.no_grad():
+        ref = hf.model.visual(pv, grid_thw=grid).numpy()
+    assert mine.shape == ref.shape
+    err = np.linalg.norm(mine - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert err < 2e-3, err
+
+
+def test_mrope_logits_golden(vl):
+    """Full multimodal forward: spliced image embeddings + 3-D rope positions
+    vs the HF model's own get_rope_index/forward."""
+    import jax.numpy as jnp
+
+    from chatllm_tpu.models.qwen_vl import build_3d_pos
+    from chatllm_tpu.nn.transformer import embed_tokens, init_cache, \
+        transformer_forward
+
+    hf, sp, model = vl
+    gh, gw = 4, 4
+    rng = np.random.default_rng(4)
+    frames = rng.standard_normal((2, gh * PATCH, gw * PATCH, 3)).astype(np.float32)
+
+    from chatllm_tpu.nn.qwen_vit import grid_layout, qwen_vit_forward
+    layout = grid_layout(model.vis_cfg, gh, gw)
+    media = qwen_vit_forward(model.vis_cfg, model.vis_params,
+                             jnp.asarray(frames), layout, gh, gw)
+    n_img = (gh // MERGE) * (gw // MERGE)
+
+    pre = [5, 77, 101, sp["<|vision_start|>"]]
+    mid = [sp["<|vision_end|>"], 9, 42, 7]
+    ids = pre + [sp["<|image_pad|>"]] * n_img + mid
+
+    emb_pre = embed_tokens(model.cfg, model.params, jnp.asarray([pre], jnp.int32))[0]
+    emb_mid = embed_tokens(model.cfg, model.params, jnp.asarray([mid], jnp.int32))[0]
+    embeds = jnp.concatenate([emb_pre, media.astype(emb_pre.dtype), emb_mid],
+                             axis=0)[None]
+    positions, t_next = build_3d_pos(
+        [("text", len(pre)), ("image", (gh // MERGE, gw // MERGE)),
+         ("text", len(mid))])
+    assert positions.shape == (3, len(ids))
+    cache = init_cache(model.cfg, 1, 64)
+    logits, _ = transformer_forward(
+        model.cfg, model.params, None, cache, 0,
+        positions=jnp.asarray(positions)[:, None, :], input_embeds=embeds)
+
+    pv = torch.from_numpy(_hf_pixel_values(frames, gh, gw))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor([ids]), pixel_values=pv,
+                 image_grid_thw=torch.tensor([[1, gh, gw]])).logits[0].numpy()
+    mine = np.asarray(logits)[0, :len(ids)]
+    np.testing.assert_allclose(mine, ref, atol=3e-3, rtol=3e-3)
+    # text continuation resumes on the time axis, not the cache axis
+    assert t_next == len(pre) + max(gh, gw) // MERGE + len(mid)
+
+
+def test_chat_image_smoke(vl):
+    from PIL import Image
+
+    from chatllm_tpu.runtime.generate import GenerationConfig
+
+    _, _, model = vl
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((24, 32, 3)) * 255).astype(np.uint8))
+    reply = model.chat_image(img, "hi",
+                             GenerationConfig(do_sample=False, max_new_tokens=4))
+    assert isinstance(reply, str)
+    assert model.engine.pos_delta == 0
