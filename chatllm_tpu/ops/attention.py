@@ -53,6 +53,28 @@ def update_kv_cache(k_cache, v_cache, k, v, n_past, k_scale=None, v_scale=None):
 
 
 CHUNKED_ATTN_THRESHOLD = 4096   # use online-softmax KV chunks beyond this
+FLASH_MIN_Q = 128               # min query tokens for the Pallas flash path
+FLASH_MIN_KV = 1024             # min cache length for the Pallas flash path
+
+
+def _flash_enabled() -> bool:
+    """Pallas flash prefill on TPU (env CHATLLM_TPU_FLASH=0/1 overrides)."""
+    import os
+
+    env = os.environ.get("CHATLLM_TPU_FLASH", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _pick_block(dim: int, want: int, lo: int = 16) -> int:
+    b = min(want, dim)
+    while b > lo and dim % b != 0:
+        b //= 2
+    return b if dim % b == 0 else 0
 
 
 def _chunked_attention(qg, k_cache, v_cache, n_past, n_tokens, *, scale,
@@ -141,6 +163,20 @@ def attention_with_cache(
     G = Hq // Hkv
     if n_tokens is None:
         n_tokens = T
+
+    if (T >= FLASH_MIN_Q and S >= FLASH_MIN_KV and sinks is None
+            and alibi_slopes is None and mask_extra is None
+            and k_scale is None and v_cache.shape[-1] == D
+            and _flash_enabled()):
+        bq = _pick_block(T, 512)
+        bk = _pick_block(S, 512)
+        if bq >= 128 and bk >= 256:
+            from .pallas.flash import flash_attention
+
+            return flash_attention(
+                q, k_cache, v_cache, n_past, n_tokens, scale=scale,
+                causal=causal, sliding_window=sliding_window,
+                logit_softcap=logit_softcap, block_q=bq, block_k=bk)
 
     qg = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
 
