@@ -1,0 +1,375 @@
+"""Long-tail llama-like families, part 2: Baichuan (7B rope / 13B ALiBi),
+XVERSE, Orion, TeleChat2, Aquila2, Zhinao, Hunyuan-Dense.
+
+References: /root/reference/models/{baichuan,xverse,orion,telechat,aquila,
+zhinao,hunyuan}.cpp — each is a thin config + template variation over the
+shared decoder core (nn/transformer.py).
+"""
+from __future__ import annotations
+
+from dataclasses import replace as _replace
+
+from ..nn.transformer import LayerSpec
+from ..ops.rope import ROPE_NEOX, ROPE_NORMAL, RopeConfig
+from ..runtime.chat import ChatMLEncoder, ChatTokenizer, HistoryEncoder
+from ..tokenizer.processor import BPEProcessor1, BPEProcessor2
+from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
+                   load_llama_family_params, register_model)
+from .llama import build_dense_config
+from .model_types import ModelType
+from .qwen import QWEN_REGEX
+
+
+# ---------------------------------------------------------------------------
+# Baichuan (models/baichuan.cpp)
+# ---------------------------------------------------------------------------
+
+class BaichuanEncoder(HistoryEncoder):
+    """user/assistant marker tokens (baichuan.cpp _7b::ChatHistoryEncoder)."""
+
+    def __init__(self, user_id: int, assistant_id: int):
+        super().__init__()
+        self.user_id = user_id
+        self.assistant_id = assistant_id
+
+    def append_sys_prompt(self, ids):
+        sys = self.tokenizer.sys_prompt
+        if sys:
+            ids.extend(self.tokenizer.encode(sys))
+
+    def append_user(self, round_idx, user, ids):
+        ids.append(self.user_id)
+        ids.extend(self.tokenizer.encode(user))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.append(self.assistant_id)
+
+
+def _baichuan_tokenizer(gf, base, user_id, assistant_id):
+    tp = BPEProcessor1()
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tok = ChatTokenizer(tp, BaichuanEncoder(user_id, assistant_id), sys_prompt="")
+    tok.bos_token_id = base.bos_token_id
+    tok.eos_token_id = base.eos_token_id
+    tok.pad_token_id = base.pad_token_id
+    return tok
+
+
+@register_model(ModelType.BAICHUANLLAMA)
+class Baichuan7B(BaseLLM):
+    # llama config + user/assistant token ids (BaiChuanConverter.dump_config,
+    # convert.py:3459; baichuan.cpp:5-9)
+    EXTRA_FMT = "2i"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (user_id, assistant_id) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = cls.build_config(base, rt)
+        tok = _baichuan_tokenizer(gf, base, user_id, assistant_id)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+    @classmethod
+    def build_config(cls, base, rt):
+        return build_dense_config(base, max_length=rt.max_length,
+                                  cache_dtype=rt.cache_dtype)
+
+
+@register_model(ModelType.BAICHUAN)
+class Baichuan13B(Baichuan7B):
+    """13B: ALiBi position bias, no rope (BaichuanBlock = ALiBiSelfAttention,
+    src/layers.h:2903)."""
+
+    @classmethod
+    def build_config(cls, base, rt):
+        cfg = build_dense_config(base, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        specs = tuple(LayerSpec(use_rope=False)
+                      for _ in range(base.num_hidden_layers))
+        return _replace(cfg, use_alibi=True, layer_specs=specs)
+
+
+# ---------------------------------------------------------------------------
+# XVERSE (models/xverse.cpp — llama2 arch, "Human:/Assistant:" template)
+# ---------------------------------------------------------------------------
+
+class XverseEncoder(HistoryEncoder):
+    def append_sys_prompt(self, ids):
+        if self.tokenizer.sys_prompt:
+            ids.extend(self.tokenizer.encode(self.tokenizer.sys_prompt))
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode(f"Human: {user}\n\n"))
+
+    def append_ai(self, round_idx, ai, ids):
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(self.tokenizer.encode(ai))
+        ids.append(self.tokenizer.eos_token_id)
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode("Assistant: "))
+
+
+@register_model(ModelType.XVERSE)
+class Xverse(BaseLLM):
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, _ = BaseConfig.parse(gf)
+        cfg = build_dense_config(base, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tok = ChatTokenizer(tp, XverseEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Orion (models/orion.cpp — LayerNorm llama)
+# ---------------------------------------------------------------------------
+
+class OrionEncoder(HistoryEncoder):
+    def append_sys_prompt(self, ids):
+        ids.append(self.tokenizer.bos_token_id)
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode(f"Human: {user}\n\n"))
+        ids.append(self.tokenizer.eos_token_id)
+
+    def append_ai_opening(self, round_idx, ids):
+        # the reference emits "Assistant: </s>" before the reply
+        # (orion.cpp append_ai_opening with add_eos=true)
+        ids.extend(self.tokenizer.encode("Assistant: "))
+        ids.append(self.tokenizer.eos_token_id)
+
+
+@register_model(ModelType.ORION)
+class Orion(BaseLLM):
+    # config + n_kv + rope_scaling + rope_theta (OrionConverter.dump_config,
+    # convert.py:2447)
+    EXTRA_FMT = "i2f"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, _scaling, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = _replace(cfg, norm_type="layernorm")
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tok = ChatTokenizer(tp, OrionEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# TeleChat2 (models/telechat.cpp — marker-token template, o/down biases)
+# ---------------------------------------------------------------------------
+
+class TeleChatEncoder(HistoryEncoder):
+    def __init__(self, user_id, bot_id, system_id):
+        super().__init__()
+        self.user_id, self.bot_id, self.system_id = user_id, bot_id, system_id
+
+    def append_sys_prompt(self, ids):
+        if self.tokenizer.sys_prompt:
+            ids.append(self.system_id)
+            ids.extend(self.tokenizer.encode(self.tokenizer.sys_prompt))
+
+    def append_user(self, round_idx, user, ids):
+        ids.append(self.user_id)
+        ids.extend(self.tokenizer.encode(user))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.append(self.bot_id)
+
+
+TELECHAT_SYS = ("你是中国电信星辰语义大模型，英文名是TeleChat，你是由中电信人工智能"
+                "科技有限公司和中国电信人工智能研究院（TeleAI）研发的人工智能助手。")
+
+
+@register_model(ModelType.TELECHAT2)
+class TeleChat2(BaseLLM):
+    # config + n_kv + base_seqlen (TeleChat2Converter.dump_config,
+    # convert.py:2148)
+    EXTRA_FMT = "2i"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, _base_seqlen) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        pad = base.pad_token_id
+        tok = ChatTokenizer(tp, TeleChatEncoder(pad + 1, pad + 2, pad + 3),
+                            sys_prompt=TELECHAT_SYS)
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        tok.pad_token_id = pad
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Aquila2 (models/aquila.cpp — llama arch + linear rope scaling)
+# ---------------------------------------------------------------------------
+
+class AquilaEncoder(HistoryEncoder):
+    """'aquila-chat' style: ###Human: ...###Assistant: (aquila.cpp setup)."""
+
+    def append_sys_prompt(self, ids):
+        if self.tokenizer.sys_prompt:
+            ids.extend(self.tokenizer.encode(self.tokenizer.sys_prompt))
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode(f"###Human: {user}"))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode("###Assistant:"))
+
+
+AQUILA_SYS = ("A chat between a curious human and an artificial intelligence "
+              "assistant. The assistant gives helpful, detailed, and polite "
+              "answers to the human's questions.")
+
+
+@register_model(ModelType.AQUILA2)
+class Aquila2(BaseLLM):
+    # config + n_kv + rope_theta + rope_scaling_factor (convert.py:8808)
+    EXTRA_FMT = "iff"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, rope_theta, factor) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        if factor > 0:
+            cfg = _replace(cfg, rope=_replace(cfg.rope, freq_scale=1.0 / factor))
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tok = ChatTokenizer(tp, AquilaEncoder(), sys_prompt=AQUILA_SYS)
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Zhinao (models/zhinao.cpp — qwen2 arch, tiktoken BPE + appended specials)
+# ---------------------------------------------------------------------------
+
+@register_model(ModelType.ZHINAO)
+class Zhinao(BaseLLM):
+    EXTRA_FMT = "if"   # n_kv, rope_theta (zhinao.cpp:6-11)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, rope_layout=ROPE_NEOX,
+                                 qkv_bias=True, norm_eps=1e-6,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor2(QWEN_REGEX)
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        tok = ChatTokenizer(tp, ChatMLEncoder(), sys_prompt="You are a helpful assistant.")
+        n = tp.get_piece_size()
+        # appended specials (zhinao.cpp Tokenizer::load): pad, unk, mask, eod,
+        # eop, 4 space runs, im_start, im_end
+        tok.pad_token_id = n
+        tok.im_start_token_id = n + 9
+        tok.im_end_token_id = n + 10
+        tok.eos_token_id = tok.im_end_token_id
+        tok.nl_token_id = tp.encode("\n")[0]
+        tok.terminate_ids.add(tok.im_end_token_id)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Hunyuan dense (models/hunyuan.cpp — post-rope per-head qk-norm, tied head)
+# ---------------------------------------------------------------------------
+
+class HunyuanEncoder(HistoryEncoder):
+    """<sot>sys<extra4> / <sot>user<extra0> ... <eot> (hunyuan.cpp
+    dense::ChatHistoryEncoder)."""
+
+    def __init__(self, sot, eot, extra0, extra4):
+        super().__init__()
+        self.sot, self.eot, self.extra0, self.extra4 = sot, eot, extra0, extra4
+
+    def append_sys_prompt(self, ids):
+        if self.tokenizer.sys_prompt:
+            ids.append(self.sot)
+            ids.extend(self.tokenizer.encode(self.tokenizer.sys_prompt))
+            ids.append(self.extra4)
+
+    def append_user(self, round_idx, user, ids):
+        if round_idx > 0 or not self.tokenizer.sys_prompt:
+            ids.append(self.sot)
+        ids.extend(self.tokenizer.encode(user))
+        ids.append(self.extra0)
+
+    def append_ai(self, round_idx, ai, ids):
+        ids.extend(self.tokenizer.encode(ai))
+        ids.append(self.eot)
+
+
+HUNYUAN_REGEX = [
+    r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+
+
+@register_model(ModelType.HUNYUAN_DENSE)
+class HunyuanDense(BaseLLM):
+    EXTRA_FMT = "if"   # n_kv, rope_theta (pre-folded dynamic-NTK alpha,
+    #                    HunYuanDenseConverter.dump_config convert.py:8509)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        # HF applies rope (NeoX rotate_half) then per-head qk RMSNorm
+        # (HunYuanDenseV1Attention.forward); converter does not permute q/k
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta,
+                                 rope_layout=ROPE_NEOX,
+                                 tie_lm_head=True, qk_norm="rmsnorm_post",
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor2(HUNYUAN_REGEX)
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        n = tp.get_piece_size()
+        sot, eot = n + 1, n          # start_of_text, end_of_text
+        extra0, extra4 = n + 5, n + 9
+        tok = ChatTokenizer(tp, HunyuanEncoder(sot, eot, extra0, extra4),
+                            sys_prompt="")
+        tok.bos_token_id = n + 2
+        tok.eos_token_id = n + 3
+        tok.pad_token_id = n + 4
+        tok.terminate_ids.add(eot)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers,
+                                          tie_lm_head=True)
+        for i, layer in enumerate(params["layers"]):
+            pfx = f"model.layers.{i}.self_attn"
+            layer["attn"]["q_norm"] = pb.norm(f"{pfx}.query_layernorm")
+            layer["attn"]["k_norm"] = pb.norm(f"{pfx}.key_layernorm")
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.attention import attention_with_cache, update_kv_cache
+from ..ops.attention import (alibi_slopes_for, attention_with_cache,
+                             update_kv_cache)
 from ..ops.norm import layer_norm, rms_norm
 from ..ops.qmm import matmul
 from ..ops.qtensor import DenseLinear, QuantLinear
@@ -69,7 +70,8 @@ class TransformerConfig:
     o_bias: bool = False
     mlp_bias: bool = False
     tie_lm_head: bool = False
-    qk_norm: str = "none"                   # none | rmsnorm | rmsnorm_per_head
+    qk_norm: str = "none"                   # none | rmsnorm | rmsnorm_full | rmsnorm_post
+    use_alibi: bool = False                 # ALiBi position bias (no rope)
     logit_softcap: float = 0.0              # attention score softcap (Gemma2)
     final_logit_softcap: float = 0.0
     embedding_scale: float = 1.0            # sqrt(hidden) for Gemma
@@ -283,7 +285,7 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
                      eps=cfg.norm_eps).reshape(B, T, hq, d)
         k = rms_norm(k.reshape(B, T, hkv * d), p["k_norm"]["w"],
                      eps=cfg.norm_eps).reshape(B, T, hkv, d)
-    elif cfg.qk_norm != "none":
+    elif cfg.qk_norm not in ("none", "rmsnorm_post"):
         # per-head RMS norm over head_dim (reference QKNormedAttention
         # src/layers.h:3073)
         q = rms_norm(q, p["q_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
@@ -292,6 +294,12 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
     if spec.use_rope:
         q = apply_rope(q, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
         k = apply_rope(k, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
+
+    if cfg.qk_norm == "rmsnorm_post":
+        # per-head norm AFTER rope (QKNormedAttention post_norm,
+        # src/layers.h:3125; Hunyuan)
+        q = rms_norm(q, p["q_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
+        k = rms_norm(k, p["k_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
 
     if spec.sliding_window > 0 and k_cache.shape[1] < cfg.max_length:
         # ring cache write (partial cache, reference src/layers.h:1973)
@@ -321,6 +329,7 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
             logit_softcap=cfg.logit_softcap,
             sliding_window=spec.sliding_window,
             sinks=p.get("sinks"),
+            alibi_slopes=(alibi_slopes_for(hq) if cfg.use_alibi else None),
             k_scale=k_scale, v_scale=v_scale,
         )
     out = out.reshape(B, T, hq * d)
