@@ -46,10 +46,15 @@ def _conv1d(x, w, b, stride: int, padding: int):
     return y + b
 
 
-def audio_encoder_forward(cfg: AudioEncoderConfig, params, mel):
-    """mel: [B, n_mels, frames] → hidden [B, frames//2, hidden]
+def audio_encoder_forward(cfg: AudioEncoderConfig, params, mel,
+                          pool_stride: int = 0):
+    """mel: [B, n_mels, frames] → hidden [B, frames//2(//pool), hidden]
     (whisper encoder: conv1(k3,s1) gelu → conv2(k3,s2) gelu → +pos → layers
-    → final LN)."""
+    → [avg-pool] → final LN).
+
+    `pool_stride=2` is the Qwen2-Audio variant: average-pool the sequence
+    before the final norm (qwen.cpp AudioTransformer::forward:507 applies
+    avg_pool_1d between the layers and layer_norm)."""
     x = jnp.transpose(mel, (0, 2, 1))                     # [B, T, n_mels]
     x = jax.nn.gelu(_conv1d(x, params["conv1_w"], params["conv1_b"], 1, 1),
                     approximate=False)
@@ -66,8 +71,46 @@ def audio_encoder_forward(cfg: AudioEncoderConfig, params, mel):
         h = jax.nn.gelu(matmul(h, p["mlp"]["fc0"]).astype(jnp.float32),
                         approximate=False).astype(x.dtype)
         x = x + matmul(h, p["mlp"]["fc1"]).astype(x.dtype)
+    if pool_stride > 1:
+        Tp = (x.shape[1] // pool_stride) * pool_stride
+        x = x[:, :Tp].reshape(x.shape[0], Tp // pool_stride, pool_stride,
+                              x.shape[-1]).mean(axis=2)
     return layer_norm(x, params["post_norm"]["w"], params["post_norm"]["b"],
                       eps=cfg.norm_eps)
+
+
+def load_audio_tower_params(pb, cfg: AudioEncoderConfig,
+                            prefix: str = "audio.") -> dict:
+    """Converter weight names (QWen2AudioConverter.get_weight_names,
+    convert.py:4903-4936; k_proj has no bias)."""
+    params = {
+        "conv1_w": jnp.asarray(np.transpose(
+            pb.raw_f32(f"{prefix}conv1.weight"), (2, 1, 0))),
+        "conv1_b": pb.array(f"{prefix}conv1.bias"),
+        "conv2_w": jnp.asarray(np.transpose(
+            pb.raw_f32(f"{prefix}conv2.weight"), (2, 1, 0))),
+        "conv2_b": pb.array(f"{prefix}conv2.bias"),
+        "pos": pb.array(f"{prefix}embed_positions.weight"),
+        "post_norm": {"w": pb.array(f"{prefix}layer_norm.weight"),
+                      "b": pb.array(f"{prefix}layer_norm.bias")},
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pfx = f"{prefix}layers.{i}"
+        params["layers"].append({
+            "norm1": pb.norm(f"{pfx}.input_layernorm", bias=True),
+            "norm2": pb.norm(f"{pfx}.post_attention_layernorm", bias=True),
+            "attn": {
+                "q": pb.linear(f"{pfx}.self_attn.q_proj", bias=True),
+                "k": pb.linear(f"{pfx}.self_attn.k_proj", bias=False),
+                "v": pb.linear(f"{pfx}.self_attn.v_proj", bias=True),
+                "o": pb.linear(f"{pfx}.self_attn.o_proj", bias=True),
+            },
+            "mlp": {"fc0": pb.linear(f"{pfx}.mlp.fc1", bias=True),
+                    "fc1": pb.linear(f"{pfx}.mlp.fc2", bias=True)},
+        })
+    params["layers"] = tuple(params["layers"])
+    return params
 
 
 def _audio_attention(cfg, p, x):
