@@ -207,7 +207,13 @@ You are served by chatllm_tpu (TPU-native)   /_/
 
 
 def main(argv=None) -> int:
-    a = parse_args(argv if argv is not None else sys.argv[1:])
+    argv = list(argv if argv is not None else sys.argv[1:])
+    if any(x.startswith(":") for x in argv):
+        # `:model_id` → download + resolve (reference scripts/model_downloader.py)
+        from .tools.model_downloader import preprocess_args
+
+        argv = preprocess_args(argv)
+    a = parse_args(argv)
 
     if a.show_devices:
         from .parallel.mesh import describe_devices

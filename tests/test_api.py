@@ -115,3 +115,36 @@ def test_tool_registry_and_detection():
 
 
 import json  # noqa: E402
+
+
+def test_model_downloader_resolution(tmp_path, monkeypatch):
+    """`:id:variant:quant` parsing + arg rewriting (no network: pre-place the
+    file at the expected size)."""
+    from chatllm_tpu.tools import model_downloader as md
+
+    catalog = {
+        "tiny": {
+            "brief": "t", "license": "l", "default": "1b",
+            "variants": {
+                "1b": {"default": "q4", "quantized": {
+                    "q4": {"size": 4, "url": "proj/tiny-1b.bin"}}},
+            },
+        },
+    }
+    info = md.parse_model_id("tiny", catalog)
+    assert info["fn"] == "tiny-1b.bin" and "modelscope" in info["url"]
+    info = md.parse_model_id("tiny:1b:q4", catalog)
+    assert info["size"] == 4
+
+    with pytest.raises(ValueError, match="Did you mean `tiny`"):
+        md.parse_model_id("tinyy", catalog)
+
+    # cached file of the right size short-circuits the download
+    (tmp_path / "tiny-1b.bin").write_bytes(b"abcd")
+    fn = md.get_model("tiny", str(tmp_path), catalog)
+    assert fn.endswith("tiny-1b.bin")
+
+    monkeypatch.setenv("CHATLLM_TPU_MODELS_JSON", "")
+    monkeypatch.setattr(md, "load_catalog", lambda: catalog)
+    out = md.preprocess_args(["-m", ":tiny", "-i"], str(tmp_path))
+    assert out[1].endswith("tiny-1b.bin")
