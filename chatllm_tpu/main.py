@@ -23,6 +23,7 @@ class Args:
     save_session: str = ""
     cache_dtype: str = "bfloat16"
     re_quantize: str = ""
+    mla_cache: str = "speed"
     max_length: int = -1
     max_context_length: int = 512
     interactive: bool = False
@@ -124,6 +125,8 @@ def parse_args(argv: list[str]) -> Args:
                              "f32": "float32", "q8_0": "int8"}.get(v, v)
         elif arg == "--re_quantize":
             a.re_quantize = nxt()
+        elif arg == "--mla_cache":
+            a.mla_cache = nxt()    # speed | memory (latent MLA cache)
         elif arg == "--batch_size":
             a.batch_size = int(nxt())
         elif arg == "--max_new_tokens":
@@ -246,7 +249,7 @@ def main(argv=None) -> int:
     from .runtime.streamer import TextStreamer, ThoughtChunkInterceptor
 
     rt = RuntimeConfig(cache_dtype=a.cache_dtype, max_length=a.max_length,
-                       re_quantize=a.re_quantize)
+                       re_quantize=a.re_quantize, mla_cache=a.mla_cache)
     model = load_model(a.model_path, rt)
     pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
     pipe.gen_config = build_gen_config(a)

@@ -52,6 +52,9 @@ class RuntimeConfig:
     re_quantize: str = ""           # on-the-fly requantization target, e.g.
                                     # "q4_0"/"q4_k"/"q8_0" (reference
                                     # --re_quantize, src/chat.h:710)
+    mla_cache: str = "speed"        # MLA cache mode: "speed" (expanded per-
+                                    # head K/V) | "memory" (latent cache,
+                                    # reference forward_memory deepseek.cpp:406)
     additional: dict = field(default_factory=dict)  # --set k v
 
 

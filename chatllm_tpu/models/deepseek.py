@@ -198,6 +198,7 @@ class DeepSeekV2(BaseLLM):
             mla=MLAConfig(q_lora_rank=q_lora_rank, kv_lora_rank=kv_lora_rank,
                           qk_nope_head_dim=qk_nope, qk_rope_head_dim=qk_rope,
                           v_head_dim=v_head_dim),
+            mla_compressed=(rt.mla_cache == "memory"),
             cache_dtype=rt.cache_dtype)
 
         tok = make_deepseek_v1_tokenizer(gf, base)
@@ -218,6 +219,19 @@ class DeepSeekV2(BaseLLM):
                 "u_v": pb.linear(f"{pfx}.self_attn.u_v_proj"),
                 "o": pb.linear(f"{pfx}.self_attn.o_proj"),
             }
+            if cfg.mla_compressed:
+                # absorb the up-projections for latent-space attention
+                # (_mla_compressed_block): [rank, h, dn] / [rank, h, dv]
+                import jax.numpy as jnp
+
+                from ..ops.qmm import dense_weight
+
+                h_ = base.num_attention_heads
+                adt = jnp.dtype(rt.compute_dtype)
+                attn["wk_abs"] = dense_weight(attn["u_k_nope"]).reshape(
+                    kv_lora_rank, h_, qk_nope).astype(adt)
+                attn["wv_abs"] = dense_weight(attn["u_v"]).reshape(
+                    kv_lora_rank, h_, v_head_dim).astype(adt)
             if q_lora_rank > 0:
                 attn["d_q"] = pb.linear(f"{pfx}.self_attn.d_q_proj")
                 attn["q_norm"] = pb.norm(f"{pfx}.self_attn.q_norm")

@@ -92,6 +92,9 @@ class TransformerConfig:
     moe_routed_scale: float = 1.0
     moe_score_func: str = "softmax"  # softmax | sigmoid (V3)
     mla: Optional[MLAConfig] = None
+    mla_compressed: bool = False    # latent ("memory") MLA cache: cache only
+    #   [c_kv | k_pe] per token (reference forward_memory, deepseek.cpp:406)
+    #   with the up-projections absorbed into q / output — MQA-shaped attention
     rope_local: Optional[RopeConfig] = None  # second rope table (Gemma3)
     cache_dtype: str = "bfloat16"
 
@@ -130,7 +133,13 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
     max_len = max_len or cfg.max_length
     quantized = cfg.cache_dtype in ("int8", "q8_0", "q8")
     dtype = dtype or (jnp.int8 if quantized else jnp.dtype(cfg.cache_dtype))
-    if cfg.mla is not None:
+    if cfg.mla is not None and cfg.mla_compressed:
+        # latent cache: one shared "head" holding [c_kv | rotated k_pe];
+        # v cache is a 1-wide dummy to keep the pytree uniform
+        dk = cfg.mla.kv_lora_rank + cfg.mla.qk_rope_head_dim
+        dv = 1
+        n_kv = 1
+    elif cfg.mla is not None:
         dk = cfg.mla.qk_nope_head_dim + cfg.mla.qk_rope_head_dim
         dv = cfg.mla.v_head_dim
         n_kv = cfg.num_attention_heads
@@ -380,6 +389,9 @@ def mla_attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
     TAIL qk_rope dims; the converter's permute_pair re-lays the native
     interleaved pairs into half-split order, and the reference runs
     RoPEMode::Original (models/deepseek.h:421) — i.e. NEOX lanes here."""
+    if cfg.mla_compressed:
+        return _mla_compressed_block(cfg, spec, p, x, cos, sin, k_cache,
+                                     v_cache, n_past, k_scale, v_scale)
     B, T, H = x.shape
     m = cfg.mla
     h = cfg.num_attention_heads
@@ -414,6 +426,66 @@ def mla_attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
                                k_scale=k_scale, v_scale=v_scale)
     out = out.reshape(B, T, h * dv)
     return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache, k_scale, v_scale
+
+
+def _mla_compressed_block(cfg, spec, p, x, cos, sin, k_cache, v_cache,
+                          n_past, k_scale, v_scale):
+    """Latent-cache MLA (reference "memory" mode, BaseMLAttention::
+    forward_memory, models/deepseek.cpp:406) with the TPU-native absorption
+    trick: instead of re-expanding K/V from the latent every step, the
+    u_k_nope / u_v up-projections are folded into the query and the output
+    (p["wk_abs"]/p["wv_abs"], prepared at load).  Attention then runs in the
+    latent space as MQA with head_dim = kv_rank + rope_dim:
+
+        q_lat  = q_nope · Wk            [B,T,h,rank]
+        scores = [q_lat | q_pe] · cache  (cache row = [c | k_pe])
+        ctx    = probs · c              [B,T,h,rank]
+        out    = ctx · Wv               [B,T,h,dv]
+
+    Cache memory drops h× vs the expanded mode (e.g. 16× for V2-Lite).
+    Quantized-cache mode is not supported here (use expanded)."""
+    assert k_scale is None, "compressed MLA cache incompatible with q8 cache"
+    B, T, H = x.shape
+    m = cfg.mla
+    h = cfg.num_attention_heads
+    dn, dr = m.qk_nope_head_dim, m.qk_rope_head_dim
+    rank = m.kv_lora_rank
+
+    if m.q_lora_rank > 0:
+        cq = matmul(x, p["d_q"])
+        cq = rms_norm(cq, p["q_norm"]["w"], eps=cfg.norm_eps)
+        q = matmul(cq, p["u_q"]).reshape(B, T, h, dn + dr)
+    else:
+        q = matmul(x, p["q"]).reshape(B, T, h, dn + dr)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+    q_pe = apply_rope(q_pe, cos, sin, layout=cfg.rope.layout)
+
+    kv_lora = matmul(x, p["d_kv"])
+    c = rms_norm(kv_lora, p["kv_norm"]["w"], eps=cfg.norm_eps)
+    k_pe = matmul(x, p["k_pe"]).reshape(B, T, 1, dr)
+    k_pe = apply_rope(k_pe, cos, sin, layout=cfg.rope.layout)
+
+    row = jnp.concatenate([c[:, :, None, :], k_pe], axis=-1)   # [B,T,1,rank+dr]
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, row.astype(k_cache.dtype), (0, n_past, 0, 0))
+
+    q_lat = jnp.einsum("bthd,rhd->bthr", q_nope.astype(jnp.float32),
+                       p["wk_abs"].astype(jnp.float32))
+    q_full = jnp.concatenate([q_lat, q_pe.astype(jnp.float32)], axis=-1)
+
+    S = k_cache.shape[1]
+    cache = k_cache[:, :, 0, :].astype(jnp.float32)            # [B,S,rank+dr]
+    scale = cfg.attention_scale if cfg.attention_scale > 0 else (dn + dr) ** -0.5
+    scores = jnp.einsum("bthr,bsr->bhts", q_full, cache) * scale
+    q_pos = n_past + jnp.arange(T)[:, None]
+    k_pos = jnp.arange(S)[None, :]
+    valid = (k_pos < n_past + T) & (k_pos <= q_pos)
+    scores = scores + jnp.where(valid, 0.0, -1e30)[None, None]
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhts,bsr->bthr", probs, cache[..., :rank])
+    out = jnp.einsum("bthr,rhd->bthd", ctx, p["wv_abs"].astype(jnp.float32))
+    out = out.reshape(B, T, h * m.v_head_dim).astype(x.dtype)
+    return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache, None, None
 
 
 def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,

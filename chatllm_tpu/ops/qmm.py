@@ -57,6 +57,13 @@ def use_pallas_qmm() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def dense_weight(lin, dtype=jnp.float32) -> jax.Array:
+    """Materialize a linear's weight matrix [in, out] (dense or dequantized)."""
+    if isinstance(lin, DenseLinear):
+        return lin.w.astype(dtype)
+    return dequant_weight(lin, dtype)
+
+
 def matmul(x: jax.Array, lin, *, compute_dtype=jnp.bfloat16) -> jax.Array:
     """y = x @ W (+ bias).  x: [..., in] -> [..., out]."""
     if isinstance(lin, DenseLinear):

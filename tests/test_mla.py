@@ -118,3 +118,38 @@ def test_deepseek_v2_logits_match_hf(tmp_path):
     with torch.no_grad():
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
+
+
+def test_mla_compressed_cache_matches_expanded(tmp_path):
+    """Latent ("memory") MLA cache with absorbed projections must reproduce
+    the expanded ("speed") mode logits exactly (reference forward_memory vs
+    forward_speed, deepseek.cpp:406/328)."""
+    path = str(tmp_path / "dsv2c.bin")
+    make_tiny_dsv2(path)
+    rt = dict(weight_dtype="float32", compute_dtype="float32",
+              cache_dtype="float32")
+    m_speed = load_model(path, RuntimeConfig(**rt))
+    m_mem = load_model(path, RuntimeConfig(**rt, mla_cache="memory"))
+    assert m_mem.cfg.mla_compressed
+    # latent cache is h× smaller
+    from chatllm_tpu.nn.transformer import init_cache
+
+    ck = init_cache(m_mem.cfg, 1, 32).k[0]
+    ek = init_cache(m_speed.cfg, 1, 32).k[0]
+    assert ck.shape[2] == 1 and ck.shape[3] == (
+        m_mem.cfg.mla.kv_lora_rank + m_mem.cfg.mla.qk_rope_head_dim)
+    assert ek.shape[2] == m_speed.cfg.num_attention_heads
+
+    ids = np.array([[3, 14, 15, 92, 6, 53]], dtype=np.int32)
+    ls, _ = m_speed.forward_logits(ids)
+    lm, _ = m_mem.forward_logits(ids)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(ls),
+                               atol=2e-4, rtol=2e-4)
+
+    # incremental decode parity (cache correctness across steps)
+    eng = m_mem.engine
+    cache = eng.new_cache(1, 32)
+    l1, cache, n_past = eng.prefill(ids[:, :4], cache, 0)
+    l2, cache, n_past = eng.prefill(ids[:, 4:], cache, n_past)
+    np.testing.assert_allclose(np.asarray(l2)[0], np.asarray(lm)[0, -1],
+                               atol=2e-4, rtol=2e-4)
