@@ -25,7 +25,16 @@ class GGMMWriter:
         meta_bytes += b"\x00" * (-len(meta_bytes) % 4)
         f.write(meta_bytes)
         self._patch_offset(8)
+        self._type_pos = f.tell()
         f.write(struct.pack("<ii", model_type, file_version))
+
+    def patch_model_type(self, model_type: int):
+        """Rewrite the model-type id (converters decide it after inspecting
+        the config)."""
+        end = self.f.tell()
+        self.f.seek(self._type_pos)
+        self.f.write(struct.pack("<i", int(model_type)))
+        self.f.seek(end)
 
     def _patch_offset(self, pos: int):
         size = self.f.tell()

@@ -1,0 +1,321 @@
+"""HF checkpoint → GGMM converter.
+
+Counterpart of the reference's convert.py (11k LoC, 133 converters): reads a
+HuggingFace model directory (config.json + *.safetensors + tokenizer files),
+applies the same per-arch weight transforms (q/k rope permutation for the
+llama family, convert.py:1360 `permute`), exports the vocab in the reference's
+on-disk formats (SentencePiece pairs / BPE pieces+merges, convert.py:894-1121)
+and writes a GGMM file loadable by chatllm_tpu (and by the reference).
+
+Supported architectures (grow as needed): Llama-2/3 family, Qwen2/2.5, Qwen3,
+Mistral, Hunyuan-Dense.  Quantization: f32/f16/bf16/q8_0/q4_0/q4_1/q4_k
+(same codecs as the reference, ggmm/quants.py is bit-exact vs ggml).
+
+Usage:  python -m chatllm_tpu.tools.convert -i <hf_dir> -o out.bin -t q4_k
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import struct
+
+import numpy as np
+
+from ..ggmm.quants import GGMLType
+from ..ggmm.writer import GGMMWriter
+from ..models.model_types import ModelType
+
+QUANT_MAP = {
+    "f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16,
+    "q8_0": GGMLType.Q8_0, "q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1,
+    "q4_k": GGMLType.Q4_K,
+}
+
+
+# ---------------------------------------------------------------------------
+# tensor loading
+# ---------------------------------------------------------------------------
+
+def load_state_dict(model_dir: str) -> dict:
+    """All tensors from *.safetensors (or pytorch_model.bin) as numpy f32."""
+    sd = {}
+    st_files = sorted(f for f in os.listdir(model_dir)
+                      if f.endswith(".safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for fn in st_files:
+            with safe_open(os.path.join(model_dir, fn), framework="np") as f:
+                for k in f.keys():
+                    t = f.get_tensor(k)
+                    if t.dtype not in (np.float32, np.float16):
+                        t = t.astype(np.float32)
+                    sd[k] = np.asarray(t, dtype=np.float32)
+        return sd
+    bins = sorted(f for f in os.listdir(model_dir)
+                  if f.startswith("pytorch_model") and f.endswith(".bin"))
+    if bins:
+        import torch
+
+        for fn in bins:
+            for k, v in torch.load(os.path.join(model_dir, fn),
+                                   map_location="cpu",
+                                   weights_only=True).items():
+                sd[k] = v.float().numpy()
+        return sd
+    raise FileNotFoundError(f"no weights found in {model_dir}")
+
+
+def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF half-split → interleaved rope lanes (reference convert.py:1360)."""
+    out, cin = w.shape
+    return (w.reshape(n_head, 2, out // n_head // 2, cin)
+             .swapaxes(1, 2).reshape(out, cin))
+
+
+# ---------------------------------------------------------------------------
+# vocab export
+# ---------------------------------------------------------------------------
+
+def export_vocab(w: GGMMWriter, model_dir: str):
+    """Dispatch on available tokenizer files (reference vocab classes,
+    convert.py:894-1311).  Returns the tokenizer kind written."""
+    tok_json = os.path.join(model_dir, "tokenizer.json")
+    sp_model = os.path.join(model_dir, "tokenizer.model")
+    if os.path.isfile(tok_json):
+        model = json.load(open(tok_json, encoding="utf-8"))
+        kind = model["model"]["type"]
+        if kind == "BPE":
+            specials = {t["content"]: t["id"] for t in model.get("added_tokens", [])}
+            vocab = dict(model["model"]["vocab"])
+            for t, i in specials.items():
+                vocab.setdefault(t, i)
+            items = sorted(vocab.items(), key=lambda kv: kv[1])
+            toks = []
+            for tok, _ in items:
+                # 1 = USER_DEFINED, 0 = NORMAL (tokenizer.TokenType)
+                toks.append((tok.encode("utf-8"), 4 if tok in specials else 1))
+            merges = [m if isinstance(m, str) else f"{m[0]} {m[1]}"
+                      for m in model["model"]["merges"]]
+            w.write_vocab_bpe(toks, merges)
+            return "bpe"
+        if kind == "Unigram":
+            pieces = [(p[0].encode("utf-8"), float(p[1]))
+                      for p in model["model"]["vocab"]]
+            w.write_vocab_sp(pieces)
+            return "unigram"
+        raise NotImplementedError(f"tokenizer.json model type {kind}")
+    if os.path.isfile(sp_model):
+        import sentencepiece as spm
+
+        sp = spm.SentencePieceProcessor(model_file=sp_model)
+        pairs = []
+        for i in range(sp.vocab_size()):
+            if sp.IsUnknown(i):
+                text = " ⁇ ".encode("utf-8")
+            elif sp.IsControl(i):
+                text = b""
+            elif sp.IsByte(i):
+                text = bytes([int(sp.IdToPiece(i)[3:-1], 16)])
+            else:
+                text = sp.IdToPiece(i).replace("▁", " ").encode("utf-8")
+            pairs.append((text, float(sp.GetScore(i))))
+        w.write_vocab_sp(pairs)
+        return "sp"
+    raise FileNotFoundError("no tokenizer.json / tokenizer.model found")
+
+
+# ---------------------------------------------------------------------------
+# per-arch emitters
+# ---------------------------------------------------------------------------
+
+def _base_vals(cfg: dict, dtype: GGMLType) -> list:
+    def tid(k):
+        v = cfg.get(k)
+        if isinstance(v, list):
+            v = v[0] if v else None
+        return int(v) if v is not None else -1
+
+    return [int(dtype), cfg["vocab_size"], cfg["hidden_size"],
+            cfg["num_attention_heads"], cfg["num_hidden_layers"],
+            cfg["intermediate_size"], cfg["max_position_embeddings"],
+            tid("bos_token_id"), tid("eos_token_id"),
+            tid("pad_token_id"), tid("sep_token_id")]
+
+
+def _llama_like_names(n_layers: int, tie: bool, qk_norm=False, bias=False):
+    names = ["model.embed_tokens.weight"]
+    for i in range(n_layers):
+        pfx = f"model.layers.{i}"
+        names.append(f"{pfx}.input_layernorm.weight")
+        for n in ("q_proj", "k_proj", "v_proj"):
+            names.append(f"{pfx}.self_attn.{n}.weight")
+            if bias:
+                names.append(f"{pfx}.self_attn.{n}.bias")
+        names.append(f"{pfx}.self_attn.o_proj.weight")
+        if qk_norm:
+            names += [f"{pfx}.self_attn.q_norm.weight",
+                      f"{pfx}.self_attn.k_norm.weight"]
+        names += [f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.mlp.gate_proj.weight", f"{pfx}.mlp.up_proj.weight",
+                  f"{pfx}.mlp.down_proj.weight"]
+    names.append("model.norm.weight")
+    if not tie:
+        names.append("lm_head.weight")
+    return names
+
+
+def convert_llama(w, f, cfg, sd, dtype):
+    """LlamaForCausalLM → LLAMA2 / LLAMA3 (+3.2-style tie)."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    theta = float(cfg.get("rope_theta", 10000.0))
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    scaling = cfg.get("rope_scaling") or {}
+    if theta == 10000.0 and kv == heads and not tie and not scaling:
+        mtype = ModelType.LLAMA2
+        w.write_config(_base_vals(cfg, dtype) + [], fmt="11i")
+    else:
+        assert not scaling or scaling.get("rope_type", scaling.get("type")) in (
+            None, "llama3"), "only llama3-style rope scaling supported"
+        mtype = ModelType.LLAMA3
+        w.write_config(_base_vals(cfg, dtype) + [kv], fmt="12i")
+        f.write(struct.pack("<f", theta))
+        w._patch_offset(12)
+    w.patch_model_type(int(mtype))
+    if tie:
+        sd.setdefault("lm_head.weight", sd["model.embed_tokens.weight"])
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=False):
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_qwen2(w, f, cfg, sd, dtype):
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    mtype = ModelType.QWEN2TIE if tie else ModelType.QWEN2
+    w.write_config(_base_vals(cfg, dtype) +
+                   [kv, cfg.get("sliding_window") or 0], fmt="13i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(mtype))
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=tie, bias=True):
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
+def convert_qwen3(w, f, cfg, sd, dtype):
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    head_dim = cfg.get("head_dim", cfg["hidden_size"] // heads)
+    # models/qwen.h:746 layout (see tests/test_model_golden.py make_tiny_qwen3)
+    w.write_config(_base_vals(cfg, dtype) + [kv, head_dim], fmt="13i")
+    f.write(struct.pack("<ff", float(cfg.get("rope_theta", 10000.0)), -1.0))
+    f.write(struct.pack("<6i", -1, 0, -1, -1, -1, 0))
+    f.write(struct.pack("<i", int(tie)))
+    f.write(struct.pack("<128i", *([0] * 128)))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.QWEN3))
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=tie, qk_norm=True):
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
+def convert_mistral(w, f, cfg, sd, dtype):
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    w.write_config(_base_vals(cfg, dtype) +
+                   [kv, cfg.get("sliding_window") or -1], fmt="13i")
+    w.patch_model_type(int(ModelType.MISTRAL))
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=False):
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_hunyuan(w, f, cfg, sd, dtype):
+    kv = cfg.get("num_key_value_heads", cfg["num_attention_heads"])
+    theta = float(cfg.get("rope_theta", 10000.0))
+    scaling = cfg.get("rope_scaling") or {}
+    if scaling.get("type") == "dynamic" and scaling.get("alpha"):
+        d = cfg.get("attention_head_dim",
+                    cfg["hidden_size"] // cfg["num_attention_heads"])
+        theta = theta * scaling["alpha"] ** (d / (d - 2))
+    w.write_config(_base_vals(cfg, dtype) + [kv], fmt="12i")
+    f.write(struct.pack("<f", theta))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.HUNYUAN_DENSE))
+    names = _llama_like_names(cfg["num_hidden_layers"], tie=True)
+    for i in range(cfg["num_hidden_layers"]):
+        names += [f"model.layers.{i}.self_attn.key_layernorm.weight",
+                  f"model.layers.{i}.self_attn.query_layernorm.weight"]
+    for n in names:
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
+ARCH_CONVERTERS = {
+    "LlamaForCausalLM": convert_llama,
+    "Qwen2ForCausalLM": convert_qwen2,
+    "Qwen3ForCausalLM": convert_qwen3,
+    "MistralForCausalLM": convert_mistral,
+    "HunYuanDenseV1ForCausalLM": convert_hunyuan,
+}
+
+
+def _strip_prefixes(sd: dict) -> dict:
+    return {k.removeprefix("model.language_model.")
+             .replace("language_model.model.", "model."): v
+            for k, v in sd.items()}
+
+
+def convert(model_dir: str, out_path: str, quant: str = "q8_0",
+            name: str = "") -> str:
+    cfg = json.load(open(os.path.join(model_dir, "config.json"),
+                         encoding="utf-8"))
+    arch = (cfg.get("architectures") or ["?"])[0]
+    if arch not in ARCH_CONVERTERS:
+        raise NotImplementedError(
+            f"architecture {arch} not supported (have: "
+            f"{', '.join(sorted(ARCH_CONVERTERS))})")
+    dtype = QUANT_MAP[quant]
+    sd = _strip_prefixes(load_state_dict(model_dir))
+    meta = {"model_name": name or os.path.basename(os.path.abspath(model_dir)),
+            "config.json": cfg}
+    with open(out_path, "wb") as f:
+        w = GGMMWriter(f, 0, 1, meta=meta)   # model type patched per arch
+        conv = ARCH_CONVERTERS[arch]
+        # container order is config → vocab → tensors (GGMMHeader offsets);
+        # the emitter writes config immediately, so buffer its tensor writes
+        # until the vocab section is out
+        pending = []
+        orig_write_tensor = w.write_tensor
+        w.write_tensor = lambda nm, arr, dt: pending.append((nm, arr, dt))
+        conv(w, f, cfg, sd, dtype)
+        w.write_tensor = orig_write_tensor
+        export_vocab(w, model_dir)
+        for nm, arr, dt in pending:
+            w.write_tensor(nm, arr, dt)
+    return out_path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="HF → GGMM converter")
+    ap.add_argument("-i", "--model", required=True, help="HF model directory")
+    ap.add_argument("-o", "--out", required=True, help="output GGMM file")
+    ap.add_argument("-t", "--type", default="q8_0", choices=sorted(QUANT_MAP))
+    ap.add_argument("--name", default="")
+    a = ap.parse_args(argv)
+    out = convert(a.model, a.out, a.type, a.name)
+    print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()
