@@ -373,3 +373,152 @@ class HunyuanDense(BaseLLM):
             layer["attn"]["q_norm"] = pb.norm(f"{pfx}.query_layernorm")
             layer["attn"]["k_norm"] = pb.norm(f"{pfx}.key_layernorm")
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# BlueLM (models/bluelm.cpp — llama2 arch + NTK-mix rope)
+# ---------------------------------------------------------------------------
+
+def ntk_mix_freq_factors(dim: int, k: float, b: float) -> tuple:
+    """NTK-mix per-dim frequency dividers (custom_ops.cpp
+    build_ntk_mixed_inv_freq:369): inv_freq[j] = base^(-2j/dim) / e^(a(j+1)^b),
+    a = ln(k)/(dim/2)^b — expressed as RopeConfig.freq_factors."""
+    import math
+
+    a = math.log(k) / (dim / 2) ** b
+    return tuple(math.exp(a * (j + 1) ** b) for j in range(dim // 2))
+
+
+class BlueLMEncoder(HistoryEncoder):
+    def __init__(self, human_id, ai_id):
+        super().__init__()
+        self.human_id, self.ai_id = human_id, ai_id
+
+    def append_user(self, round_idx, user, ids):
+        ids.append(self.human_id)
+        ids.extend(self.tokenizer.encode(user))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.append(self.ai_id)
+
+
+@register_model(ModelType.BLUELM)
+class BlueLM(BaseLLM):
+    EXTRA_FMT = "3f"   # rope_theta, rope_scaling_factor, rope_scaling_power
+    #                    (bluelm.cpp:5-11)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (theta, factor, power) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        ff = None
+        if power > 0:
+            d = base.hidden_size // base.num_attention_heads
+            ff = ntk_mix_freq_factors(d, factor, power)
+        cfg = build_dense_config(base, rope_theta=theta, freq_factors=ff,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        human = tp.piece_to_id("[|Human|]:")
+        ai = tp.piece_to_id("[|AI|]:")
+        tok = ChatTokenizer(tp, BlueLMEncoder(human, ai), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Index (bilibili; models/index.cpp — llama3 arch, reserved-token template)
+# ---------------------------------------------------------------------------
+
+class IndexEncoder(HistoryEncoder):
+    def append_sys_prompt(self, ids):
+        if self.tokenizer.sys_prompt:
+            ids.append(self.tokenizer.pad_token_id)
+            ids.extend(self.tokenizer.encode(self.tokenizer.sys_prompt))
+
+    def append_user(self, round_idx, user, ids):
+        ids.append(3)     # resevered_0 (index.cpp:26)
+        ids.extend(self.tokenizer.encode(user))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.append(4)     # resevered_1
+
+
+@register_model(ModelType.INDEX)
+class Index(BaseLLM):
+    EXTRA_FMT = "if"   # llama v3 config (index.cpp typedef llama::v3::Config)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=theta, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tok = ChatTokenizer(tp, IndexEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        tok.pad_token_id = base.pad_token_id
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Megrez dense (models/megrez.cpp — llama3 arch, role-marker template)
+# ---------------------------------------------------------------------------
+
+class MegrezEncoder(HistoryEncoder):
+    def __init__(self, role_start, role_end, turn_end):
+        super().__init__()
+        self.role_start, self.role_end, self.turn_end = role_start, role_end, turn_end
+
+    def _role(self, name, ids):
+        ids.append(self.role_start)
+        ids.extend(self.tokenizer.encode(name))
+        ids.append(self.role_end)
+
+    def append_sys_prompt(self, ids):
+        if self.tokenizer.sys_prompt:
+            self._role("system", ids)
+            ids.extend(self.tokenizer.encode(self.tokenizer.sys_prompt))
+            ids.append(self.turn_end)
+
+    def append_user(self, round_idx, user, ids):
+        self._role("user", ids)
+        ids.extend(self.tokenizer.encode(user))
+        ids.append(self.turn_end)
+
+    def append_ai_opening(self, round_idx, ids):
+        self._role("assistant", ids)
+
+
+@register_model(ModelType.MEGREZ)
+class Megrez(BaseLLM):
+    EXTRA_FMT = "if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .llama import LLAMA3_REGEX
+
+        base, (n_kv, theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=theta, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor2(LLAMA3_REGEX)
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        rs = tp.piece_to_id("<|role_start|>")
+        re_ = tp.piece_to_id("<|role_end|>")
+        te = tp.piece_to_id("<|turn_end|>")
+        tok = ChatTokenizer(tp, MegrezEncoder(rs, re_, te), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id if base.eos_token_id >= 0 else tp.piece_to_id("<|eos|>")
+        tok.terminate_ids.add(te)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -191,3 +191,24 @@ def test_aquila2_freq_scale(tmp_path):
     model = load_model(path, RuntimeConfig(**RT32))
     assert abs(model.cfg.rope.freq_scale - 0.5) < 1e-9
     _smoke(model)
+
+
+def test_bluelm_ntk_mix(tmp_path):
+    path = str(tmp_path / "blm.bin")
+    _write_sp_model(path, ModelType.BLUELM,
+                    struct.pack("<3f", 10000.0, 16.0, 0.3))
+    model = load_model(path, RuntimeConfig(**RT32))
+    ff = model.cfg.rope.freq_factors
+    assert ff is not None and len(ff) == 8  # head_dim 16 → 8 dividers
+    assert ff[0] > 1.0 and ff[-1] > ff[0]   # monotone NTK-mix stretch
+    _smoke(model)
+
+
+def test_index_template(tmp_path):
+    path = str(tmp_path / "idx.bin")
+    _write_sp_model(path, ModelType.INDEX, struct.pack("<if", 4, 10000.0))
+    model = load_model(path, RuntimeConfig(**RT32))
+    _smoke(model)
+    ids = []
+    model.tokenizer.chat_encoder.append_user(0, "hi", ids)
+    assert ids[0] == 3
