@@ -192,3 +192,58 @@ class Qwen3(BaseLLM):
         if not tie:
             params["lm_head"] = pb.linear("lm_head")
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.QWEN)
+class Qwen1(BaseLLM):
+    """Qwen v1 (models/qwen.cpp namespace qwen::v1): GPT-style weight names,
+    dynamic-NTK rope + optional logn attention (flags bits 0/1)."""
+    EXTRA_FMT = "3if"   # seq_length, rope_dim, flags, rotary_emb_base
+    #                     (QWenConverter.dump_config, convert.py:4742)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from dataclasses import replace as _replace
+
+        from ..ops.rope import RopeConfig
+
+        base, (seq_length, rope_dim, flags, rope_base) = BaseConfig.parse(
+            gf, cls.EXTRA_FMT)
+        from .llama import build_dense_config
+
+        cfg = build_dense_config(base, rope_theta=rope_base,
+                                 rope_layout=ROPE_NEOX, qkv_bias=True,
+                                 norm_eps=1e-6, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = _replace(
+            cfg,
+            rope=_replace(cfg.rope, rot_dim=rope_dim,
+                          ntk_dynamic=bool(flags & 1), orig_ctx=seq_length),
+            logn_attn_seq=seq_length if (flags & 2) else 0)
+        tok = make_qwen_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("transformer.wte.weight"),
+            "final_norm": pb.norm("transformer.ln_f"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"transformer.h.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.ln_1"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.attn.c_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.ln_2"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.w2"),
+                    "up": pb.linear(f"{pfx}.mlp.w1"),
+                    "down": pb.linear(f"{pfx}.mlp.c_proj"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

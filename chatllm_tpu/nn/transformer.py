@@ -72,6 +72,8 @@ class TransformerConfig:
     tie_lm_head: bool = False
     qk_norm: str = "none"                   # none | rmsnorm | rmsnorm_full | rmsnorm_post
     use_alibi: bool = False                 # ALiBi position bias (no rope)
+    logn_attn_seq: int = 0                  # Qwen-v1 logn attention: q scaled
+    #   by log(pos)/log(seq) beyond seq (src/layers.cpp:3470)
     logit_softcap: float = 0.0              # attention score softcap (Gemma2)
     final_logit_softcap: float = 0.0
     embedding_scale: float = 1.0            # sqrt(hidden) for Gemma
@@ -270,7 +272,7 @@ def moe_mlp(cfg: TransformerConfig, p, x):
 
 def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
                     cos, sin, k_cache, v_cache, n_past,
-                    k_scale=None, v_scale=None):
+                    k_scale=None, v_scale=None, q_mult=None):
     B, T, H = x.shape
     d = cfg.resolved_head_dim()
     hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -309,6 +311,10 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
         # src/layers.h:3125; Hunyuan)
         q = rms_norm(q, p["q_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
         k = rms_norm(k, p["k_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
+
+    if q_mult is not None:
+        # Qwen-v1 logn attention (mat_scale custom op, src/layers.cpp:3489)
+        q = (q.astype(jnp.float32) * q_mult[:, :, None, None]).astype(q.dtype)
 
     if spec.sliding_window > 0 and k_cache.shape[1] < cfg.max_length:
         # ring cache write (partial cache, reference src/layers.h:1973)
@@ -490,14 +496,18 @@ def _mla_compressed_block(cfg, spec, p, x, cos, sin, k_cache, v_cache,
 
 def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
                   cos, sin, k_cache, v_cache, n_past,
-                  k_scale=None, v_scale=None):
+                  k_scale=None, v_scale=None, q_mult=None):
     """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
     (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
     h = _norm(cfg, x, p["attn_norm"]) if cfg.pre_norm else x
-    attn_fn = mla_attention_block if cfg.mla is not None else attention_block
-    attn_out, k_cache, v_cache, k_scale, v_scale = attn_fn(
-        cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past,
-        k_scale, v_scale)
+    if cfg.mla is not None:
+        attn_out, k_cache, v_cache, k_scale, v_scale = mla_attention_block(
+            cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past,
+            k_scale, v_scale)
+    else:
+        attn_out, k_cache, v_cache, k_scale, v_scale = attention_block(
+            cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past,
+            k_scale, v_scale, q_mult)
     if cfg.post_norms:
         attn_out = _norm(cfg, attn_out, p["post_attn_norm"])
     rs = cfg.residual_scale
@@ -575,6 +585,14 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
     if cfg.rope_local is not None:
         cos_l, sin_l = precompute_rope_cache(positions, cfg.rope_local)
 
+    q_mult = None
+    if cfg.logn_attn_seq > 0:
+        pos1 = positions[-1] if positions.ndim == 3 else positions  # [B,T]
+        pf = jnp.maximum(pos1.astype(jnp.float32), 1.0)
+        q_mult = jnp.where(pos1 > cfg.logn_attn_seq,
+                           jnp.log(pf) / jnp.log(float(cfg.logn_attn_seq)),
+                           1.0)
+
     ks, vs = list(cache.k), list(cache.v)
     quant = cache.k_scale is not None
     kss = list(cache.k_scale) if quant else [None] * cfg.num_hidden_layers
@@ -584,7 +602,7 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
         c, s_ = (cos_l, sin_l) if (spec.local_rope and cos_l is not None) else (cos, sin)
         x, ks[i], vs[i], kss[i], vss[i] = decoder_layer(
             cfg, spec, params["layers"][i], x, c, s_, ks[i], vs[i], n_past,
-            kss[i], vss[i])
+            kss[i], vss[i], q_mult)
 
     x = _norm(cfg, x, params["final_norm"])
     if last_only:

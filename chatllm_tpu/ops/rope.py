@@ -49,6 +49,11 @@ class RopeConfig:
     # wired in /root/reference/models/qwen.cpp:1653).  None disables.
     mrope_sections: Optional[tuple] = None
     mrope_interleaved: bool = False      # IMROPE (Qwen3-VL)
+    # Qwen-v1 dynamic NTK: per-position base stretch
+    # alpha(p) = max(2^ceil(log2(p/orig_ctx)+1) - 1, 1),
+    # base_p = freq_base * alpha^(rot/(rot-2))
+    # (custom_ops.cpp ggml_compute_forward_ntk_dynamic_rope:79)
+    ntk_dynamic: bool = False
 
     def resolved_rot_dim(self) -> int:
         return self.head_dim if self.rot_dim <= 0 else self.rot_dim
@@ -77,6 +82,13 @@ def precompute_rope_cache(positions: jax.Array, cfg: RopeConfig):
         inv_freq = inv_freq / jnp.asarray(cfg.freq_factors, dtype=jnp.float32)
 
     pos = positions.astype(jnp.float32)[..., None]             # [..., 1]
+    if cfg.ntk_dynamic and cfg.orig_ctx > 0:
+        ctx_val = jnp.floor(jnp.log2(jnp.maximum(pos, 1.0) / cfg.orig_ctx)
+                            + 1.0 - 1e-6) + 1.0     # ceil
+        alpha = jnp.maximum(jnp.exp2(ctx_val) - 1.0, 1.0)
+        base_p = jnp.float32(cfg.freq_base) * jnp.power(
+            alpha, rot / (rot - 2.0))                          # [..., 1]
+        inv_freq = jnp.power(base_p, -2.0 * dim_i / rot)       # [..., half]
     theta_extrap = pos * inv_freq                              # [..., half]
     mscale = cfg.attn_factor * cfg.mscale_all
 

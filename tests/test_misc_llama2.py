@@ -212,3 +212,65 @@ def test_index_template(tmp_path):
     ids = []
     model.tokenizer.chat_encoder.append_user(0, "hi", ids)
     assert ids[0] == 3
+
+
+def test_qwen1_dynamic_ntk(tmp_path):
+    """Qwen-v1: dynamic-NTK rope tables match the reference custom op's
+    per-position formula (custom_ops.cpp:79), and logn attention activates."""
+    import jax.numpy as jnp
+
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from chatllm_tpu.ops.rope import RopeConfig, precompute_rope_cache
+
+    # rope formula check
+    d, L = 16, 64
+    cfg = RopeConfig(head_dim=d, freq_base=10000.0, ntk_dynamic=True,
+                     orig_ctx=L)
+    pos = np.array([1, 10, 63, 64, 65, 128, 200, 1000])
+    cos, sin = precompute_rope_cache(jnp.asarray(pos), cfg)
+    import math
+    for pi, p in enumerate(pos):
+        cv = math.log2(max(p, 1) / L) + 1
+        alpha = max(2 ** math.ceil(cv) - 1, 1.0)
+        base = 10000.0 * alpha ** (d / (d - 2))
+        for j in range(d // 2):
+            th = p * base ** (-2 * j / d)
+            assert abs(float(cos[pi, j]) - math.cos(th)) < 1e-4, (p, j)
+
+    # end-to-end smoke with qwen1 weight names
+    vocab, hidden, heads, layers, inter = 300, 64, 4, 2, 96
+    rng = np.random.default_rng(9)
+    path = str(tmp_path / "qw1.bin")
+    from test_qwen_vl import _pieces as _qwen_pieces  # byte vocab + specials
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.QWEN), 2, meta={"model_name": "t"})
+        w.write_config(_base_vals(vocab, hidden, heads, layers, inter) +
+                       [32, 16, 3], fmt="14i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        pieces, _ = _qwen_pieces()
+        w.write_vocab_bpe([(p, 1) for p in pieces[:vocab]], [])
+
+        def wt(name, shape):
+            w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
+                           GGMLType.F32)
+
+        wt("transformer.wte.weight", (vocab, hidden))
+        for i in range(layers):
+            pfx = f"transformer.h.{i}"
+            for n in ("q_proj", "k_proj", "v_proj"):
+                wt(f"{pfx}.attn.{n}.weight", (hidden, hidden))
+                wt(f"{pfx}.attn.{n}.bias", (hidden,))
+            wt(f"{pfx}.attn.c_proj.weight", (hidden, hidden))
+            wt(f"{pfx}.ln_1.weight", (hidden,))
+            wt(f"{pfx}.ln_2.weight", (hidden,))
+            wt(f"{pfx}.mlp.w1.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.w2.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.c_proj.weight", (hidden, inter))
+        wt("transformer.ln_f.weight", (hidden,))
+        wt("lm_head.weight", (vocab, hidden))
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.rope.ntk_dynamic and model.cfg.rope.orig_ctx == 32
+    assert model.cfg.logn_attn_seq == 32
+    assert model.cfg.rope.resolved_rot_dim() == 16
+    _smoke(model)
