@@ -522,3 +522,101 @@ class Megrez(BaseLLM):
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# StableLM (models/stablelm.cpp — LayerNorm llama, partial rotary)
+# ---------------------------------------------------------------------------
+
+class PlainEncoder(HistoryEncoder):
+    """No chat markers (reference passes a null encoder)."""
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode(user))
+
+
+@register_model(ModelType.STABLELM)
+class StableLM(BaseLLM):
+    EXTRA_FMT = "2i2f"   # n_kv, rope_dim, rope_theta, rope_scaling
+    #                      (stablelm.cpp:5-11)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, rope_dim, theta, scaling) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=theta, rope_layout=ROPE_NEOX,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = _replace(cfg, norm_type="layernorm",
+                       rope=_replace(cfg.rope, rot_dim=rope_dim,
+                                     freq_scale=1.0 / scaling if scaling > 0 else 1.0))
+        tp = BPEProcessor2(HUNYUAN_REGEX)   # gpt-2 pretokenizer regex
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        tok = ChatTokenizer(tp, PlainEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Grok-1 (models/grok.cpp — sandwich-norm MoE, tanh score cap)
+# ---------------------------------------------------------------------------
+
+@register_model(ModelType.GROK_1)
+class Grok1(BaseLLM):
+    EXTRA_FMT = "3i2f"   # n_kv, n_experts, n_selected, rope_theta,
+    #                      output_multiplier_scale (grok.cpp:6-13)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .base import load_moe_experts
+
+        base, (n_kv, n_experts, n_sel, theta, out_scale) = BaseConfig.parse(
+            gf, cls.EXTRA_FMT)
+        n_layers = base.num_hidden_layers
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=theta, tie_lm_head=True,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = _replace(
+            cfg, act="gelu", post_norms=True, logit_softcap=30.0,
+            logit_scale=out_scale,
+            layer_specs=tuple(LayerSpec(is_moe=True) for _ in range(n_layers)),
+            moe_num_experts=n_experts, moe_top_k=n_sel,
+            moe_norm_topk_prob=False)
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tok = ChatTokenizer(tp, PlainEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.rms_norm"),
+                "post_attn_norm": pb.norm(f"{pfx}.rms_norm_1"),
+                "ffn_norm": pb.norm(f"{pfx}.rms_norm_2"),
+                "post_ffn_norm": pb.norm(f"{pfx}.rms_norm_3"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.router"),
+                    # grok expert naming: w1=gate, w3=up, w2=down
+                    "experts": load_moe_experts(pb, pfx, n_experts,
+                                                names=("w1", "w3", "w2")),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -274,3 +274,61 @@ def test_qwen1_dynamic_ntk(tmp_path):
     assert model.cfg.logn_attn_seq == 32
     assert model.cfg.rope.resolved_rot_dim() == 16
     _smoke(model)
+
+
+def test_stablelm(tmp_path, monkeypatch):
+    path = str(tmp_path / "slm.bin")
+    # stablelm reads a BPE2 vocab — patch the sp-vocab writer for this file
+    import chatllm_tpu.ggmm.writer as gw
+    orig = gw.GGMMWriter.write_vocab_sp
+    monkeypatch.setattr(
+        gw.GGMMWriter, "write_vocab_sp",
+        lambda self, toks: self.write_vocab_bpe(
+            [(t, 1) for t, _ in toks], []))
+    _write_sp_model(path, ModelType.STABLELM,
+                    struct.pack("<2i2f", 4, 8, 10000.0, 1.0), norm_bias=True)
+    monkeypatch.setattr(gw.GGMMWriter, "write_vocab_sp", orig)
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.norm_type == "layernorm"
+    assert model.cfg.rope.resolved_rot_dim() == 8
+    _smoke(model)
+
+
+def test_grok1_moe(tmp_path):
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+
+    vocab, hidden, heads, layers, inter, E = 260, 64, 4, 2, 48, 4
+    rng = np.random.default_rng(17)
+    path = str(tmp_path / "grok.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.GROK_1), 1, meta={"model_name": "t"})
+        w.write_config(_base_vals(vocab, hidden, heads, layers, inter) +
+                       [2, E, 2], fmt="14i")
+        f.write(struct.pack("<2f", 10000.0, 0.5))
+        w._patch_offset(12)
+        w.write_vocab_sp([(f"w{i}".encode(), -float(i)) for i in range(vocab)])
+
+        def wt(name, shape):
+            w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
+                           GGMLType.F32)
+
+        wt("model.embed_tokens.weight", (vocab, hidden))
+        for i in range(layers):
+            pfx = f"model.layers.{i}"
+            for n in ("rms_norm", "rms_norm_1", "rms_norm_2", "rms_norm_3"):
+                wt(f"{pfx}.{n}.weight", (hidden,))
+            wt(f"{pfx}.self_attn.q_proj.weight", (hidden, hidden))
+            wt(f"{pfx}.self_attn.k_proj.weight", (hidden // 2, hidden))
+            wt(f"{pfx}.self_attn.v_proj.weight", (hidden // 2, hidden))
+            wt(f"{pfx}.self_attn.o_proj.weight", (hidden, hidden))
+            wt(f"{pfx}.router.weight", (E, hidden))
+            for j in range(E):
+                wt(f"{pfx}.experts.{j}.w1.weight", (inter, hidden))
+                wt(f"{pfx}.experts.{j}.w2.weight", (hidden, inter))
+                wt(f"{pfx}.experts.{j}.w3.weight", (inter, hidden))
+        wt("model.norm.weight", (hidden,))
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.logit_softcap == 30.0
+    assert model.cfg.post_norms and model.cfg.tie_lm_head
+    assert abs(model.cfg.logit_scale - 0.5) < 1e-9
+    _smoke(model)
