@@ -620,3 +620,73 @@ class Grok1(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Hunyuan MoE v1 / A13B (models/hunyuan.cpp moe_v1 — dense arch + shared-
+# expert MoE, norm_topk)
+# ---------------------------------------------------------------------------
+
+@register_model(ModelType.HUNYUAN_MOE_V1)
+class HunyuanMoEV1(BaseLLM):
+    EXTRA_FMT = "5if"   # n_kv, n_experts, moe_inter, moe_topk, n_shared,
+    #                     rope_theta (hunyuan.h:69-78)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .base import load_moe_experts
+
+        base, (n_kv, n_experts, moe_inter, moe_topk, n_shared,
+               rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        n_layers = base.num_hidden_layers
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta,
+                                 rope_layout=ROPE_NEOX,
+                                 tie_lm_head=True, qk_norm="rmsnorm_post",
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = _replace(
+            cfg,
+            layer_specs=tuple(LayerSpec(is_moe=True) for _ in range(n_layers)),
+            moe_num_experts=n_experts, moe_top_k=moe_topk,
+            moe_norm_topk_prob=True)
+        tp = BPEProcessor2(HUNYUAN_REGEX)
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        n = tp.get_piece_size()
+        sot, eot = n + 1, n
+        tok = ChatTokenizer(tp, HunyuanEncoder(sot, eot, n + 5, n + 9),
+                            sys_prompt="")
+        tok.bos_token_id, tok.eos_token_id, tok.pad_token_id = n + 2, n + 3, n + 4
+        tok.terminate_ids.add(eot)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                    "q_norm": pb.norm(f"{pfx}.self_attn.query_layernorm"),
+                    "k_norm": pb.norm(f"{pfx}.self_attn.key_layernorm"),
+                },
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate"),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_experts),
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_expert.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_expert.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_expert.down_proj"),
+                    },
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -332,3 +332,47 @@ def test_grok1_moe(tmp_path):
     assert model.cfg.post_norms and model.cfg.tie_lm_head
     assert abs(model.cfg.logit_scale - 0.5) < 1e-9
     _smoke(model)
+
+
+def test_hunyuan_moe_v1(tmp_path):
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+
+    vocab, hidden, heads, layers, inter, E, moe_i = 260, 64, 4, 2, 48, 4, 32
+    rng = np.random.default_rng(23)
+    path = str(tmp_path / "hymoe.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.HUNYUAN_MOE_V1), 1,
+                       meta={"model_name": "t"})
+        w.write_config(_base_vals(vocab, hidden, heads, layers, inter) +
+                       [2, E, moe_i, 2, 1], fmt="16i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        w.write_vocab_bpe([(f"<t{i}>".encode(), 1) for i in range(vocab)], [])
+
+        def wt(name, shape):
+            w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
+                           GGMLType.F32)
+
+        wt("model.embed_tokens.weight", (vocab, hidden))
+        for i in range(layers):
+            pfx = f"model.layers.{i}"
+            for n in ("input_layernorm", "post_attention_layernorm"):
+                wt(f"{pfx}.{n}.weight", (hidden,))
+            wt(f"{pfx}.self_attn.q_proj.weight", (hidden, hidden))
+            wt(f"{pfx}.self_attn.k_proj.weight", (hidden // 2, hidden))
+            wt(f"{pfx}.self_attn.v_proj.weight", (hidden // 2, hidden))
+            wt(f"{pfx}.self_attn.o_proj.weight", (hidden, hidden))
+            wt(f"{pfx}.self_attn.query_layernorm.weight", (hidden // heads,))
+            wt(f"{pfx}.self_attn.key_layernorm.weight", (hidden // heads,))
+            wt(f"{pfx}.mlp.gate.weight", (E, hidden))
+            for j in range(E):
+                wt(f"{pfx}.mlp.experts.{j}.gate_proj.weight", (moe_i, hidden))
+                wt(f"{pfx}.mlp.experts.{j}.up_proj.weight", (moe_i, hidden))
+                wt(f"{pfx}.mlp.experts.{j}.down_proj.weight", (hidden, moe_i))
+            wt(f"{pfx}.mlp.shared_expert.gate_proj.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.shared_expert.up_proj.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.shared_expert.down_proj.weight", (hidden, inter))
+        wt("model.norm.weight", (hidden,))
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.moe_num_experts == E and model.cfg.qk_norm == "rmsnorm_post"
+    _smoke(model)
