@@ -84,6 +84,22 @@ def main():
     dt = time.perf_counter() - t0
     tok_s = n_decode / dt
 
+    # long-context TTFT: 2048-token prompt (exercises the Pallas flash
+    # prefill kernel; ids fill the whole cache so S=2048 KV attention)
+    long_len = min(2048, max_len)
+    cache2 = init_cache(cfg, 1, max_len)
+    ids2 = jnp.zeros((1, long_len), jnp.int32)
+    try:
+        tok2, cache2 = prefill(params, cache2, ids2, jnp.int32(0))
+        _ = np.asarray(tok2)
+        t0 = time.perf_counter()
+        tok2, cache2 = prefill(params, cache2, ids2, jnp.int32(0))
+        _ = np.asarray(tok2)
+        ttft2k_ms = (time.perf_counter() - t0) * 1000
+    except Exception:
+        ttft2k_ms = -1.0
+    del cache2
+
     # batched decode (continuous-batching throughput shape): B=8 streams
     BB = int(os.environ.get("BENCH_BATCH", "8"))
     del cache, toks, tok      # free the single-stream buffers
@@ -129,6 +145,7 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(tok_s / roofline, 4),
         "ttft_ms_512": round(ttft_ms, 1),
+        "ttft_ms_2048": round(ttft2k_ms, 1),
         "batched8_tok_s": round(tok_s_batched, 1),
         "device": str(dev),
         "param_bytes_actual": pbytes,

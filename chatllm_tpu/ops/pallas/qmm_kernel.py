@@ -13,8 +13,9 @@ Everything is stored output-dim-along-lanes ([K, N] / [K/G, N]), so the
 dequant broadcast and the dot contraction need no transposes, and every
 BlockSpec tile is (sublane, lane)-aligned.
 
-Grid: (N/TILE_N, K/TILE_K), K innermost so the f32 accumulator tile stays
-resident in VMEM across the K sweep.
+Grid: (M/TILE_M, N/TILE_N, K/TILE_K), K innermost so the f32 accumulator
+tile stays resident in VMEM across the K sweep; the batch/sequence dim is
+tiled too so long-prefill activations never exceed VMEM.
 """
 from __future__ import annotations
 
@@ -28,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref, *, n_kt: int,
             group: int, packed: bool, zero_point: int, compute_dtype):
-    kt = pl.program_id(1)
+    kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
@@ -97,25 +98,32 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
     tile_n = _pick_tile(N, tile_n, 128)
     tile_k = _pick_tile(K, tile_k, group)
     assert tile_k % group == 0
-    n_nt, n_kt = N // tile_n, K // tile_k
+    n_kt = K // tile_k
     qdiv = 2 if packed else 1
 
-    # pad batch to the f32 sublane minimum so the MXU tile is well-formed
+    # pad batch/sequence to the f32 sublane minimum, and tile it so
+    # long-prefill activations don't blow VMEM (scoped limit ~16 MB)
     B_pad = max(8, B)
+    if B_pad % 8:
+        B_pad += 8 - B_pad % 8
     if B_pad != B:
         x = jnp.pad(x, ((0, B_pad - B), (0, 0)))
+    tile_m = _pick_tile(B_pad, 256, 8)
+    n_mt, n_nt = B_pad // tile_m, N // tile_n
 
     gs = tile_k // group
     in_specs = [
-        pl.BlockSpec((B_pad, tile_k), lambda n, k: (0, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_k // qdiv, tile_n), lambda n, k: (k, n),
+        pl.BlockSpec((tile_m, tile_k), lambda m, n, k: (m, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gs, tile_n), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k // qdiv, tile_n), lambda m, n, k: (k, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gs, tile_n), lambda m, n, k: (k, n),
+                     memory_space=pltpu.VMEM),
     ]
     args = [x, q, s]
     has_bias = bias is not None
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, tile_n), lambda n, k: (0, n),
+        in_specs.append(pl.BlockSpec((1, tile_n), lambda m, n, k: (0, n),
                                      memory_space=pltpu.VMEM))
         args.append(bias.reshape(1, N))
 
@@ -131,14 +139,14 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
 
     out = pl.pallas_call(
         kernel,
-        grid=(n_nt, n_kt),
+        grid=(n_mt, n_nt, n_kt),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((B_pad, tile_n), lambda n, k: (0, n),
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda m, n, k: (m, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B_pad, tile_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_pad * N * K,

@@ -86,3 +86,18 @@ def test_packed_nibbles_roundtrip():
         # bf16-weight noise; affine formats see a bit more (u*s term is
         # larger than the centered weight before +b)
         assert rel < 1e-2, (t, rel)
+
+
+def test_qmm_large_m_tiled():
+    """Long-prefill shape: M is tiled so VMEM blocks stay bounded
+    (regression: 2048-token prefill VMEM-OOM'd with untiled M)."""
+    rng = np.random.default_rng(11)
+    M, K, N, G = 520, 256, 384, 32   # M not a multiple of the tile
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    q = jnp.asarray(rng.integers(-8, 8, (K, N)).astype(np.int8))
+    s = jnp.asarray(rng.standard_normal((K // G, N)).astype(np.float32) * 0.1)
+    out = qmm_pallas(x, q, s, None, None, group=G, interpret=True)
+    ref = jnp.dot(x, (q.astype(jnp.float32).reshape(K // G, G, N)
+                      * s[:, None, :]).reshape(K, N))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
