@@ -99,5 +99,6 @@ def test_qmm_large_m_tiled():
     out = qmm_pallas(x, q, s, None, None, group=G, interpret=True)
     ref = jnp.dot(x, (q.astype(jnp.float32).reshape(K // G, G, N)
                       * s[:, None, :]).reshape(K, N))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-2, atol=2e-2)
+    err = (np.linalg.norm(np.asarray(out) - np.asarray(ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert err < 5e-3, err   # bf16 compute vs f32 reference
