@@ -48,8 +48,7 @@ def make_mistral_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
     return tok
 
 
-@register_model(ModelType.MISTRAL, ModelType.OPENCHAT, ModelType.STARLING,
-                ModelType.NEURALBEAGLE)
+@register_model(ModelType.MISTRAL)
 class Mistral(BaseLLM):
     # BaseConfig + {num_key_value_heads, sliding_window} + rope_theta
     # (models/mistral.h:5-10)

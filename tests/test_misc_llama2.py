@@ -376,3 +376,27 @@ def test_hunyuan_moe_v1(tmp_path):
     model = load_model(path, RuntimeConfig(**RT32))
     assert model.cfg.moe_num_experts == E and model.cfg.qk_norm == "rmsnorm_post"
     _smoke(model)
+
+
+def test_template_aliases(tmp_path):
+    """WizardLM/TigerBot/CodeLlama: arch reuse + swapped templates."""
+    cases = [
+        (ModelType.WIZARDLM, b""),
+        (ModelType.TIGERBOT, b""),
+        (ModelType.CODELLAMA, struct.pack("<f", 1000000.0)),
+    ]
+    for mtype, extra in cases:
+        path = str(tmp_path / f"alias_{int(mtype)}.bin")
+        _write_sp_model(path, mtype, extra)
+        model = load_model(path, RuntimeConfig(**RT32))
+        _smoke(model)
+        if mtype == ModelType.CODELLAMA:
+            assert model.cfg.rope.freq_base == 1000000.0
+        if mtype == ModelType.WIZARDLM:
+            from chatllm_tpu.models.aliases import VicunaEncoder
+            assert isinstance(model.tokenizer.chat_encoder, VicunaEncoder)
+            assert model.tokenizer.sys_prompt.startswith("A chat between")
+        if mtype == ModelType.TIGERBOT:
+            ids = []
+            model.tokenizer.chat_encoder.append_ai_opening(0, ids)
+            assert ids[-1] == model.tokenizer.pad_token_id - 1
