@@ -690,3 +690,67 @@ class HunyuanMoEV1(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# DeciLM / Nemotron-51B (models/decilm.cpp — heterogeneous layers: variable
+# GQA per layer + attention-free layers)
+# ---------------------------------------------------------------------------
+
+@register_model(ModelType.DECILM)
+class DeciLM(BaseLLM):
+    # llama-3.1 config + 100×{n_heads_in_group, intermediate_size}
+    # (decilm.cpp:5-17)
+    EXTRA_FMT = "ififff" + "200i"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .llama import (_llama31_factors, load_llama_family_params,
+                            make_llama3_tokenizer)
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        n_kv, rope_theta, orig_ctx, factor, low_f, high_f = extra[:6]
+        layer_cfgs = extra[6:]
+        n_layers = base.num_hidden_layers
+        rot = base.hidden_size // base.num_attention_heads
+        ff = _llama31_factors(rot, rope_theta, factor, low_f, high_f, orig_ctx)
+        specs = []
+        for i in range(n_layers):
+            group = layer_cfgs[2 * i]
+            specs.append(LayerSpec(
+                no_attn=group <= 0,
+                num_kv_heads=(base.num_attention_heads // group) if group > 0 else 0))
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, freq_factors=ff,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = _replace(cfg, layer_specs=tuple(specs))
+        tok = make_llama3_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            layer = {
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                },
+            }
+            if not specs[i].no_attn:
+                layer["attn_norm"] = pb.norm(f"{pfx}.input_layernorm")
+                layer["attn"] = {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                }
+            params["layers"].append(layer)
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

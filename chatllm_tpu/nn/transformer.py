@@ -38,6 +38,9 @@ class LayerSpec:
     local_rope: bool = False       # use cfg.rope_local table (Gemma3 SWA layers)
     is_moe: bool = False
     cross_attn: bool = False
+    num_kv_heads: int = 0          # per-layer GQA override (DeciLM); 0 = cfg
+    no_attn: bool = False          # attention-free layer (DeciNoAttnBlock,
+    #                                models/decilm.cpp:20)
 
 
 @dataclass(frozen=True)
@@ -152,8 +155,16 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
     for i in range(cfg.num_hidden_layers):
         spec = cfg.layer_spec(i)
         s = max_len if spec.sliding_window <= 0 else min(max_len, spec.sliding_window)
-        ks.append(jnp.zeros((batch, s, n_kv, dk), dtype))
-        vs.append(jnp.zeros((batch, s, n_kv, dv), dtype))
+        if spec.no_attn:
+            ks.append(jnp.zeros((batch, 1, 1, 1), dtype))
+            vs.append(jnp.zeros((batch, 1, 1, 1), dtype))
+            if quantized:
+                kss.append(jnp.zeros((batch, 1, 1), jnp.float32))
+                vss.append(jnp.zeros((batch, 1, 1), jnp.float32))
+            continue
+        n_kv_l = spec.num_kv_heads or n_kv
+        ks.append(jnp.zeros((batch, s, n_kv_l, dk), dtype))
+        vs.append(jnp.zeros((batch, s, n_kv_l, dv), dtype))
         if quantized:
             kss.append(jnp.zeros((batch, s, n_kv), jnp.float32))
             vss.append(jnp.zeros((batch, s, n_kv), jnp.float32))
@@ -275,7 +286,8 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
                     k_scale=None, v_scale=None, q_mult=None):
     B, T, H = x.shape
     d = cfg.resolved_head_dim()
-    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    hq = cfg.num_attention_heads
+    hkv = spec.num_kv_heads or cfg.num_key_value_heads
 
     if "qkv" in p:
         # consolidated projection (BaseConsolidatedQKVAttention,
@@ -499,6 +511,11 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
                   k_scale=None, v_scale=None, q_mult=None):
     """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
     (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
+    if spec.no_attn:
+        # attention-free layer (DeciLM): just the gated MLP block
+        h = _norm(cfg, x, p["ffn_norm"]) if cfg.pre_norm else x
+        x = x + mlp_dispatch(cfg, spec, p["mlp"], h)
+        return x, k_cache, v_cache, k_scale, v_scale
     h = _norm(cfg, x, p["attn_norm"]) if cfg.pre_norm else x
     if cfg.mla is not None:
         attn_out, k_cache, v_cache, k_scale, v_scale = mla_attention_block(

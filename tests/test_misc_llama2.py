@@ -400,3 +400,57 @@ def test_template_aliases(tmp_path):
             ids = []
             model.tokenizer.chat_encoder.append_ai_opening(0, ids)
             assert ids[-1] == model.tokenizer.pad_token_id - 1
+
+
+def test_decilm_heterogeneous(tmp_path):
+    """DeciLM: per-layer GQA + attention-free layers (HeterogeneousModel)."""
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from test_qwen_vl import _pieces as _qwen_pieces
+
+    vocab, hidden, heads, layers, inter = 300, 64, 4, 3, 96
+    groups = [2, 0, 4]     # layer1: kv=2; layer2: no attn; layer3: kv=1 (MQA)
+    rng = np.random.default_rng(31)
+    path = str(tmp_path / "deci.bin")
+    lc = []
+    for g in groups:
+        lc += [g, inter]
+    lc += [0] * (200 - len(lc))
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.DECILM), 1, meta={"model_name": "t"})
+        w.write_config(_base_vals(vocab, hidden, heads, layers, inter), fmt="11i")
+        f.write(struct.pack("<if", 2, 500000.0))          # n_kv, theta
+        f.write(struct.pack("<ifff", 8192, 8.0, 1.0, 4.0))  # 3.1 scaling
+        f.write(struct.pack("<200i", *lc))
+        w._patch_offset(12)
+        pieces, _ = _qwen_pieces()
+        w.write_vocab_bpe([(p, 1) for p in pieces[:vocab]], [])
+
+        def wt(name, shape):
+            w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
+                           GGMLType.F32)
+
+        wt("model.embed_tokens.weight", (vocab, hidden))
+        for i, g in enumerate(groups):
+            pfx = f"model.layers.{i}"
+            if g > 0:
+                kvh = heads // g
+                wt(f"{pfx}.input_layernorm.weight", (hidden,))
+                wt(f"{pfx}.self_attn.q_proj.weight", (hidden, hidden))
+                wt(f"{pfx}.self_attn.k_proj.weight", (kvh * 16, hidden))
+                wt(f"{pfx}.self_attn.v_proj.weight", (kvh * 16, hidden))
+                wt(f"{pfx}.self_attn.o_proj.weight", (hidden, hidden))
+            wt(f"{pfx}.post_attention_layernorm.weight", (hidden,))
+            wt(f"{pfx}.mlp.gate_proj.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.up_proj.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.down_proj.weight", (hidden, inter))
+        wt("model.norm.weight", (hidden,))
+        wt("lm_head.weight", (vocab, hidden))
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.layer_spec(0).num_kv_heads == 2
+    assert model.cfg.layer_spec(1).no_attn
+    assert model.cfg.layer_spec(2).num_kv_heads == 1
+    from chatllm_tpu.nn.transformer import init_cache
+    cache = init_cache(model.cfg, 1, 32)
+    assert cache.k[0].shape[2] == 2 and cache.k[1].shape == (1, 1, 1, 1)
+    assert cache.k[2].shape[2] == 1
+    _smoke(model)
