@@ -26,6 +26,7 @@ from . import qwen_vl    # noqa: F401
 from . import misc_llama2  # noqa: F401
 from . import qwen_audio  # noqa: F401
 from . import aliases    # noqa: F401
+from . import glm_asr    # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

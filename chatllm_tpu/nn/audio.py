@@ -124,3 +124,111 @@ def _audio_attention(cfg, p, x):
     pr = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", pr, v).reshape(B, T, H)
     return matmul(out.astype(x.dtype), p["o"]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# GLM-ASR audio tower (reference: models/chatglm.cpp glm::audio_tower:723)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GlmAudioConfig:
+    n_mels: int
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    intermediate_size: int
+    max_positions: int
+    rope_dim: int
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+
+
+def glm_audio_encoder_forward(cfg: GlmAudioConfig, params, mel):
+    """mel [n_mels, frames] → projected embeddings [T, lm_hidden].
+
+    Whisper-style conv subsampling but NO learned positions — the layers use
+    partial-rotary NeoX rope instead (AudioSelfAttention, chatglm.cpp:754);
+    after the final LN, `intermediate/hidden` consecutive frames are stacked
+    and fed through the fc0→GELU→fc1 projector (AudioTransformer::forward,
+    chatglm.cpp:913-930)."""
+    from ..ops.rope import ROPE_NEOX, RopeConfig, apply_rope, \
+        precompute_rope_cache
+
+    x = jnp.transpose(mel[None], (0, 2, 1))
+    x = jax.nn.gelu(_conv1d(x, params["conv1_w"], params["conv1_b"], 1, 1),
+                    approximate=False)
+    x = jax.nn.gelu(_conv1d(x, params["conv2_w"], params["conv2_b"], 2, 1),
+                    approximate=False)
+    T = x.shape[1]
+    d = cfg.hidden_size // cfg.num_attention_heads
+    rope = RopeConfig(head_dim=d, rot_dim=cfg.rope_dim,
+                      freq_base=cfg.rope_theta, layout=ROPE_NEOX)
+    cos, sin = precompute_rope_cache(jnp.arange(T), rope)
+
+    def attn(p, h):
+        B, T_, H = h.shape
+        nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        q = matmul(h, p["q"]).reshape(B, T_, nh, d)
+        k = matmul(h, p["k"]).reshape(B, T_, nkv, d)
+        v = matmul(h, p["v"]).reshape(B, T_, nkv, d).astype(jnp.float32)
+        q = apply_rope(q, cos, sin, layout=ROPE_NEOX, rot_dim=cfg.rope_dim)
+        k = apply_rope(k, cos, sin, layout=ROPE_NEOX, rot_dim=cfg.rope_dim)
+        g = nh // nkv
+        qg = q.reshape(B, T_, nkv, g, d).astype(jnp.float32)
+        scores = jnp.einsum("bnkgd,bmkd->bkgnm", qg, k.astype(jnp.float32))
+        pr = jax.nn.softmax(scores * (d ** -0.5), axis=-1)
+        out = jnp.einsum("bkgnm,bmkd->bnkgd", pr, v).reshape(B, T_, nh * d)
+        return matmul(out.astype(h.dtype), p["o"]).astype(h.dtype)
+
+    for p in params["layers"]:
+        h = layer_norm(x, p["norm1"]["w"], p["norm1"]["b"], eps=cfg.norm_eps)
+        x = x + attn(p["attn"], h)
+        h = layer_norm(x, p["norm2"]["w"], p["norm2"]["b"], eps=cfg.norm_eps)
+        h = jax.nn.gelu(matmul(h, p["mlp"]["fc0"]).astype(jnp.float32),
+                        approximate=False).astype(x.dtype)
+        x = x + matmul(h, p["mlp"]["fc1"]).astype(x.dtype)
+    x = layer_norm(x, params["post_norm"]["w"], params["post_norm"]["b"],
+                   eps=cfg.norm_eps)[0]                   # [T, hidden]
+
+    k = cfg.intermediate_size // cfg.hidden_size          # frame-stack factor
+    Tk = (x.shape[0] // k) * k
+    x = x[:Tk].reshape(Tk // k, k * cfg.hidden_size)
+    x = jax.nn.gelu(matmul(x, params["proj_fc0"]).astype(jnp.float32),
+                    approximate=False)
+    return matmul(x, params["proj_fc1"])
+
+
+def load_glm_audio_params(pb, cfg: GlmAudioConfig, prefix: str = "audio.") -> dict:
+    """Converter names (GLM-ASR: audio.* tower, mlp fc naming shifted by one —
+    file `.mlp.fc1/fc2` = internal fc0/fc1; projector `linear_1/linear_2`;
+    chatglm.cpp:1145-1150)."""
+    params = {
+        "conv1_w": jnp.asarray(np.transpose(
+            pb.raw_f32(f"{prefix}conv1.weight"), (2, 1, 0))),
+        "conv1_b": pb.array(f"{prefix}conv1.bias"),
+        "conv2_w": jnp.asarray(np.transpose(
+            pb.raw_f32(f"{prefix}conv2.weight"), (2, 1, 0))),
+        "conv2_b": pb.array(f"{prefix}conv2.bias"),
+        "post_norm": {"w": pb.array(f"{prefix}norm.weight"),
+                      "b": pb.array(f"{prefix}norm.bias")},
+        "proj_fc0": pb.linear("multi_modal_projector.linear_1", bias=True),
+        "proj_fc1": pb.linear("multi_modal_projector.linear_2", bias=True),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pfx = f"{prefix}layers.{i}"
+        params["layers"].append({
+            "norm1": pb.norm(f"{pfx}.input_layernorm", bias=True),
+            "norm2": pb.norm(f"{pfx}.post_attention_layernorm", bias=True),
+            "attn": {
+                "q": pb.linear(f"{pfx}.self_attn.q_proj", bias=True),
+                "k": pb.linear(f"{pfx}.self_attn.k_proj", bias=True),
+                "v": pb.linear(f"{pfx}.self_attn.v_proj", bias=True),
+                "o": pb.linear(f"{pfx}.self_attn.o_proj", bias=True),
+            },
+            "mlp": {"fc0": pb.linear(f"{pfx}.mlp.fc1", bias=True),
+                    "fc1": pb.linear(f"{pfx}.mlp.fc2", bias=True)},
+        })
+    params["layers"] = tuple(params["layers"])
+    return params

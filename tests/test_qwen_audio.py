@@ -147,3 +147,82 @@ def test_chat_audio_smoke(qa):
     reply = model.chat_audio(pcm, "what?",
                              GenerationConfig(do_sample=False, max_new_tokens=4))
     assert isinstance(reply, str)
+
+
+def test_glm_asr_smoke(tmp_path):
+    """GLM-ASR: rope audio tower + frame-stack projector + chat flow."""
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from chatllm_tpu.models import ModelType as MT
+
+    vocab, hidden, heads, kv, layers, inter = 300, 64, 4, 2, 2, 96
+    A = dict(num_mel_bins=32, hidden_size=32, num_hidden_layers=2,
+             num_attention_heads=2, num_key_value_heads=1,
+             intermediate_size=64, max_position_embeddings=64,
+             head_dim=16, partial_rotary_factor=0.5,
+             rope_parameters={"rope_theta": 10000.0})
+    rng = np.random.default_rng(41)
+    path = str(tmp_path / "glmasr.bin")
+    from chatllm_tpu.tokenizer.processor import byte_level_encode
+    pieces = [byte_level_encode(bytes([b])) for b in range(256)]
+    pieces += [b"<|endoftext|>", b"<|user|>", b"<|assistant|>",
+               b"<|begin_of_audio|>", b"<|end_of_audio|>"]
+    pieces += [f"<x{i}>".encode() for i in range(vocab - len(pieces))]
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(MT.GLM_ASR), 1, meta={
+            "model_name": "t", "config.json": {"audio_config": A},
+            "preprocessor_config.json": {"feature_size": 32}})
+        w.write_config([int(GGMLType.F32), vocab, hidden, heads, layers, inter,
+                        128, -1, 1, 0, -1, kv], fmt="12i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        w.write_vocab_bpe([(p, 1) for p in pieces], [])
+
+        def wt(name, shape):
+            w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
+                           GGMLType.F32)
+
+        wt("model.embed_tokens.weight", (vocab, hidden))
+        for i in range(layers):
+            pfx = f"model.layers.{i}"
+            wt(f"{pfx}.input_layernorm.weight", (hidden,))
+            for n in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                wt(f"{pfx}.self_attn.{n}.weight",
+                   (hidden if n in ("q_proj", "o_proj") else hidden // 2, hidden))
+            wt(f"{pfx}.post_attention_layernorm.weight", (hidden,))
+            wt(f"{pfx}.mlp.gate_proj.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.up_proj.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.down_proj.weight", (hidden, inter))
+        wt("model.norm.weight", (hidden,))
+        wt("lm_head.weight", (vocab, hidden))
+        # audio tower
+        ah, ai = A["hidden_size"], A["intermediate_size"]
+        wt("audio.conv1.weight", (ah, 32, 3))
+        wt("audio.conv1.bias", (ah,))
+        wt("audio.conv2.weight", (ah, ah, 3))
+        wt("audio.conv2.bias", (ah,))
+        for i in range(A["num_hidden_layers"]):
+            pfx = f"audio.layers.{i}"
+            for n in ("input_layernorm", "post_attention_layernorm"):
+                wt(f"{pfx}.{n}.weight", (ah,))
+                wt(f"{pfx}.{n}.bias", (ah,))
+            for n, shp in (("q_proj", (ah, ah)), ("k_proj", (ah // 2, ah)),
+                           ("v_proj", (ah // 2, ah)), ("o_proj", (ah, ah))):
+                wt(f"{pfx}.self_attn.{n}.weight", shp)
+                wt(f"{pfx}.self_attn.{n}.bias", (shp[0],))
+            wt(f"{pfx}.mlp.fc1.weight", (ai, ah))
+            wt(f"{pfx}.mlp.fc1.bias", (ai,))
+            wt(f"{pfx}.mlp.fc2.weight", (ah, ai))
+            wt(f"{pfx}.mlp.fc2.bias", (ah,))
+        wt("audio.norm.weight", (ah,))
+        wt("audio.norm.bias", (ah,))
+        wt("multi_modal_projector.linear_1.weight", (hidden * 2, ai))
+        wt("multi_modal_projector.linear_1.bias", (hidden * 2,))
+        wt("multi_modal_projector.linear_2.weight", (hidden, hidden * 2))
+        wt("multi_modal_projector.linear_2.bias", (hidden,))
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.aud_cfg is not None and model.aud_cfg.rope_dim == 8
+    pcm = np.sin(np.linspace(0, 440 * 2 * np.pi, 4000)).astype(np.float32)
+    from chatllm_tpu.runtime.generate import GenerationConfig
+    reply = model.chat_audio(pcm, "transcribe",
+                             GenerationConfig(do_sample=False, max_new_tokens=4))
+    assert isinstance(reply, str)
