@@ -251,3 +251,53 @@ class GLM4(BaseLLM):
         pb = ParamBuilder(gf, rt)
         params = load_glm2_params(pb, base.num_hidden_layers)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+class CharacterGLMEncoder(HistoryEncoder):
+    """Persona dialogue framing (models/characterglm.cpp:44-110)."""
+
+    def __init__(self):
+        super().__init__()
+        self.user_name, self.bot_name = "Human", "CharacterGLM"
+        self.user_info, self.bot_info = "", ""
+
+    def append_sys_prompt(self, ids):
+        oss = f"以下是一段{self.user_name}和{self.bot_name}之间的对话。\n"
+        if self.bot_info:
+            oss += f"关于{self.bot_name}的信息：{self.bot_info}\n"
+        if self.user_info:
+            oss += f"关于{self.user_name}的信息：{self.user_info}\n"
+        ids.extend(self.tokenizer.encode(oss))
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode(f"[{self.user_name}]{user}\n"))
+
+    def append_ai(self, round_idx, ai, ids):
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(self.tokenizer.encode(ai + "\n"))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode(f"[{self.bot_name}]"))
+
+
+@register_model(ModelType.CHARACTERGLM)
+class CharacterGLM(BaseLLM):
+    """chatglm2 arch + persona template; `--set user_name/bot_name/
+    user_info/bot_info` map onto the encoder (characterglm.cpp
+    set_additional_args)."""
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        lm = ChatGLM2.load.__func__(ChatGLM2, gf, rt)
+        self = cls(gf.model_type, lm.cfg, lm.params, lm.tokenizer,
+                   native_config=lm.native_config, meta=gf.meta)
+        enc = CharacterGLMEncoder()
+        enc.tokenizer = self.tokenizer
+        self.tokenizer.chat_encoder = enc
+        return self
+
+    def set_additional_args(self, args: dict):
+        enc = self.tokenizer.chat_encoder
+        for k in ("user_name", "bot_name", "user_info", "bot_info"):
+            if k in args:
+                setattr(enc, k, args[k])

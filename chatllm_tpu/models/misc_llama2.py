@@ -754,3 +754,68 @@ class DeciLM(BaseLLM):
             params["layers"].append(layer)
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# OLMoE (models/allenai.{h,cpp} moe — full-projection qk-norm + MoE)
+# ---------------------------------------------------------------------------
+
+@register_model(ModelType.OLMoE)
+class OLMoE(BaseLLM):
+    EXTRA_FMT = "4if"   # n_kv, experts_per_tok, n_experts, norm_topk,
+    #                     rope_theta (allenai.h:7-14)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .base import load_moe_experts
+
+        base, (n_kv, n_active, n_experts, norm_topk,
+               rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        n_layers = base.num_hidden_layers
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, rope_layout=ROPE_NEOX,
+                                 qk_norm="rmsnorm_full",
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = _replace(
+            cfg,
+            layer_specs=tuple(LayerSpec(is_moe=True) for _ in range(n_layers)),
+            moe_num_experts=n_experts, moe_top_k=n_active,
+            moe_norm_topk_prob=bool(norm_topk))
+        tp = BPEProcessor2()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        tok = ChatTokenizer(tp, ChatMLEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        tok.im_start_token_id = tp.piece_to_id("<|im_start|>")
+        tok.im_end_token_id = tp.piece_to_id("<|im_end|>")
+        if tok.im_end_token_id >= 0:
+            tok.terminate_ids.add(tok.im_end_token_id)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                    "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                    "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
+                },
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate"),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_experts),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -454,3 +454,54 @@ def test_decilm_heterogeneous(tmp_path):
     assert cache.k[0].shape[2] == 2 and cache.k[1].shape == (1, 1, 1, 1)
     assert cache.k[2].shape[2] == 1
     _smoke(model)
+
+
+def test_olmoe_logits_match_hf(tmp_path):
+    """OLMoE: full-projection qk-norm + top-k MoE, HF-golden."""
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from test_qwen_vl import _pieces as _qwen_pieces
+
+    torch.manual_seed(29)
+    vocab, hidden, heads, kv, layers, inter, E, K = 300, 64, 4, 2, 2, 48, 4, 2
+    cfg = transformers.OlmoeConfig(
+        vocab_size=vocab, hidden_size=hidden, num_attention_heads=heads,
+        num_key_value_heads=kv, num_hidden_layers=layers,
+        intermediate_size=inter, num_experts=E, num_experts_per_tok=K,
+        norm_topk_prob=True, max_position_embeddings=128,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False)
+    hf = transformers.OlmoeForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "olmoe.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.OLMoE), 1, meta={"model_name": "t"})
+        w.write_config(_base_vals(vocab, hidden, heads, layers, inter) +
+                       [kv, K, E, 1], fmt="15i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        pieces, _ = _qwen_pieces()
+        w.write_vocab_bpe([(p, 1) for p in pieces[:vocab]], [])
+        for i in range(layers):
+            pfx = f"model.layers.{i}"
+            for j in range(E):
+                for n in ("down_proj", "gate_proj", "up_proj"):
+                    w.write_tensor(f"{pfx}.mlp.experts.{j}.{n}.weight",
+                                   sd[f"{pfx}.mlp.experts.{j}.{n}.weight"],
+                                   GGMLType.F32)
+        names = ["model.embed_tokens.weight"]
+        for i in range(layers):
+            names += [f"model.layers.{i}.{n}" for n in [
+                "mlp.gate.weight", "input_layernorm.weight",
+                "post_attention_layernorm.weight",
+                "self_attn.k_norm.weight", "self_attn.k_proj.weight",
+                "self_attn.o_proj.weight", "self_attn.q_norm.weight",
+                "self_attn.q_proj.weight", "self_attn.v_proj.weight"]]
+        names += ["model.norm.weight", "lm_head.weight"]
+        for n in names:
+            w.write_tensor(n, sd[n], GGMLType.F32)
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.qk_norm == "rmsnorm_full"
+    ids = np.array([[5, 77, 101, 32, 9, 200]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
