@@ -477,7 +477,7 @@ class Granite(BaseLLM):
                                  cache_dtype=rt.cache_dtype)
         cfg = replace(cfg, attention_scale=attention_multiplier,
                       residual_scale=residual_multiplier,
-                      logit_scale=logits_scaling)
+                      logit_scale=1.0 / logits_scaling)
         tok = _bpe2_tokenizer(gf, base, BracketRoleEncoder())
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers, tie_lm_head=tie)

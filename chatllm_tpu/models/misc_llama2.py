@@ -819,3 +819,62 @@ class OLMoE(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Granite 3.x MoE (models/granite.cpp moe:3-70 — granite multipliers + MoE)
+# ---------------------------------------------------------------------------
+
+@register_model(ModelType.GRANITE_MoE)
+class GraniteMoE(BaseLLM):
+    EXTRA_FMT = "4i4f"  # n_kv, tie, experts_per_tok, n_experts;
+    #                     attn_mult, logits_scaling, residual_mult, theta
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .base import load_moe_experts
+        from .misc_llama import BracketRoleEncoder, _bpe2_tokenizer
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, tie_flag, n_active, n_experts, attn_mult, logits_scaling,
+         residual_mult, rope_theta) = extra
+        tie = bool(tie_flag)
+        n_layers = base.num_hidden_layers
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, tie_lm_head=tie,
+                                 norm_eps=1e-6, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = _replace(
+            cfg, attention_scale=attn_mult, residual_scale=residual_mult,
+            logit_scale=1.0 / logits_scaling,
+            layer_specs=tuple(LayerSpec(is_moe=True) for _ in range(n_layers)),
+            moe_num_experts=n_experts, moe_top_k=n_active,
+            moe_norm_topk_prob=True)
+        tok = _bpe2_tokenizer(gf, base, BracketRoleEncoder())
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "layers": [],
+        }
+        if not tie:
+            params["lm_head"] = pb.linear("lm_head")
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.block_sparse_moe.router.layer"),
+                    "experts": load_moe_experts(
+                        pb, f"{pfx}.block_sparse_moe", n_experts),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -505,3 +505,68 @@ def test_olmoe_logits_match_hf(tmp_path):
     with torch.no_grad():
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
+
+
+def test_granite_moe_golden(tmp_path):
+    """GraniteMoE: granite multipliers + MoE, HF-golden."""
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from test_qwen_vl import _pieces as _qwen_pieces
+
+    torch.manual_seed(33)
+    vocab, hidden, heads, kv, layers, inter, E, K = 300, 64, 4, 2, 2, 48, 4, 2
+    cfg = transformers.GraniteMoeConfig(
+        vocab_size=vocab, hidden_size=hidden, num_attention_heads=heads,
+        num_key_value_heads=kv, num_hidden_layers=layers,
+        intermediate_size=inter, num_local_experts=E, num_experts_per_tok=K,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attention_multiplier=0.015625,
+        logits_scaling=8.0, residual_multiplier=0.22,
+        embedding_multiplier=1.0)
+    hf = transformers.GraniteMoeForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "gmoe.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.GRANITE_MoE), 1, meta={"model_name": "t"})
+        w.write_config(_base_vals(vocab, hidden, heads, layers, inter) +
+                       [kv, 0, K, E], fmt="15i")
+        f.write(struct.pack("<4f", 0.015625, 8.0, 0.22, 10000.0))
+        w._patch_offset(12)
+        pieces, _ = _qwen_pieces()
+        w.write_vocab_bpe([(p, 1) for p in pieces[:vocab]], [])
+
+        from test_model_golden import _permute
+        for i in range(layers):
+            pfx = f"model.layers.{i}"
+            # HF GraniteMoe: fused input_linear [E, 2*inter, H] (gate|up),
+            # output_linear [E, H, inter] (GraniteMoEConverter.state_dict_pp)
+            inp = sd[f"{pfx}.block_sparse_moe.input_linear.weight"]
+            outp = sd[f"{pfx}.block_sparse_moe.output_linear.weight"]
+            for j in range(E):
+                w.write_tensor(f"{pfx}.block_sparse_moe.experts.{j}.gate_proj.weight",
+                               inp[j, :inter], GGMLType.F32)
+                w.write_tensor(f"{pfx}.block_sparse_moe.experts.{j}.up_proj.weight",
+                               inp[j, inter:], GGMLType.F32)
+                w.write_tensor(f"{pfx}.block_sparse_moe.experts.{j}.down_proj.weight",
+                               outp[j], GGMLType.F32)
+        names = ["model.embed_tokens.weight"]
+        for i in range(layers):
+            names += [f"model.layers.{i}.{n}" for n in [
+                "block_sparse_moe.router.layer.weight",
+                "input_layernorm.weight", "post_attention_layernorm.weight",
+                "self_attn.k_proj.weight", "self_attn.o_proj.weight",
+                "self_attn.q_proj.weight", "self_attn.v_proj.weight"]]
+        names += ["model.norm.weight", "lm_head.weight"]
+        for n in names:
+            arr = sd[n]
+            if n.endswith("q_proj.weight"):
+                arr = _permute(arr, heads)
+            elif n.endswith("k_proj.weight"):
+                arr = _permute(arr, kv)
+            w.write_tensor(n, arr, GGMLType.F32)
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert abs(model.cfg.residual_scale - 0.22) < 1e-6
+    ids = np.array([[5, 77, 101, 32, 9]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
