@@ -149,10 +149,10 @@ def test_granite_matches_hf(tmp_path):
         w = GGMMWriter(f, int(ModelType.GRANITE), 1, meta={})
         w.write_config(_base_cfg_vals(vocab, hidden, heads, layers, inter, max_len)
                        + [kv, 0], fmt="13i")
-        # attention_multiplier, logits_scaling(as multiplier 1/x per HF
-        # division — the reference stores the converter's value and
-        # multiplies; converter writes 1/logits_scaling), residual, theta
-        f.write(struct.pack("<4f", 0.1, 1.0 / 2.0, 0.5, 10000.0))
+        # attention_multiplier, logits_scaling (raw, as the converter dumps
+        # it — the loader inverts it because HF divides; the reference
+        # multiplies the raw value, which disagrees with HF), residual, theta
+        f.write(struct.pack("<4f", 0.1, 2.0, 0.5, 10000.0))
         w._patch_offset(12)
         w.write_vocab_bpe([(p, 1) for p in _bpe_pieces(vocab)], [])
         names = ["model.embed_tokens.weight"]
