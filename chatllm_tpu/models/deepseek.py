@@ -293,3 +293,103 @@ class DeepSeekCoder(BaseLLM):
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+class BailingEncoder(HistoryEncoder):
+    """<role>HUMAN</role>… turns (models/bailing.cpp:79-96)."""
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode("<role>HUMAN</role>"))
+        ids.extend(self.tokenizer.encode(user))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode("<role>ASSISTANT</role>"))
+
+
+BAILING_REGEX = [
+    r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])",
+    r"[^\r\n\p{L}\p{N}]?\p{L}+",
+    r"\p{N}",
+    r" ?[^\s\p{L}\p{N}]+[\r\n]*",
+    r"\s*[\r\n]",
+    r"\s+(?!\S)",
+    r"\s+",
+]
+
+
+@register_model(ModelType.BAILINGMOE)
+class BailingMoE(BaseLLM):
+    """Ling/Ring (models/bailing.cpp moe): deepseek-v1-MoE arch + explicit
+    head_dim, role-marker template."""
+    EXTRA_FMT = "8ifi"   # v1-moe fields + rope_theta + head_dim
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..tokenizer.processor import BPEProcessor2
+        from .base import load_moe_experts
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, first_k_dense, moe_inter, moe_freq, n_routed, n_shared,
+         norm_topk, n_active, rope_theta, head_dim) = extra
+        n_layers = base.num_hidden_layers
+
+        def is_moe(i):
+            return i >= first_k_dense and i % max(moe_freq, 1) == 0
+
+        specs = tuple(LayerSpec(is_moe=is_moe(i)) for i in range(n_layers))
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, rope_theta=rope_theta,
+            head_dim=head_dim if head_dim > 0 else -1,
+            norm_eps=1e-6, max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, layer_specs=specs, moe_num_experts=n_routed,
+                      moe_top_k=n_active, moe_norm_topk_prob=bool(norm_topk))
+        tp = BPEProcessor2(BAILING_REGEX)
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        tok = ChatTokenizer(tp, BailingEncoder(),
+                            sys_prompt="You are Ling, an assistant created by inclusionAI")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        role_open = tp.piece_to_id("<role>")
+        if role_open >= 0:
+            tok.terminate_ids.add(role_open)
+        if tp.piece_to_id("<think>") >= 0:
+            tok.sys_prompt = "You are Ring, an assistant created by inclusionAI"
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            if is_moe(i):
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate"),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_routed),
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_experts.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_experts.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_experts.down_proj"),
+                    },
+                }
+            else:
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                }
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": mlp,
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

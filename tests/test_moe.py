@@ -85,3 +85,66 @@ def test_qwen2moe_logits_match_hf(tmp_path):
     with torch.no_grad():
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
+
+
+def test_bailing_moe_smoke(tmp_path):
+    """Bailing/Ling: deepseek-v1-MoE arch + explicit head_dim + role template."""
+    import struct
+
+    from chatllm_tpu.ggmm.quants import GGMLType
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from chatllm_tpu.models import ModelType, RuntimeConfig, load_model
+    from chatllm_tpu.tokenizer.processor import byte_level_encode
+
+    vocab, hidden, heads, layers, inter, E, moe_i, hd = 300, 64, 4, 2, 96, 4, 32, 24
+    rng = np.random.default_rng(37)
+    path = str(tmp_path / "bailing.bin")
+    pieces = [byte_level_encode(bytes([b])) for b in range(256)]
+    pieces += [b"<role>", b"</role>"]
+    pieces += [f"<x{i}>".encode() for i in range(vocab - len(pieces))]
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.BAILINGMOE), 1, meta={"model_name": "t"})
+        w.write_config([int(GGMLType.F32), vocab, hidden, heads, layers, inter,
+                        128, -1, 1, 0, -1,
+                        2, 1, moe_i, 1, E, 1, 1, 2], fmt="19i")
+        f.write(struct.pack("<fi", 10000.0, hd))
+        w._patch_offset(12)
+        w.write_vocab_bpe([(p, 1) for p in pieces], [])
+
+        def wt(name, shape):
+            w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
+                           GGMLType.F32)
+
+        wt("model.embed_tokens.weight", (vocab, hidden))
+        for i in range(layers):
+            pfx = f"model.layers.{i}"
+            wt(f"{pfx}.input_layernorm.weight", (hidden,))
+            wt(f"{pfx}.post_attention_layernorm.weight", (hidden,))
+            wt(f"{pfx}.self_attn.q_proj.weight", (heads * hd, hidden))
+            wt(f"{pfx}.self_attn.k_proj.weight", (2 * hd, hidden))
+            wt(f"{pfx}.self_attn.v_proj.weight", (2 * hd, hidden))
+            wt(f"{pfx}.self_attn.o_proj.weight", (hidden, heads * hd))
+            if i >= 1:
+                wt(f"{pfx}.mlp.gate.weight", (E, hidden))
+                for j in range(E):
+                    for n, shp in (("gate_proj", (moe_i, hidden)),
+                                   ("up_proj", (moe_i, hidden)),
+                                   ("down_proj", (hidden, moe_i))):
+                        wt(f"{pfx}.mlp.experts.{j}.{n}.weight", shp)
+                for n, shp in (("gate_proj", (moe_i, hidden)),
+                               ("up_proj", (moe_i, hidden)),
+                               ("down_proj", (hidden, moe_i))):
+                    wt(f"{pfx}.mlp.shared_experts.{n}.weight", shp)
+            else:
+                wt(f"{pfx}.mlp.gate_proj.weight", (inter, hidden))
+                wt(f"{pfx}.mlp.up_proj.weight", (inter, hidden))
+                wt(f"{pfx}.mlp.down_proj.weight", (hidden, inter))
+        wt("model.norm.weight", (hidden,))
+        wt("lm_head.weight", (vocab, hidden))
+    model = load_model(path, RuntimeConfig(weight_dtype="float32",
+                                           compute_dtype="float32",
+                                           cache_dtype="float32"))
+    assert model.cfg.resolved_head_dim() == hd
+    ids = np.array([[3, 14, 15, 92, 6]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    assert np.all(np.isfinite(np.asarray(logits)))
