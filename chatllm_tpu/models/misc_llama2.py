@@ -878,3 +878,54 @@ class GraniteMoE(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# Seed-OSS (models/seed.cpp — qwen2 arch + head_dim, bos/eos role turns)
+# ---------------------------------------------------------------------------
+
+class SeedEncoder(HistoryEncoder):
+    def _msg(self, role, content, ids):
+        tok = self.tokenizer
+        ids.append(tok.bos_token_id)
+        ids.extend(tok.encode(role))
+        ids.extend(tok.encode("\n"))
+        ids.extend(tok.encode(content))
+        ids.append(tok.eos_token_id)
+
+    def append_sys_prompt(self, ids):
+        if self.tokenizer.sys_prompt:
+            self._msg("system", self.tokenizer.sys_prompt, ids)
+
+    def append_user(self, round_idx, user, ids):
+        self._msg("user", user, ids)
+
+    def append_ai_opening(self, round_idx, ids):
+        tok = self.tokenizer
+        ids.append(tok.bos_token_id)
+        ids.extend(tok.encode("assistant"))
+        ids.extend(tok.encode("\n"))
+
+
+@register_model(ModelType.SEED)
+class SeedOSS(BaseLLM):
+    EXTRA_FMT = "2if"   # n_kv, head_dim, rope_theta (seed.cpp:8-13)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, head_dim, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 head_dim=head_dim, rope_theta=rope_theta,
+                                 rope_layout=ROPE_NEOX, qkv_bias=True,
+                                 norm_eps=1e-6, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor2()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        tok = ChatTokenizer(tp, SeedEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        tok.terminate_ids.add(base.eos_token_id)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -570,3 +570,46 @@ def test_granite_moe_golden(tmp_path):
     with torch.no_grad():
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
+
+
+def test_seed_oss(tmp_path):
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from test_qwen_vl import _pieces as _qwen_pieces
+
+    vocab, hidden, heads, layers, inter, hd = 300, 64, 4, 2, 96, 24
+    rng = np.random.default_rng(43)
+    path = str(tmp_path / "seed.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.SEED), 1, meta={"model_name": "t"})
+        w.write_config(_base_vals(vocab, hidden, heads, layers, inter,
+                                  bos=2, eos=1) + [2, hd], fmt="13i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        pieces, _ = _qwen_pieces()
+        w.write_vocab_bpe([(p, 1) for p in pieces[:vocab]], [])
+
+        def wt(name, shape):
+            w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
+                           GGMLType.F32)
+
+        wt("model.embed_tokens.weight", (vocab, hidden))
+        for i in range(layers):
+            pfx = f"model.layers.{i}"
+            wt(f"{pfx}.input_layernorm.weight", (hidden,))
+            for n, out in (("q_proj", heads * hd), ("k_proj", 2 * hd),
+                           ("v_proj", 2 * hd)):
+                wt(f"{pfx}.self_attn.{n}.weight", (out, hidden))
+                wt(f"{pfx}.self_attn.{n}.bias", (out,))
+            wt(f"{pfx}.self_attn.o_proj.weight", (hidden, heads * hd))
+            wt(f"{pfx}.post_attention_layernorm.weight", (hidden,))
+            wt(f"{pfx}.mlp.gate_proj.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.up_proj.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.down_proj.weight", (hidden, inter))
+        wt("model.norm.weight", (hidden,))
+        wt("lm_head.weight", (vocab, hidden))
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.resolved_head_dim() == hd and model.cfg.qkv_bias
+    _smoke(model)
+    ids = []
+    model.tokenizer.chat_encoder.append_user(0, "hi", ids)
+    assert ids[0] == 2 and ids[-1] == 1    # bos … eos framing
