@@ -929,3 +929,44 @@ class SeedOSS(BaseLLM):
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# XVERSE-MoE (models/xverse.cpp:108 — deepseek-v1-MoE arch, role: template)
+# ---------------------------------------------------------------------------
+
+class XverseMoEEncoder(HistoryEncoder):
+    def append_sys_prompt(self, ids):
+        if self.tokenizer.sys_prompt:
+            ids.extend(self.tokenizer.encode(
+                f"system: {self.tokenizer.sys_prompt}\n"))
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode(f"user: {user}\n"))
+
+    def append_ai(self, round_idx, ai, ids):
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(self.tokenizer.encode(ai))
+        ids.append(self.tokenizer.eos_token_id)
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode("assistant: "))
+
+
+@register_model(ModelType.XVERSEMOE)
+class XverseMoE(BaseLLM):
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .deepseek import DeepSeekV1MoE
+
+        self = DeepSeekV1MoE.load.__func__(DeepSeekV1MoE, gf, rt)
+        # swap processor (BPE1) + template (xverse.cpp:112-148)
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), self.native_config.vocab_size)
+        enc = XverseMoEEncoder()
+        tok = ChatTokenizer(tp, enc, sys_prompt="")
+        tok.bos_token_id = self.native_config.bos_token_id
+        tok.eos_token_id = self.native_config.eos_token_id
+        self.tokenizer = tok
+        return cls(gf.model_type, self.cfg, self.params, tok,
+                   native_config=self.native_config, meta=gf.meta)

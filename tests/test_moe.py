@@ -148,3 +148,59 @@ def test_bailing_moe_smoke(tmp_path):
     ids = np.array([[3, 14, 15, 92, 6]], dtype=np.int32)
     logits, _ = model.forward_logits(ids)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_xverse_moe_smoke(tmp_path):
+    """XVERSE-MoE: deepseek-v1-MoE arch + role: template (sp vocab)."""
+    import struct
+
+    from chatllm_tpu.ggmm.quants import GGMLType
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from chatllm_tpu.models import ModelType, RuntimeConfig, load_model
+
+    vocab, hidden, heads, layers, inter, E, moe_i = 260, 64, 4, 2, 96, 4, 32
+    rng = np.random.default_rng(47)
+    path = str(tmp_path / "xvmoe.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.XVERSEMOE), 1, meta={"model_name": "t"})
+        w.write_config([int(GGMLType.F32), vocab, hidden, heads, layers, inter,
+                        128, -1, 1, 0, -1,
+                        2, 0, moe_i, 1, E, 1, 1, 2], fmt="19i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        w.write_vocab_sp([(f"w{i}".encode(), -float(i)) for i in range(vocab)])
+
+        def wt(name, shape):
+            w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
+                           GGMLType.F32)
+
+        wt("model.embed_tokens.weight", (vocab, hidden))
+        for i in range(layers):
+            pfx = f"model.layers.{i}"
+            wt(f"{pfx}.input_layernorm.weight", (hidden,))
+            wt(f"{pfx}.post_attention_layernorm.weight", (hidden,))
+            for n in ("q_proj", "o_proj"):
+                wt(f"{pfx}.self_attn.{n}.weight", (hidden, hidden))
+            for n in ("k_proj", "v_proj"):
+                wt(f"{pfx}.self_attn.{n}.weight", (hidden // 2, hidden))
+            wt(f"{pfx}.mlp.gate.weight", (E, hidden))
+            for j in range(E):
+                for n, shp in (("gate_proj", (moe_i, hidden)),
+                               ("up_proj", (moe_i, hidden)),
+                               ("down_proj", (hidden, moe_i))):
+                    wt(f"{pfx}.mlp.experts.{j}.{n}.weight", shp)
+            for n, shp in (("gate_proj", (moe_i, hidden)),
+                           ("up_proj", (moe_i, hidden)),
+                           ("down_proj", (hidden, moe_i))):
+                wt(f"{pfx}.mlp.shared_experts.{n}.weight", shp)
+        wt("model.norm.weight", (hidden,))
+        wt("lm_head.weight", (vocab, hidden))
+    model = load_model(path, RuntimeConfig(weight_dtype="float32",
+                                           compute_dtype="float32",
+                                           cache_dtype="float32"))
+    ids = np.array([[3, 14, 15, 92, 6]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    out = []
+    model.tokenizer.chat_encoder.append_user(0, "hi", out)
+    assert len(out) > 0
