@@ -970,3 +970,57 @@ class XverseMoE(BaseLLM):
         self.tokenizer = tok
         return cls(gf.model_type, self.cfg, self.params, tok,
                    native_config=self.native_config, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# GigaChat (models/gigachat.cpp — deepseek-v1-MoE arch, role/message seps)
+# ---------------------------------------------------------------------------
+
+class GigaChatEncoder(HistoryEncoder):
+    def __init__(self, role_sep, message_sep):
+        super().__init__()
+        self.role_sep, self.message_sep = role_sep, message_sep
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        if tok.bos_token_id >= 0:
+            ids.append(tok.bos_token_id)
+        ids.extend(tok.encode(tok.sys_prompt or ""))
+        ids.append(self.message_sep)
+
+    def append_user(self, round_idx, user, ids):
+        tok = self.tokenizer
+        ids.extend(tok.encode("user"))
+        ids.append(self.role_sep)
+        ids.extend(tok.encode(user))
+        ids.append(self.message_sep)
+        ids.extend(tok.encode("available functions"))
+        ids.append(self.role_sep)
+        ids.extend(tok.encode("[]"))
+        ids.append(self.message_sep)
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode("assistant"))
+        ids.append(self.role_sep)
+
+
+@register_model(ModelType.GIGACHAT)
+class GigaChat(BaseLLM):
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .deepseek import DeepSeekV1MoE
+
+        lm = DeepSeekV1MoE.load.__func__(DeepSeekV1MoE, gf, rt)
+        tp = BPEProcessor2()
+        tp.load(gf.tokenizer_reader(), lm.native_config.vocab_size)
+        tp.enable_return_special_token(True)
+        role_sep = tp.piece_to_id("<|role_sep|>")
+        message_sep = tp.piece_to_id("<|message_sep|>")
+        tok = ChatTokenizer(tp, GigaChatEncoder(role_sep, message_sep),
+                            sys_prompt="")
+        tok.bos_token_id = lm.native_config.bos_token_id
+        tok.eos_token_id = lm.native_config.eos_token_id
+        if message_sep >= 0:
+            tok.terminate_ids.add(message_sep)
+        return cls(gf.model_type, lm.cfg, lm.params, tok,
+                   native_config=lm.native_config, meta=gf.meta)
