@@ -69,7 +69,9 @@ def matmul(x: jax.Array, lin, *, compute_dtype=jnp.bfloat16) -> jax.Array:
     if isinstance(lin, DenseLinear):
         y = jnp.dot(x.astype(lin.w.dtype), lin.w, preferred_element_type=jnp.float32)
     elif isinstance(lin, QuantLinear):
-        if use_pallas_qmm():
+        # Mosaic needs the output dim lane-aligned (scale tiles are
+        # [groups, N]); oddball small N falls back to the XLA dequant path
+        if use_pallas_qmm() and lin.q.shape[1] % 128 == 0:
             from .pallas.qmm_kernel import qmm_pallas
 
             lead = x.shape[:-1]
