@@ -202,3 +202,69 @@ class Phi3SU(BaseLLM):
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.PHI2, ModelType.DOLPHINPHI2)
+class Phi2V1(BaseLLM):
+    """Phi-2 v1 file layout (models/phi.h v1 namespace): same arch as v2 but
+    GPT-style tensor names (transformer.h.{i}.mixer.* / lm_head.ln) and a
+    fixed rotary_dim of 32 (Phi2CrossAttention, src/layers.h:2855)."""
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..nn.transformer import TransformerConfig
+        from ..ops.rope import ROPE_NEOX, RopeConfig
+        from ..runtime.chat import ChatMLEncoder, ChatTokenizer
+        from ..tokenizer.processor import BPEProcessor2
+
+        base, _ = BaseConfig.parse(gf)
+        head_dim = base.hidden_size // base.num_attention_heads
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=base.num_hidden_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=base.num_attention_heads,
+            intermediate_size=base.intermediate_size,
+            max_length=rt.max_length if rt.max_length > 0 else base.max_length,
+            act="gelu_tanh", norm_type="layernorm", norm_eps=1e-5,
+            rope=RopeConfig(head_dim=head_dim, rot_dim=32,
+                            freq_base=10000.0, layout=ROPE_NEOX),
+            qkv_bias=True, o_bias=True, parallel_residual=True,
+            cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor2()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        is_dolphin = gf.model_type == int(ModelType.DOLPHINPHI2)
+        enc = ChatMLEncoder() if is_dolphin else None
+        tok = ChatTokenizer(tp, enc,
+                            sys_prompt="You are Dolphin, a helpful AI assistant." if is_dolphin else "")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        if is_dolphin:
+            tok.im_start_token_id = tp.piece_to_id("<|im_start|>")
+            tok.im_end_token_id = tp.piece_to_id("<|im_end|>")
+            if tok.im_end_token_id >= 0:
+                tok.terminate_ids.add(tok.im_end_token_id)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("transformer.embd.wte.weight"),
+            "final_norm": pb.norm("lm_head.ln", bias=True),
+            "lm_head": pb.linear("lm_head.linear", bias=True),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"transformer.h.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.ln", bias=True),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.mixer.q_proj", bias=True),
+                    "k": pb.linear(f"{pfx}.mixer.k_proj", bias=True),
+                    "v": pb.linear(f"{pfx}.mixer.v_proj", bias=True),
+                    "o": pb.linear(f"{pfx}.mixer.out_proj", bias=True),
+                },
+                "mlp": {
+                    "up": pb.linear(f"{pfx}.mlp.fc1", bias=True),
+                    "down": pb.linear(f"{pfx}.mlp.fc2", bias=True),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

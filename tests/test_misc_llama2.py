@@ -613,3 +613,44 @@ def test_seed_oss(tmp_path):
     ids = []
     model.tokenizer.chat_encoder.append_user(0, "hi", ids)
     assert ids[0] == 2 and ids[-1] == 1    # bos … eos framing
+
+
+def test_phi2_v1_layout(tmp_path):
+    """Phi-2 v1 GPT-style tensor names (transformer.h.*.mixer.*)."""
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from test_qwen_vl import _pieces as _qwen_pieces
+
+    vocab, hidden, heads, layers, inter = 300, 128, 2, 2, 96   # head_dim 64 > rot 32
+    rng = np.random.default_rng(53)
+    path = str(tmp_path / "phi2v1.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.DOLPHINPHI2), 1, meta={"model_name": "t"})
+        w.write_config(_base_vals(vocab, hidden, heads, layers, inter),
+                       fmt="11i")
+        w._patch_offset(12)
+        pieces, _ = _qwen_pieces()
+        w.write_vocab_bpe([(p, 1) for p in pieces[:vocab]], [])
+
+        def wt(name, shape):
+            w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
+                           GGMLType.F32)
+
+        wt("transformer.embd.wte.weight", (vocab, hidden))
+        for i in range(layers):
+            pfx = f"transformer.h.{i}"
+            wt(f"{pfx}.ln.weight", (hidden,))
+            wt(f"{pfx}.ln.bias", (hidden,))
+            for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                wt(f"{pfx}.mixer.{n}.weight", (hidden, hidden))
+                wt(f"{pfx}.mixer.{n}.bias", (hidden,))
+            wt(f"{pfx}.mlp.fc1.weight", (inter, hidden))
+            wt(f"{pfx}.mlp.fc1.bias", (inter,))
+            wt(f"{pfx}.mlp.fc2.weight", (hidden, inter))
+            wt(f"{pfx}.mlp.fc2.bias", (hidden,))
+        wt("lm_head.ln.weight", (hidden,))
+        wt("lm_head.ln.bias", (hidden,))
+        wt("lm_head.linear.weight", (vocab, hidden))
+        wt("lm_head.linear.bias", (vocab,))
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.parallel_residual and model.cfg.rope.rot_dim == 32
+    _smoke(model)
