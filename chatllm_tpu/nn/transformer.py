@@ -116,12 +116,20 @@ class TransformerConfig:
 # KV cache
 # ---------------------------------------------------------------------------
 
+# Ring-cache headroom for sliding-window layers (the reference allocates
+# sliding_window_len + extra_len, default 512, src/layers.h:1973 — without it,
+# writing a prefill chunk into an exactly-window-sized ring overwrites keys
+# still inside the window of earlier queries in the same chunk).  Prefill
+# chunks on SWA models are capped to this (see runtime/generate.py) so a
+# chunk's writes can never clobber keys its own queries need.
+SWA_EXTRA = 512
+
 @struct.dataclass
 class KVCache:
     """Per-layer K/V tensors, [n_layers][B, S_layer, H_kv, D].
 
-    Sliding-window layers allocate only `window` slots (ring-written), the
-    reference's partial-cache design (src/layers.h:1973-2016).
+    Sliding-window layers allocate `window + SWA_EXTRA` slots (ring-written),
+    the reference's partial-cache design (src/layers.h:1973-2016).
 
     Quantized mode (`--cache_dtype q8_0` analog, reference src/layers.cpp:
     2933): k/v are int8 with per-(token, head) f32 scales in k_scale/v_scale
@@ -154,7 +162,8 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
     ks, vs, kss, vss = [], [], [], []
     for i in range(cfg.num_hidden_layers):
         spec = cfg.layer_spec(i)
-        s = max_len if spec.sliding_window <= 0 else min(max_len, spec.sliding_window)
+        s = max_len if spec.sliding_window <= 0 else min(
+            max_len, spec.sliding_window + SWA_EXTRA)
         if spec.no_attn:
             ks.append(jnp.zeros((batch, 1, 1, 1), dtype))
             vs.append(jnp.zeros((batch, 1, 1, 1), dtype))
@@ -166,8 +175,10 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
         ks.append(jnp.zeros((batch, s, n_kv_l, dk), dtype))
         vs.append(jnp.zeros((batch, s, n_kv_l, dv), dtype))
         if quantized:
-            kss.append(jnp.zeros((batch, s, n_kv), jnp.float32))
-            vss.append(jnp.zeros((batch, s, n_kv), jnp.float32))
+            # scales must track the per-layer head count (DeciLM-style
+            # heterogeneous GQA), not the global n_kv
+            kss.append(jnp.zeros((batch, s, n_kv_l), jnp.float32))
+            vss.append(jnp.zeros((batch, s, n_kv_l), jnp.float32))
     return KVCache(k=tuple(ks), v=tuple(vs),
                    k_scale=tuple(kss) if quantized else None,
                    v_scale=tuple(vss) if quantized else None)

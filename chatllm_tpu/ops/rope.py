@@ -97,7 +97,10 @@ def precompute_rope_cache(positions: jax.Array, cfg: RopeConfig):
         low = max(0.0, math.floor(_yarn_corr_dim(rot, cfg.orig_ctx, cfg.beta_fast, cfg.freq_base)))
         high = min(rot - 1.0, math.ceil(_yarn_corr_dim(rot, cfg.orig_ctx, cfg.beta_slow, cfg.freq_base)))
         denom = max(0.001, high - low)
-        ramp = jnp.clip((2.0 * dim_i - low) / denom, 0.0, 1.0)
+        # low/high from _yarn_corr_dim are half-dim indices; compare dim_i
+        # (also a half-dim index) directly — ggml's ramp is (i0/2 - low)/denom
+        # (ggml-cpu rope_yarn_ramp) and HF's yarn mask is (arange(dim//2)-low).
+        ramp = jnp.clip((dim_i - low) / denom, 0.0, 1.0)
         ramp_mix = (1.0 - ramp) * cfg.ext_factor               # 1 near dim 0
         theta_interp = cfg.freq_scale * theta_extrap
         theta = theta_interp * (1.0 - ramp_mix) + theta_extrap * ramp_mix

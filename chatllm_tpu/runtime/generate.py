@@ -84,6 +84,21 @@ def _bucket(n: int, lo: int = 16, hi: int = 4096) -> int:
     return b
 
 
+def _fit_bucket(n: int, room: int, hi: int) -> int:
+    """Largest bucket that holds `n` tokens without exceeding `room` cache
+    slots.  Falls back to an exact-size pad (rare tail compile) when fewer
+    than one minimum bucket of room remains near the context limit —
+    padding past `room` would make update_kv_cache's dynamic_update_slice
+    clamp the start index and silently corrupt older cache entries."""
+    tpad = _bucket(n, hi=hi)
+    if tpad <= room:
+        return tpad
+    b = 16
+    while b * 2 <= room:
+        b *= 2
+    return b if b <= room else room
+
+
 class InferenceEngine:
     """Owns the jitted compute for one model (params + static config)."""
 
@@ -99,6 +114,31 @@ class InferenceEngine:
         self.pos_delta = 0
         self._prefill_cache = {}
         self._decode_fns = {}
+        # SWA models: prefill chunks are capped to the ring headroom so a
+        # chunk's writes never overwrite keys its own queries still need
+        # (reference extra_len pattern, src/layers.h:1973)
+        from ..nn.transformer import SWA_EXTRA
+        self._chunk_cap = 0
+        for i in range(cfg.num_hidden_layers):
+            w = cfg.layer_spec(i).sliding_window
+            if 0 < w and w + SWA_EXTRA < cfg.max_length:
+                self._chunk_cap = SWA_EXTRA
+                break
+
+    def _write_capacity(self, cache: KVCache) -> int:
+        """Slots available for dynamic-slice writes: the smallest DENSE
+        layer cache.  Ring (SWA) layers wrap and don't bound capacity."""
+        cfg = self.cfg
+        sizes = []
+        for i in range(cfg.num_hidden_layers):
+            spec = cfg.layer_spec(i)
+            if spec.no_attn:
+                continue
+            S = cache.k[i].shape[1]
+            if spec.sliding_window > 0 and S < cfg.max_length:
+                continue                     # ring-written, wraps
+            sizes.append(S)
+        return min(sizes) if sizes else self.max_length
 
     # -- compiled stages ----------------------------------------------------
     def _prefill_fn(self, tpad: int):
@@ -211,7 +251,9 @@ class InferenceEngine:
         Returns (last-token logits [B,V] f32 on device, cache, n_past)."""
         ids = np.atleast_2d(np.asarray(ids, dtype=np.int32))
         B, T = ids.shape
-        cache_len = cache.k[0].shape[1]
+        if self._chunk_cap:
+            chunk = min(chunk, self._chunk_cap)
+        cache_len = self._write_capacity(cache)
         if n_past + T > cache_len:
             # keep the most recent tokens that fit (callers normally truncate
             # upstream via encode_history; this is the last-resort guard)
@@ -222,7 +264,9 @@ class InferenceEngine:
         done = 0
         while done < T:
             n = min(chunk, T - done, cache_len - n_past)
-            tpad = _bucket(n, hi=max(16, min(chunk, cache_len)))
+            tpad = _fit_bucket(n, cache_len - n_past,
+                               hi=max(16, min(chunk, cache_len)))
+            n = min(n, tpad)
             buf = np.zeros((B, tpad), np.int32)
             buf[:, :n] = ids[:, done : done + n]
             fn = self._prefill_fn(tpad)
@@ -242,7 +286,24 @@ class InferenceEngine:
         M-RoPE axis streams (t, h, w[, e]) for Qwen-VL-style models."""
         cfg = self.cfg
         T = embeds.shape[1]
-        tpad = _bucket(T, hi=max(16, self.max_length))
+        room = max(1, self._write_capacity(cache) - n_past)
+        cap = min(self._chunk_cap or T, room)
+        if T > cap:
+            # SWA ring headroom / near-context-limit: feed in chunks
+            pos_np = None if positions is None else np.atleast_2d(
+                np.asarray(positions, np.int32))
+            logits = None
+            done = 0
+            while done < T:
+                n = min(cap, T - done)
+                p = None if pos_np is None else pos_np[..., done:done + n]
+                if p is not None and p.shape[0] == 1:
+                    p = p[0]
+                logits, cache, n_past = self.prefill_embeds(
+                    embeds[:, done:done + n], cache, n_past, positions=p)
+                done += n
+            return logits, cache, n_past
+        tpad = _fit_bucket(T, room, hi=max(16, self.max_length))
         if tpad != T:
             embeds = jnp.pad(embeds, ((0, 0), (0, tpad - T), (0, 0)))
         if positions is not None:

@@ -176,9 +176,25 @@ def convert_llama(w, f, cfg, sd, dtype):
     if theta == 10000.0 and kv == heads and not tie and not scaling:
         mtype = ModelType.LLAMA2
         w.write_config(_base_vals(cfg, dtype) + [], fmt="11i")
-    else:
+    elif scaling or tie:
+        # Llama-3.1/3.2: carry the 'llama3' rope-scaling fields so the
+        # loader reconstructs per-dim freq factors (models/llama.h:154-160;
+        # dropping them would run converted 3.1/3.2 checkpoints unscaled)
         assert not scaling or scaling.get("rope_type", scaling.get("type")) in (
             None, "llama3"), "only llama3-style rope scaling supported"
+        mtype = ModelType.LLAMA3_2 if tie else ModelType.LLAMA3_1
+        w.write_config(_base_vals(cfg, dtype) + [kv], fmt="12i")
+        f.write(struct.pack(
+            "<fifff", theta,
+            int(scaling.get("original_max_position_embeddings",
+                            cfg["max_position_embeddings"])),
+            float(scaling.get("factor", 1.0)),
+            float(scaling.get("low_freq_factor", 1.0)),
+            float(scaling.get("high_freq_factor", 4.0))))
+        if tie:
+            f.write(struct.pack("<i", 1))
+        w._patch_offset(12)
+    else:
         mtype = ModelType.LLAMA3
         w.write_config(_base_vals(cfg, dtype) + [kv], fmt="12i")
         f.write(struct.pack("<f", theta))
@@ -231,6 +247,8 @@ def convert_mistral(w, f, cfg, sd, dtype):
     kv = cfg.get("num_key_value_heads", heads)
     w.write_config(_base_vals(cfg, dtype) +
                    [kv, cfg.get("sliding_window") or -1], fmt="13i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
     w.patch_model_type(int(ModelType.MISTRAL))
     for n in _llama_like_names(cfg["num_hidden_layers"], tie=False):
         arr = sd[n]

@@ -109,3 +109,72 @@ def test_convert_rejects_unknown_arch(tmp_path):
     (d / "config.json").write_text(json.dumps({"architectures": ["FooModel"]}))
     with pytest.raises(NotImplementedError, match="FooModel"):
         convert(str(d), str(tmp_path / "x.bin"))
+
+
+def test_convert_llama31_rope_scaling(tmp_path):
+    """ADVICE.md #4: 'llama3' rope scaling must survive conversion (emit
+    LLAMA3_1/LLAMA3_2 with the four scaling fields, not plain LLAMA3)."""
+    torch.manual_seed(6)
+    vocab = 260
+    cfg = transformers.LlamaConfig(
+        vocab_size=vocab, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=256, rope_theta=500000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=True, attention_bias=False,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 32})
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    d = _save_hf_dir(tmp_path, hf,
+                     {**cfg.to_dict(), "architectures": ["LlamaForCausalLM"]},
+                     ["<|begin_of_text|>", "<|end_of_text|>",
+                      "<|start_header_id|>", "<|end_header_id|>"])
+
+    out = str(tmp_path / "l31.bin")
+    convert(d, out, "f32")
+    model = load_model(out, RuntimeConfig(**RT32))
+    from chatllm_tpu.models import ModelType
+    assert model.model_type == ModelType.LLAMA3_2       # tied + scaled
+    assert model.cfg.rope.freq_factors is not None
+    # positions beyond original_max_position_embeddings exercise the scaling
+    ids = np.array([np.arange(64) % vocab], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
+
+
+def test_convert_mistral_roundtrip(tmp_path):
+    """The MISTRAL loader reads n_kv, sliding_window AND rope_theta
+    (models/mistral.h:5-10) plus an SP-score vocab — the converter must
+    write all of them (rope_theta was silently dropped before round 2)."""
+    torch.manual_seed(9)
+    vocab = 260
+    cfg = transformers.MistralConfig(
+        vocab_size=vocab, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=2048, rope_theta=100000.0, sliding_window=64,
+        rms_norm_eps=1e-5,   # loader default; GGMM Mistral config carries no eps
+        tie_word_embeddings=False)
+    hf = transformers.MistralForCausalLM(cfg).eval()
+    d = _save_hf_dir(tmp_path, hf,
+                     {**cfg.to_dict(), "architectures": ["MistralForCausalLM"]},
+                     [])
+    # Mistral loader expects SP-score vocab; give it a Unigram tokenizer.json
+    uni = [[chr(b), -float(b)] for b in range(256)]
+    uni += [["<s>", -300.0], ["</s>", -301.0], ["[INST]", -302.0],
+            ["[/INST]", -303.0]]
+    (tmp_path / "hf" / "tokenizer.json").write_text(json.dumps(
+        {"version": "1.0", "added_tokens": [],
+         "model": {"type": "Unigram", "vocab": uni}}))
+
+    out = str(tmp_path / "mi.bin")
+    convert(d, out, "f32")
+    model = load_model(out, RuntimeConfig(**RT32))
+    assert model.cfg.rope.freq_base == 100000.0          # theta survived
+    assert model.cfg.layer_spec(0).sliding_window == 64
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=2e-3, rtol=2e-3)
