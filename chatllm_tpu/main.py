@@ -22,6 +22,8 @@ class Args:
     load_session: str = ""
     save_session: str = ""
     cache_dtype: str = "bfloat16"
+    compute_dtype: str = "bfloat16"
+    weight_dtype: str = "auto"
     re_quantize: str = ""
     mla_cache: str = "speed"
     max_length: int = -1
@@ -123,6 +125,15 @@ def parse_args(argv: list[str]) -> Args:
             v = nxt()
             a.cache_dtype = {"f16": "bfloat16", "bf16": "bfloat16",
                              "f32": "float32", "q8_0": "int8"}.get(v, v)
+        elif arg == "--compute_dtype":
+            # f32 = bit-parity mode vs the (f32-accumulating) reference
+            v = nxt()
+            a.compute_dtype = {"f16": "bfloat16", "bf16": "bfloat16",
+                               "f32": "float32"}.get(v, v)
+        elif arg == "--weight_dtype":
+            v = nxt()
+            a.weight_dtype = {"f16": "bfloat16", "bf16": "bfloat16",
+                              "f32": "float32"}.get(v, v)
         elif arg == "--re_quantize":
             a.re_quantize = nxt()
         elif arg == "--mla_cache":
@@ -184,13 +195,15 @@ def usage() -> str:
 def build_gen_config(a: Args):
     from .runtime.generate import GenerationConfig
 
+    # `-t 0` also selects greedy (reference src/main.cpp --temp handling)
+    sampling = "greedy" if a.temp <= 0 else a.sampling
     return GenerationConfig(
         max_length=a.max_length,
         max_new_tokens=a.max_new_tokens,
         max_context_length=a.max_context_length,
-        do_sample=a.sampling != "greedy",
+        do_sample=sampling != "greedy",
         top_k=a.top_k, top_p=a.top_p, temperature=a.temp, tfs_z=a.tfs_z,
-        sampling=a.sampling,
+        sampling=sampling,
         repeat_penalty=a.repeat_penalty,
         frequency_penalty=a.frequency_penalty,
         presence_penalty=a.presence_penalty,
@@ -248,7 +261,8 @@ def main(argv=None) -> int:
     from .runtime.pipeline import ExtendingMethod, Pipeline
     from .runtime.streamer import TextStreamer, ThoughtChunkInterceptor
 
-    rt = RuntimeConfig(cache_dtype=a.cache_dtype, max_length=a.max_length,
+    rt = RuntimeConfig(cache_dtype=a.cache_dtype, compute_dtype=a.compute_dtype,
+                       weight_dtype=a.weight_dtype, max_length=a.max_length,
                        re_quantize=a.re_quantize, mla_cache=a.mla_cache)
     model = load_model(a.model_path, rt)
     pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
@@ -321,15 +335,20 @@ def main(argv=None) -> int:
     else:
         print(f"You  > {a.prompt}")
         print("A.I. > ", end="", flush=True)
+        # --format completion: raw continuation, no chat template
+        # (reference ModelObject "completion" format, src/main.cpp)
+        run = (lambda: pipe.text_completion(a.prompt, streamer)
+               ) if a.format == "completion" else (
+               lambda: pipe.chat(a.prompt, streamer))
         if a.profile_dir:
             # jax profiler trace (the reference's timing/tracing analog,
             # SURVEY.md §5.1)
             import jax
 
             with jax.profiler.trace(a.profile_dir):
-                pipe.chat(a.prompt, streamer)
+                run()
         else:
-            pipe.chat(a.prompt, streamer)
+            run()
         print()
         print(pipe.show_statistics())
 
