@@ -341,6 +341,9 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
 
     if spec.sliding_window > 0 and k_cache.shape[1] < cfg.max_length:
         # ring cache write (partial cache, reference src/layers.h:1973)
+        assert jnp.ndim(n_past) == 0, (
+            "per-slot n_past (continuous batching) not supported with the "
+            "SWA ring cache; allocate full-length caches for serving")
         from ..ops.attention import quantize_kv
 
         S = k_cache.shape[1]
@@ -474,6 +477,9 @@ def _mla_compressed_block(cfg, spec, p, x, cos, sin, k_cache, v_cache,
     Cache memory drops h× vs the expanded mode (e.g. 16× for V2-Lite).
     Quantized-cache mode is not supported here (use expanded)."""
     assert k_scale is None, "compressed MLA cache incompatible with q8 cache"
+    assert jnp.ndim(n_past) == 0, (
+        "per-slot n_past not supported with the compressed MLA cache; "
+        "use --mla_cache speed for serving")
     B, T, H = x.shape
     m = cfg.mla
     h = cfg.num_attention_heads
@@ -598,8 +604,11 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
         B, T = ids.shape
         x = embed_tokens(cfg, params, ids)
     if positions is None:
-        positions = n_past + jnp.arange(T)[None, :]            # [1,T]
-        positions = jnp.broadcast_to(positions, (B, T))
+        if jnp.ndim(n_past) == 1:          # per-slot offsets [B] (batching)
+            positions = n_past[:, None] + jnp.arange(T)[None, :]
+        else:
+            positions = n_past + jnp.arange(T)[None, :]        # [1,T]
+            positions = jnp.broadcast_to(positions, (B, T))
     if positions.ndim == 3:
         # M-RoPE: [A, B, T] position streams (t, h, w[, e]) — Qwen2-VL
         # family multimodal prefill (models/qwen.cpp TensorPosHelper3D)

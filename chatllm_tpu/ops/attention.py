@@ -38,7 +38,27 @@ def quantize_kv(x):
 
 def update_kv_cache(k_cache, v_cache, k, v, n_past, k_scale=None, v_scale=None):
     """Write new K/V ([B,T,H,D]) at position n_past. Returns updated caches
-    (+ updated scale tensors when the cache is quantized)."""
+    (+ updated scale tensors when the cache is quantized).
+
+    `n_past` may be a scalar (all rows share one write offset — the chat
+    path) or an int vector [B] (per-slot offsets — the continuous-batching
+    decode path, runtime/batching.py; writes become a batched scatter)."""
+    if jnp.ndim(n_past) == 1:
+        B, T = k.shape[:2]
+        b_idx = jnp.arange(B)[:, None]                         # [B,1]
+        pos = n_past[:, None] + jnp.arange(T)[None, :]         # [B,T]
+        pos = jnp.minimum(pos, k_cache.shape[1] - 1)
+        if k_scale is not None:
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            k_cache = k_cache.at[b_idx, pos].set(kq)
+            v_cache = v_cache.at[b_idx, pos].set(vq)
+            k_scale = k_scale.at[b_idx, pos].set(ks)
+            v_scale = v_scale.at[b_idx, pos].set(vs)
+            return k_cache, v_cache, k_scale, v_scale
+        k_cache = k_cache.at[b_idx, pos].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[b_idx, pos].set(v.astype(v_cache.dtype))
+        return k_cache, v_cache, None, None
     if k_scale is not None:
         kq, ks = quantize_kv(k)
         vq, vs = quantize_kv(v)
@@ -180,6 +200,15 @@ def attention_with_cache(
 
     qg = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
 
+    if jnp.ndim(n_past) == 1:
+        # continuous-batching decode: per-slot positions (runtime/batching.py)
+        return _batched_npast_attention(
+            qg, k_cache, v_cache, n_past, n_tokens, scale=scale,
+            causal=causal, logit_softcap=logit_softcap,
+            sliding_window=sliding_window, sinks=sinks,
+            alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+        ).reshape(B, T, Hq, v_cache.shape[-1]).astype(q.dtype)
+
     if (S >= CHUNKED_ATTN_THRESHOLD and sinks is None
             and alibi_slopes is None and mask_extra is None
             and S % 1024 == 0):
@@ -233,6 +262,51 @@ def attention_with_cache(
         p = p * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum("bhgts,bshd->bthgd", p, v_cache.astype(jnp.float32))
     return out.reshape(B, T, Hq, v_cache.shape[-1]).astype(q.dtype)
+
+
+def _batched_npast_attention(qg, k_cache, v_cache, n_past, n_tokens, *,
+                             scale, causal, logit_softcap, sliding_window,
+                             sinks, alibi_slopes, k_scale, v_scale):
+    """Dense attention with a PER-ROW n_past vector [B] — each batch slot
+    sees its own causal frontier.  Serving-path analog of the reference's
+    per-slot KV state (one C++ model object per stream); here one shared
+    [B, S] cache + per-row masks so decode stays a single batched einsum."""
+    B, T, Hkv, G, D = qg.shape
+    S = k_cache.shape[1]
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_cache.astype(jnp.float32)) * scale
+    if k_scale is not None:
+        scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    if logit_softcap > 0.0:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+
+    q_pos = n_past[:, None, None] + jnp.arange(T)[None, :, None]   # [B,T,1]
+    k_pos = jnp.arange(S)[None, None, :]                           # [1,1,S]
+    valid = k_pos < (n_past[:, None, None] + n_tokens)
+    if causal:
+        valid &= k_pos <= q_pos
+    if sliding_window > 0:
+        valid &= k_pos > (q_pos - sliding_window)
+    mask = jnp.where(valid, 0.0, NEG_INF)[:, None, None]           # [B,1,1,T,S]
+
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.reshape(Hkv, G).astype(jnp.float32)
+        bias = slopes[None, :, :, None, None] * jnp.arange(S, dtype=jnp.float32)[None, None, None, None]
+        scores = scores + bias
+    scores = scores + mask
+
+    if sinks is not None:
+        sk = sinks.reshape(Hkv, G).astype(jnp.float32)
+        sk = jnp.broadcast_to(sk[None, :, :, None, None], (B, Hkv, G, T, 1))
+        all_scores = jnp.concatenate([scores, sk], axis=-1)
+        m = jnp.max(all_scores, axis=-1, keepdims=True)
+        e = jnp.exp(all_scores - m)
+        p = e[..., :S] / jnp.sum(e, axis=-1, keepdims=True)
+    else:
+        p = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        p = p * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bhgts,bshd->bthgd", p, v_cache.astype(jnp.float32))
+    return out
 
 
 def alibi_slopes_for(n_heads: int) -> jax.Array:

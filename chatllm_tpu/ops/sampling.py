@@ -63,6 +63,20 @@ def penalty_accept(state: PenaltyState, token_id) -> PenaltyState:
     return PenaltyState(count, hist, (state.write_pos + 1) % window)
 
 
+def penalty_accept_batched(state: PenaltyState, token_ids) -> PenaltyState:
+    """Vectorized accept over a [B]-leading penalty state (one ring per
+    serving slot, runtime/batching.py).  Same semantics per row as
+    `penalty_accept`."""
+    window = state.history.shape[-1]
+    b = jnp.arange(token_ids.shape[0])
+    old = state.history[b, state.write_pos]                     # [B]
+    dec = jnp.where(old >= 0, 1, 0)
+    count = state.token_count.at[b, jnp.maximum(old, 0)].add(-dec)
+    count = count.at[b, token_ids].add(1)
+    hist = state.history.at[b, state.write_pos].set(token_ids)
+    return PenaltyState(count, hist, (state.write_pos + 1) % window)
+
+
 def apply_penalties(logits: jax.Array, state: PenaltyState, cfg: SamplerConfig) -> jax.Array:
     """Reference LogitsPenalty::process (src/models.cpp:640-671)."""
     lf = logits.astype(jnp.float32)

@@ -1,0 +1,313 @@
+"""Continuous batching: N concurrent generation streams over one shared
+batched KV cache.
+
+The reference serves one slot behind a lock (bindings/server.nim:849-866
+reports a single `/slots` entry); llama.cpp-style servers interleave
+requests at token granularity.  The TPU-native version keeps ONE compiled
+batched decode step over a [B_slots, S] cache and gives every slot its own
+causal frontier:
+
+  - per-slot `n_past` int vector -> per-row masks + scatter cache writes
+    (ops/attention.py `_batched_npast_attention` / `update_kv_cache`)
+  - prefill happens slot-at-a-time between decode blocks: the new prompt's
+    K/V are computed with a B=1 forward against that slot's cache row
+    (sliced out and written back in a donated jit), so running streams
+    are never re-padded or interrupted
+  - decode runs `block` autoregressive steps per dispatch inside one
+    lax.scan (same inversion as runtime/generate.py); slots that finish
+    mid-block waste at most block-1 speculative rows which are simply
+    overwritten after the slot is reused
+  - sampling is on-device and batched: shared SamplerConfig per engine,
+    per-slot penalty rings (`penalty_accept_batched`) and per-slot RNG
+    folded from each request's seed
+
+Aggregate throughput therefore approaches the static-batch B=N decode
+bench instead of 1/N of it.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.transformer import TransformerConfig, init_cache, transformer_forward
+from ..ops.sampling import (PenaltyState, SamplerConfig,
+                            penalty_accept_batched, sample_token)
+from .generate import _fit_bucket
+
+
+@dataclass
+class _Slot:
+    req_id: int
+    out: "queue.Queue[int | None]"
+    n_past: int = 0
+    produced: int = 0
+    max_new: int = 0
+    is_terminator: Callable[[int], bool] = lambda t: False
+    last_tok: int = 0
+    done: bool = False
+
+
+class StreamHandle:
+    """Consumer side of one request: iterate to receive token ids."""
+
+    def __init__(self, req_id: int):
+        self.req_id = req_id
+        self._q: "queue.Queue[int | None]" = queue.Queue()
+        self.cancelled = False
+
+    def __iter__(self):
+        while True:
+            t = self._q.get()
+            if t is None:
+                return
+            yield t
+
+    def cancel(self):
+        self.cancelled = True
+
+
+class BatchedEngine:
+    """Slot scheduler + compiled batched decode for one model.
+
+    v1 scope: dense/uniform-attention text models (no SWA ring caches, no
+    compressed-MLA cache, no M-RoPE positions) and one SamplerConfig per
+    engine (per-request max_new/seed are honored; sampling params use the
+    engine's config so the decode step stays one compiled function).
+    """
+
+    def __init__(self, cfg: TransformerConfig, params, *, max_slots: int = 4,
+                 max_length: int | None = None, decode_block: int = 8,
+                 scfg: SamplerConfig | None = None):
+        self.cfg = cfg
+        self.params = params
+        self.max_slots = max_slots
+        self.max_length = max_length or cfg.max_length
+        self.decode_block = decode_block
+        self.scfg = scfg or SamplerConfig()
+
+        self.cache = init_cache(cfg, max_slots, self.max_length)
+        self.n_past = np.zeros(max_slots, np.int64)
+        self.toks = np.zeros(max_slots, np.int32)
+        self.slots: list[Optional[_Slot]] = [None] * max_slots
+        B = max_slots
+        self.penalty = PenaltyState(
+            token_count=jnp.zeros((B, cfg.vocab_size), jnp.int32),
+            history=jnp.full((B, self.scfg.penalty_window), -1, jnp.int32),
+            write_pos=jnp.zeros((B,), jnp.int32))
+        self.keys = jax.random.split(jax.random.key(0), B)
+
+        self._prefill_fns = {}
+        self._decode_fn_c = None
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._pending: list[tuple[StreamHandle, list[int], int, Callable, int]] = []
+        self._next_id = 0
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- public ------------------------------------------------------------
+    def submit(self, ids: list[int], *, max_new: int = -1,
+               is_terminator: Callable[[int], bool] = lambda t: False,
+               seed: int = 0) -> StreamHandle:
+        with self._cv:
+            h = StreamHandle(self._next_id)
+            self._next_id += 1
+            ids = list(ids)[-(self.max_length - 1):]   # keep newest that fit
+            room = self.max_length - len(ids) - 1
+            mn = min(max_new if max_new > 0 else room, room)
+            self._pending.append((h, ids, mn, is_terminator, seed))
+            self._cv.notify()
+            return h
+
+    def active_slots(self) -> list[dict]:
+        with self._lock:
+            return [{"id": i,
+                     "state": 0 if s is None else 1,
+                     "n_past": int(self.n_past[i]) if s else 0}
+                    for i, s in enumerate(self.slots)]
+
+    def shutdown(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    # -- compiled stages ----------------------------------------------------
+    def _prefill_fn(self, tpad: int):
+        if tpad in self._prefill_fns:
+            return self._prefill_fns[tpad]
+        cfg = self.cfg
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=())
+        def prefill(params, cache, ids, slot, n_past, n_tokens):
+            # slice out this slot's cache rows -> a B=1 cache view
+            row = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0),
+                cache)
+            logits, row = transformer_forward(cfg, params, ids, row, n_past)
+            cache = jax.tree.map(
+                lambda a, r: jax.lax.dynamic_update_slice_in_dim(a, r, slot, axis=0),
+                cache, row)
+            last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
+            return last[0, 0, :], cache
+
+        self._prefill_fns[tpad] = prefill
+        return prefill
+
+    def _decode_fn(self):
+        if self._decode_fn_c is not None:
+            return self._decode_fn_c
+        cfg, scfg, block = self.cfg, self.scfg, self.decode_block
+
+        @partial(jax.jit, donate_argnums=(1, 4))
+        def decode(params, cache, toks, n_past, penalty, keys, active):
+            # toks [B], n_past [B] int32, active [B] bool
+            def body(carry, _):
+                toks, cache, n_past, penalty, keys = carry
+                logits, cache = transformer_forward(
+                    cfg, params, toks[:, None], cache, n_past)
+                lf = logits[:, -1, :]
+                keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+                sub = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+                if scfg.do_sample and scfg.sampling != "greedy":
+                    nxt = jax.vmap(
+                        lambda l, k, p: sample_token(l, scfg, k, p)[0]
+                    )(lf, sub, penalty)
+                else:
+                    nxt, _ = sample_token(lf, scfg)
+                nxt = jnp.where(active, nxt, toks)
+                penalty = penalty_accept_batched(penalty, nxt)
+                n_past = n_past + active.astype(n_past.dtype)
+                return (nxt, cache, n_past, penalty, keys), nxt
+
+            (toks, cache, n_past, penalty, keys), hist = jax.lax.scan(
+                body, (toks, cache, n_past, penalty, keys), None, length=block)
+            return hist, cache, n_past, penalty, keys
+
+        self._decode_fn_c = decode
+        return decode
+
+    # -- scheduler loop ------------------------------------------------------
+    def _free_slot(self) -> int:
+        for i, s in enumerate(self.slots):
+            if s is None:
+                return i
+        return -1
+
+    def _admit(self, h: StreamHandle, ids, max_new, is_term, seed, slot: int):
+        cfg = self.cfg
+        ids = np.asarray(ids, np.int32)[None, :]
+        T = ids.shape[1]
+        # reset per-slot sampler state
+        self.keys = self.keys.at[slot].set(jax.random.fold_in(
+            jax.random.key(0), seed * self.max_slots + slot))
+        self.penalty = PenaltyState(
+            token_count=self.penalty.token_count.at[slot].set(0),
+            history=self.penalty.history.at[slot].set(-1),
+            write_pos=self.penalty.write_pos.at[slot].set(0))
+        # chunked prefill into the slot's cache rows
+        n_past = 0
+        logits = None
+        chunk = 1024
+        while n_past < T:
+            n = min(chunk, T - n_past)
+            tpad = _fit_bucket(n, self.max_length - n_past, hi=chunk)
+            n = min(n, tpad)
+            buf = np.zeros((1, tpad), np.int32)
+            buf[:, :n] = ids[:, n_past:n_past + n]
+            fn = self._prefill_fn(tpad)
+            logits, self.cache = fn(self.params, self.cache, jnp.asarray(buf),
+                                    jnp.int32(slot), jnp.int32(n_past),
+                                    jnp.int32(n))
+            n_past += n
+        tok0, _ = sample_token(np.asarray(logits), self.scfg,
+                               jax.random.fold_in(jax.random.key(1), seed),
+                               None)
+        tok0 = int(tok0)
+        s = _Slot(req_id=h.req_id, out=h._q, n_past=n_past, max_new=max_new,
+                  is_terminator=is_term, last_tok=tok0)
+        if is_term(tok0) or max_new <= 0:
+            h._q.put(None)
+            return
+        s.produced = 1
+        h._q.put(tok0)
+        self._handles[slot] = h
+        self.slots[slot] = s
+        self.n_past[slot] = n_past
+        self.toks[slot] = tok0
+
+    def _run(self):
+        self._handles: list[Optional[StreamHandle]] = [None] * self.max_slots
+        while True:
+            with self._cv:
+                while (not self._stop and not self._pending
+                       and not any(self.slots)):
+                    self._cv.wait()
+                if self._stop:
+                    for s in self.slots:
+                        if s is not None:
+                            s.out.put(None)
+                    return
+                # admit pending requests into free slots
+                while self._pending:
+                    slot = self._free_slot()
+                    if slot < 0:
+                        break
+                    h, ids, mn, it, seed = self._pending.pop(0)
+                    if h.cancelled:
+                        h._q.put(None)
+                        continue
+                    try:
+                        self._admit(h, ids, mn, it, seed, slot)
+                    except Exception:
+                        h._q.put(None)
+                        raise
+                active_any = any(s is not None for s in self.slots)
+            if not active_any:
+                continue
+            self._decode_block_once()
+
+    def _decode_block_once(self):
+        with self._lock:
+            active = np.array([s is not None for s in self.slots])
+            n_past_d = jnp.asarray(self.n_past.astype(np.int32))
+            toks_d = jnp.asarray(self.toks)
+        decode = self._decode_fn()
+        hist, self.cache, n_past_new, self.penalty, self.keys = decode(
+            self.params, self.cache, toks_d, n_past_d, self.penalty,
+            self.keys, jnp.asarray(active))
+        hist = np.asarray(hist)                     # [block, B]
+        with self._cv:
+            for b, s in enumerate(self.slots):
+                if s is None:
+                    continue
+                h = self._handles[b]
+                for j in range(self.decode_block):
+                    t = int(hist[j, b])
+                    s.n_past += 1
+                    if s.is_terminator(t) or h.cancelled:
+                        s.done = True
+                        break
+                    s.produced += 1
+                    s.out.put(t)
+                    if s.produced >= s.max_new or s.n_past + 1 >= self.max_length:
+                        s.done = True
+                        break
+                if s.done:
+                    s.out.put(None)
+                    self.slots[b] = None
+                    self._handles[b] = None
+                    self.n_past[b] = 0
+                    self.toks[b] = 0
+                else:
+                    self.n_past[b] = s.n_past
+                    self.toks[b] = int(hist[-1, b])   # next step's input
+            self._cv.notify()

@@ -26,6 +26,10 @@ from ..runtime.pipeline import Pipeline
 from ..runtime.streamer import BaseStreamer, TextType
 
 
+class _BadRequest(Exception):
+    """Client error surfaced as an OpenAI-style 400 JSON body."""
+
+
 class _QueueStreamer(BaseStreamer):
     """Streams chunks into a queue consumed by the HTTP response thread."""
 
@@ -49,13 +53,25 @@ class _QueueStreamer(BaseStreamer):
 
 class ApiServer:
     def __init__(self, model, *, model_name: str = "default",
-                 emb_model=None, gen_config: GenerationConfig | None = None):
+                 emb_model=None, gen_config: GenerationConfig | None = None,
+                 max_slots: int = 1):
         self.model = model
         self.model_name = model_name
         self.emb_model = emb_model
         self.gen_config = gen_config or GenerationConfig()
         self.lock = threading.Lock()
         self.busy = False
+        self.max_slots = max_slots
+        self.batch = None
+        if max_slots > 1:
+            # continuous batching: N interleaved streams over one shared
+            # batched KV cache (runtime/batching.py); requests no longer
+            # serialize behind the lock
+            from ..runtime.batching import BatchedEngine
+
+            self.batch = BatchedEngine(
+                model.cfg, model.params, max_slots=max_slots,
+                scfg=self.gen_config.sampler_config())
 
     # ------------------------------------------------------------------
     def _fresh_pipeline(self) -> Pipeline:
@@ -85,8 +101,62 @@ class ApiServer:
             g.presence_penalty = float(body["presence_penalty"])
         return g
 
+    def _encode_chat(self, messages: list[dict]) -> list[int]:
+        """Encode an OpenAI-style message list with the model's template."""
+        from ..runtime.chat import Messages
+
+        tok = self.model.tokenizer
+        hist = Messages()
+        sys_prompt = None
+        for m in messages:
+            role = m.get("role", "user")
+            content = m.get("content", "") or ""
+            if isinstance(content, list):
+                content = "".join(p.get("text", "") for p in content
+                                  if isinstance(p, dict))
+            if role == "system":
+                sys_prompt = content
+            elif role == "user":
+                hist.push_back(MsgRole.USER, content)
+            elif role == "assistant":
+                hist.push_back(MsgRole.ASSISTANT, content)
+            elif role == "tool":
+                hist.push_back(MsgRole.TOOL, content)
+        old_sys = tok.sys_prompt
+        if sys_prompt is not None:
+            tok.sys_prompt = sys_prompt
+        try:
+            return tok.encode_history(hist, self.model.cfg.max_length,
+                                      ai_opening=True)
+        finally:
+            tok.sys_prompt = old_sys
+
+    def _run_batched(self, ids: list[int], gen_config, on_chunk=None) -> str:
+        tok = self.model.tokenizer
+        h = self.batch.submit(
+            ids, max_new=gen_config.max_new_tokens,
+            is_terminator=tok.is_terminate_token,
+            seed=gen_config.seed or 0)
+        from ..runtime.streamer import CallbackStreamer
+
+        parts: list[str] = []
+
+        def collect(first, chunk):
+            parts.append(chunk)
+            if on_chunk is not None:
+                on_chunk(chunk)
+
+        streamer = CallbackStreamer(tok, on_chunk=collect)
+        for t in h:
+            streamer.put([t])
+        streamer.end()
+        return "".join(parts)
+
     def chat(self, messages: list[dict], gen_config, on_chunk=None) -> str:
         """Run one chat request on a fresh pipeline (stateless server)."""
+        if self.batch is not None:
+            return self._run_batched(self._encode_chat(messages), gen_config,
+                                     on_chunk)
         with self.lock:
             self.busy = True
             try:
@@ -123,6 +193,9 @@ class ApiServer:
                 self.busy = False
 
     def completion(self, prompt: str, gen_config, on_chunk=None) -> str:
+        if self.batch is not None:
+            return self._run_batched(self.model.tokenizer.encode(prompt),
+                                     gen_config, on_chunk)
         with self.lock:
             self.busy = True
             try:
@@ -163,7 +236,10 @@ def _make_handler(api: ApiServer):
             n = int(self.headers.get("Content-Length", 0))
             if n == 0:
                 return {}
-            return json.loads(self.rfile.read(n) or b"{}")
+            try:
+                return json.loads(self.rfile.read(n) or b"{}")
+            except (json.JSONDecodeError, UnicodeDecodeError) as e:
+                raise _BadRequest(f"invalid JSON body: {e}")
 
         def _sse_start(self):
             self.send_response(200)
@@ -191,11 +267,14 @@ def _make_handler(api: ApiServer):
             elif path == "/health":
                 self._json({"status": "ok"})
             elif path == "/props":
-                self._json({"total_slots": 1,
+                self._json({"total_slots": api.max_slots,
                             "default_generation_settings": {"n_ctx": api.model.cfg.max_length},
                             "model_path": api.model_name})
             elif path == "/slots":
-                self._json([{"id": 0, "state": 1 if api.busy else 0}])
+                if api.batch is not None:
+                    self._json(api.batch.active_slots())
+                else:
+                    self._json([{"id": 0, "state": 1 if api.busy else 0}])
             elif path == "/api/tags":
                 self._json({"models": [{"name": api.model_name,
                                         "model": api.model_name,
@@ -213,6 +292,23 @@ def _make_handler(api: ApiServer):
 
         # -- POST --------------------------------------------------------
         def do_POST(self):
+            try:
+                self._do_POST()
+            except _BadRequest as e:
+                self._json({"error": {"message": str(e), "type": "invalid_request_error"}}, 400)
+            except BrokenPipeError:
+                pass                       # client went away mid-stream
+            except Exception as e:         # keep the worker thread alive
+                import traceback
+
+                traceback.print_exc()
+                try:
+                    self._json({"error": {"message": f"{type(e).__name__}: {e}",
+                                          "type": "server_error"}}, 500)
+                except Exception:
+                    pass
+
+        def _do_POST(self):
             path = self.path.split("?")[0]
             body = self._body()
             if path == "/v1/chat/completions":
@@ -239,6 +335,9 @@ def _make_handler(api: ApiServer):
                 self._json({"error": "not found"}, 404)
 
         def _chat_completions(self, body):
+            msgs = body.get("messages")
+            if not msgs or not isinstance(msgs, list):
+                raise _BadRequest("'messages' must be a non-empty array")
             gen = api._apply_sampling(body)
             rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
             created = int(time.time())

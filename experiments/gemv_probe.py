@@ -245,9 +245,15 @@ def run_stream(Wq):
 def main():
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
-    rng = np.random.default_rng(0)
-    Wq = jnp.asarray(rng.integers(-127, 127, (L, K, N), dtype=np.int8))
-    Ws = jnp.asarray(rng.random((L, K // GROUP, N), dtype=np.float32) * 0.01)
+    # generate on device — host->device of ~1 GB through the axon tunnel
+    # takes minutes
+    key = jax.random.key(0)
+    Wq = jax.jit(lambda k: jax.random.randint(
+        k, (L, K, N), -127, 127, dtype=jnp.int8))(key)
+    Ws = jax.jit(lambda k: jax.random.uniform(
+        k, (L, K // GROUP, N), jnp.float32) * 0.01)(key)
+    np.asarray(Ws[0, 0, :1])
+    print("weights ready", flush=True)
     int8_bytes = L * K * N
     which = sys.argv[1:] or ["stream", "vpu", "mxu_int8", "mxu_dequant",
                              "pallas_qmm", "mxu_bf16", "mxu_bf16_b8"]
