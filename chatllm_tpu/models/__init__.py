@@ -25,6 +25,7 @@ from . import orpheus    # noqa: F401
 from . import qwen_vl    # noqa: F401
 from . import misc_llama2  # noqa: F401
 from . import qwen_audio  # noqa: F401
+from . import minicpm    # noqa: F401
 from . import aliases    # noqa: F401
 from . import glm_asr    # noqa: F401
 

@@ -139,6 +139,7 @@ class ModelType(enum.IntEnum):
     MINICPM_MoE = 0x1102
     MINICPM3 = 0x1110
     MINICPM4 = 0x1111
+    MINICPM5 = 0x1112
 
     PERSIMMON = 0x1200
     FUYU = 0x1201

@@ -78,6 +78,8 @@ class TransformerConfig:
     logn_attn_seq: int = 0                  # Qwen-v1 logn attention: q scaled
     #   by log(pos)/log(seq) beyond seq (src/layers.cpp:3470)
     logit_softcap: float = 0.0              # attention score softcap (Gemma2)
+    causal: bool = True                     # False: bidirectional encoder
+    #   (cacheless embedding/reranker towers, e.g. MiniCPM-Embedding-Light)
     final_logit_softcap: float = 0.0
     embedding_scale: float = 1.0            # sqrt(hidden) for Gemma
     attention_scale: float = -1.0           # score scale; -1 = 1/sqrt(head_dim)
@@ -366,7 +368,7 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
         scale = cfg.attention_scale if cfg.attention_scale > 0 else d ** -0.5
         out = attention_with_cache(
             q, k_cache, v_cache, n_past, T,
-            scale=scale, causal=True,
+            scale=scale, causal=cfg.causal,
             logit_softcap=cfg.logit_softcap,
             sliding_window=spec.sliding_window,
             sinks=p.get("sinks"),

@@ -34,6 +34,8 @@ GROUP = 32
 
 
 def timed(fn, *args):
+    import sys as _s
+    print("  compiling...", flush=True)
     y = fn(*args)
     np.asarray(jax.tree.leaves(y)[0])          # readback = honest sync
     t0 = time.perf_counter()
@@ -142,7 +144,7 @@ def _vpu_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_kt):
         o_ref[:] = acc_ref[:]
 
 
-def vpu_gemv(x, w, s, *, tile_n=2048, tile_k=2048):
+def vpu_gemv(x, w, s, *, tile_n=2048, tile_k=256):
     n_kt = K // tile_k
     out = pl.pallas_call(
         lambda x_ref, w_ref, s_ref, o_ref, acc_ref: _vpu_kernel(
@@ -206,7 +208,7 @@ def _stream_kernel(w_ref, o_ref, acc_ref, *, n_kt):
         o_ref[:] = acc_ref[:]
 
 
-def stream_max(w, *, tile_n=2048, tile_k=2048):
+def stream_max(w, *, tile_n=2048, tile_k=256):
     n_kt = K // tile_k
     return pl.pallas_call(
         lambda w_ref, o_ref, acc_ref: _stream_kernel(
