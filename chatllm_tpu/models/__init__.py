@@ -28,6 +28,7 @@ from . import qwen_audio  # noqa: F401
 from . import minicpm    # noqa: F401
 from . import aliases    # noqa: F401
 from . import glm_asr    # noqa: F401
+from . import gpt_oss    # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

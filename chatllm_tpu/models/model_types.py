@@ -196,6 +196,7 @@ class ModelType(enum.IntEnum):
     EXAONE4 = 0x2800
     JIUTIAN = 0x2900
     OPENAI = 0x2A00
+    GPT_OSS = 0x2A00 + 0           # models/gpt.cpp MODEL_TYPE_GPT_OSS
     SEED = 0x2B00
     APERTUS = 0x2C00
     GROVE_MOE = 0x2D00

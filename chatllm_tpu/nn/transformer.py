@@ -97,7 +97,13 @@ class TransformerConfig:
     moe_n_group: int = 1            # DeepSeek grouped top-k routing
     moe_topk_group: int = 1
     moe_routed_scale: float = 1.0
-    moe_score_func: str = "softmax"  # softmax | sigmoid (V3)
+    moe_score_func: str = "softmax"  # softmax | sigmoid (V3) | softmax_topk
+    #   softmax_topk: top-k on raw logits, then softmax over the k selected
+    #   logits (GPT-OSS router, models/gpt.cpp OssSparseMoE::forward)
+    moe_act: str = ""               # "" = cfg.act | "swiglu_oai" (GPT-OSS,
+    #   ggml swiglu_oai: min(g,L)*sigmoid(a*g) * (clamp(u,-L,L)+1))
+    moe_swiglu_limit: float = 7.0
+    moe_swiglu_alpha: float = 1.702
     mla: Optional[MLAConfig] = None
     mla_compressed: bool = False    # latent ("memory") MLA cache: cache only
     #   [c_kv | k_pe] per token (reference forward_memory, deepseek.cpp:406)
@@ -244,6 +250,16 @@ def moe_mlp(cfg: TransformerConfig, p, x):
     B, T, H = x.shape
     xt = x.reshape(B * T, H)
     router_logits = matmul(xt, p["gate"]).astype(jnp.float32)         # [N, E]
+    if "gate_linear_bias" in p:
+        # true router bias on the logits (GPT-OSS mlp.router.bias) — distinct
+        # from the selection-only score-correction bias below
+        router_logits = router_logits + p["gate_linear_bias"].astype(jnp.float32)
+    if cfg.moe_score_func == "softmax_topk":
+        # GPT-OSS: top-k over raw logits, softmax over the selected k
+        # (models/gpt.cpp OssSparseMoE::forward: top_k then soft_max)
+        topl, topi = jax.lax.top_k(router_logits, cfg.moe_top_k)      # [N, K]
+        topv = jax.nn.softmax(topl, axis=-1)
+        return _moe_combine(cfg, p, xt, topi, topv, x)
     if cfg.moe_score_func == "sigmoid":
         probs = jax.nn.sigmoid(router_logits)
     else:
@@ -271,18 +287,39 @@ def moe_mlp(cfg: TransformerConfig, p, x):
         topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
     if cfg.moe_routed_scale != 1.0:
         topv = topv * cfg.moe_routed_scale
-    # dispatch one-hot: [N, K, E] → combine over experts
+    return _moe_combine(cfg, p, xt, topi, topv, x)
+
+
+def _moe_combine(cfg: TransformerConfig, p, xt, topi, topv, x):
+    """Expert compute + weighted combine given selected experts [N,K] and
+    weights [N,K].  Dense einsum over the expert dim (`mul_mat_id` analog)
+    gathered per token via one-hot matmul so shapes stay static for XLA."""
+    B, T, H = x.shape
     E = cfg.moe_num_experts
     onehot = jax.nn.one_hot(topi, E, dtype=xt.dtype)                  # [N,K,E]
     combine = jnp.einsum("nk,nke->ne", topv.astype(xt.dtype), onehot) # [N,E]
     # experts stored stacked: gate/up/down with leading expert dim
-    gw, uw, dw = p["experts"]["gate"], p["experts"]["up"], p["experts"]["down"]
+    ex = p["experts"]
+    gw, uw, dw = ex["gate"], ex["up"], ex["down"]
     # dense-over-experts compute (correct & simple; ragged Pallas kernel is
     # the optimization path for big E)
     g = jnp.einsum("nh,ehf->enf", xt, gw)
     u = jnp.einsum("nh,ehf->enf", xt, uw)
-    hidden = _act(cfg.act)(g) * u
+    if "gate_b" in ex:
+        g = g + ex["gate_b"][:, None, :]
+        u = u + ex["up_b"][:, None, :]
+    if cfg.moe_act == "swiglu_oai":
+        # ggml swiglu_oai (ggml-cpu/ops.cpp:3319-3324): clamp gate above,
+        # up both sides, sigmoid-gate with alpha, (up+1) multiplier
+        L, a = cfg.moe_swiglu_limit, cfg.moe_swiglu_alpha
+        gf = jnp.minimum(g.astype(jnp.float32), L)
+        uf = jnp.clip(u.astype(jnp.float32), -L, L)
+        hidden = (gf * jax.nn.sigmoid(a * gf) * (uf + 1.0)).astype(g.dtype)
+    else:
+        hidden = _act(cfg.act)(g) * u
     out = jnp.einsum("enf,efh->enh", hidden, dw)                      # [E,N,H]
+    if "down_b" in ex:
+        out = out + ex["down_b"][:, None, :]
     y = jnp.einsum("enh,ne->nh", out, combine)
     if "shared" in p:
         sh = gated_mlp(cfg, p["shared"], xt)
@@ -361,7 +398,7 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
             k_cache = k_cache.at[:, pos].set(k.astype(k_cache.dtype))
             v_cache = v_cache.at[:, pos].set(v.astype(v_cache.dtype))
         out = _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T,
-                              k_scale, v_scale)
+                              k_scale, v_scale, sinks=p.get("sinks"))
     else:
         k_cache, v_cache, k_scale, v_scale = update_kv_cache(
             k_cache, v_cache, k, v, n_past, k_scale, v_scale)
@@ -380,7 +417,7 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
 
 
 def _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T,
-                    k_scale=None, v_scale=None):
+                    k_scale=None, v_scale=None, sinks=None):
     """Attention over a ring-buffer cache of S = window slots: key absolute
     position reconstructed from ring index for masking + RoPE'd keys stored
     rotated (keys carry absolute-position rope, as in the reference)."""
@@ -406,7 +443,19 @@ def _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T,
     if cfg.logit_softcap > 0:
         scores = jnp.tanh(scores / cfg.logit_softcap) * cfg.logit_softcap
     scores = scores + mask[None, None, None]
-    p = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # per-head sink logit joins the softmax denominator, no value
+        # (GPT-OSS SWA layers; see ops/attention.py for the dense path)
+        G = hq // hkv
+        sk = sinks.reshape(hkv, G).astype(jnp.float32)
+        sk = jnp.broadcast_to(sk[None, :, :, None, None],
+                              scores.shape[:-1] + (1,))
+        all_scores = jnp.concatenate([scores, sk], axis=-1)
+        m = jnp.max(all_scores, axis=-1, keepdims=True)
+        e = jnp.exp(all_scores - m)
+        p = e[..., :-1] / jnp.sum(e, axis=-1, keepdims=True)
+    else:
+        p = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
         p = p * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum("bhgts,bshd->bthgd", p, v_cache.astype(jnp.float32))

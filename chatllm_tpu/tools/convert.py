@@ -279,7 +279,75 @@ def convert_hunyuan(w, f, cfg, sd, dtype):
         w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
 
 
+def convert_gpt_oss(w, f, cfg, sd, dtype):
+    """GptOssForCausalLM → GPT_OSS (reference convert.py GPTOSSConverter).
+
+    HF stores experts fused+interleaved: gate_up_proj [E, H, 2F] with
+    gate = [..., 0::2] / up = [..., 1::2]; split into the reference's
+    per-expert gate_proj/up_proj/down_proj (+biases) tensors."""
+    MAXL = 128
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    n_layers = cfg["num_hidden_layers"]
+    n_exp = cfg["num_local_experts"]
+    scaling = cfg.get("rope_scaling") or {}
+    assert scaling.get("rope_type", scaling.get("type")) == "yarn"
+    layer_types = [0] * MAXL
+    for i, t in enumerate(cfg["layer_types"]):
+        layer_types[i] = 1 if t == "sliding_attention" else 0
+    w.write_config(
+        _base_vals(cfg, dtype) +
+        [kv, cfg.get("head_dim", cfg["hidden_size"] // heads),
+         cfg.get("experts_per_token", cfg["num_experts_per_tok"]),
+         cfg["num_experts_per_tok"], n_exp,
+         cfg["sliding_window"]] + layer_types,
+        fmt=f"{11 + 6 + MAXL}i")
+    f.write(struct.pack(
+        "<7f", float(cfg.get("router_aux_loss_coef", 0.9)),
+        float(cfg.get("swiglu_limit", 7.0)),
+        float(cfg.get("rope_theta", 150000.0)),
+        float(scaling.get("original_max_position_embeddings",
+                          cfg["max_position_embeddings"])),
+        float(scaling.get("beta_fast", 32.0)),
+        float(scaling.get("beta_slow", 1.0)),
+        float(scaling.get("factor", 1.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.GPT_OSS))
+
+    def emit(n, arr, force_f32=False):
+        w.write_tensor(n, arr,
+                       dtype if arr.ndim == 2 and not force_f32 else GGMLType.F32)
+
+    emit("model.embed_tokens.weight", sd["model.embed_tokens.weight"])
+    for i in range(n_layers):
+        pfx = f"model.layers.{i}"
+        emit(f"{pfx}.input_layernorm.weight", sd[f"{pfx}.input_layernorm.weight"])
+        gu = sd[f"{pfx}.mlp.experts.gate_up_proj"]        # [E, H, 2F]
+        gub = sd[f"{pfx}.mlp.experts.gate_up_proj_bias"]  # [E, 2F]
+        dn = sd[f"{pfx}.mlp.experts.down_proj"]           # [E, F, H]
+        dnb = sd[f"{pfx}.mlp.experts.down_proj_bias"]     # [E, H]
+        for j in range(n_exp):
+            e = f"{pfx}.mlp.experts.{j}"
+            emit(f"{e}.down_proj.weight", np.ascontiguousarray(dn[j].T))
+            emit(f"{e}.down_proj.bias", dnb[j])
+            emit(f"{e}.gate_proj.weight", np.ascontiguousarray(gu[j][:, 0::2].T))
+            emit(f"{e}.gate_proj.bias", gub[j][0::2])
+            emit(f"{e}.up_proj.weight", np.ascontiguousarray(gu[j][:, 1::2].T))
+            emit(f"{e}.up_proj.bias", gub[j][1::2])
+        emit(f"{pfx}.mlp.router.weight", sd[f"{pfx}.mlp.router.weight"])
+        emit(f"{pfx}.mlp.router.bias", sd[f"{pfx}.mlp.router.bias"])
+        emit(f"{pfx}.post_attention_layernorm.weight",
+             sd[f"{pfx}.post_attention_layernorm.weight"])
+        for p in ("k_proj", "q_proj", "v_proj", "o_proj"):
+            emit(f"{pfx}.self_attn.{p}.weight", sd[f"{pfx}.self_attn.{p}.weight"])
+            emit(f"{pfx}.self_attn.{p}.bias", sd[f"{pfx}.self_attn.{p}.bias"])
+        emit(f"{pfx}.self_attn.sinks", sd[f"{pfx}.self_attn.sinks"])
+    emit("model.norm.weight", sd["model.norm.weight"])
+    emit("lm_head.weight", sd["lm_head.weight"])
+
+
 ARCH_CONVERTERS = {
+    "GptOssForCausalLM": convert_gpt_oss,
     "LlamaForCausalLM": convert_llama,
     "Qwen2ForCausalLM": convert_qwen2,
     "Qwen3ForCausalLM": convert_qwen3,
