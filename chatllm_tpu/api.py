@@ -45,12 +45,21 @@ class ChatLLM:
         a = parse_args(self._params)
         self.args = a
         rt = RuntimeConfig(cache_dtype=a.cache_dtype, max_length=a.max_length,
-                           re_quantize=a.re_quantize)
+                           re_quantize=a.re_quantize,
+                           weight_dtype=a.weight_dtype,
+                           compute_dtype=a.compute_dtype,
+                           mla_cache=a.mla_cache, additional=dict(a.additional))
         model = load_model(a.model_path, rt)
         pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
         pipe.gen_config = build_gen_config(a)
         if a.system is not None:
             model.tokenizer.sys_prompt = a.system
+        for k, v in a.additional.items():
+            # --set k v forwarded to the model (reference
+            # set_additional_args, src/chat.h:986)
+            setter = getattr(model, "set_additional_args", None)
+            if setter:
+                setter({k: v})
         self.pipeline = pipe
 
         def on_line(line, ttype):

@@ -5,6 +5,9 @@ permute q/k (no `pp` override in QWen2Converter, /root/reference/convert.py:4788
 """
 from __future__ import annotations
 
+import numpy as np
+import jax
+
 from ..nn.transformer import TransformerConfig
 from ..ops.rope import ROPE_NEOX, RopeConfig
 from ..runtime.chat import ChatMLEncoder, ChatTokenizer
@@ -247,3 +250,98 @@ class Qwen1(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+class _Qwen3EncoderMixin:
+    """Causal qwen3 tower driven as an encoder: cache-disabled single
+    forward (reference PreludeCacheDisable + EmbeddingLastTokenFinalSteps /
+    v3_ranker::FinalSteps, models/qwen.cpp:2014-2110)."""
+
+    task = "Given a web search query, retrieve relevant passages that answer the query"
+
+    def set_additional_args(self, args: dict):
+        self.task = args.get("task", self.task)
+
+    def _last_hidden(self, ids):
+        import jax.numpy as jnp
+
+        from ..nn.transformer import (decoder_layer, embed_tokens, init_cache)
+        from ..ops.rope import precompute_rope_cache
+
+        cfg = self.cfg
+        arr = jnp.asarray(np.asarray([ids], np.int32))
+        cache = init_cache(cfg, 1, max(len(ids), 8))
+        x = embed_tokens(cfg, self.params, arr)
+        pos = jnp.arange(arr.shape[1])[None, :]
+        cos, sin = precompute_rope_cache(pos, cfg.rope)
+        for i in range(cfg.num_hidden_layers):
+            x, *_ = decoder_layer(cfg, cfg.layer_spec(i),
+                                  self.params["layers"][i], x, cos, sin,
+                                  cache.k[i], cache.v[i], 0)
+        return x[0, -1:]                                # [1, H]
+
+
+@register_model(ModelType.QWEN3_Embedding)
+class Qwen3Embedding(_Qwen3EncoderMixin, Qwen3):
+    """Last-token embedding + L2 norm (EmbeddingLastTokenFinalSteps,
+    src/models.cpp:1807-1815); query prompt 'Instruct: {task}\\nQuery:{text}'
+    (models/qwen.cpp v3_emb::Tokenizer::encode_embedding)."""
+
+    @property
+    def engine(self):
+        raise TypeError("encoder model: use embed()/qa_rank()")
+
+    @property
+    def embedding_dim(self) -> int:
+        return self.cfg.hidden_size
+
+    def embed(self, text: str, purpose: str = "doc") -> np.ndarray:
+        import jax.numpy as jnp
+
+        from ..ops.norm import rms_norm
+
+        tok = self.tokenizer
+        if purpose == "query":
+            text = f"Instruct: {self.task}\nQuery:{text}"
+        ids = tok.encode(text)[: self.cfg.max_length - 1]
+        ids.append(tok.eos_token_id)
+        h = self._last_hidden(ids)
+        h = rms_norm(h, self.params["final_norm"]["w"], eps=self.cfg.norm_eps)
+        v = h[0].astype(jnp.float32)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        return np.asarray(v)
+
+
+@register_model(ModelType.QWEN3_ReRanker)
+class Qwen3ReRanker(_Qwen3EncoderMixin, Qwen3):
+    """score = P('yes' | yes/no logits of the last token)
+    (models/qwen.cpp v3_ranker::FinalSteps::forward)."""
+
+    @property
+    def engine(self):
+        raise TypeError("encoder model: use embed()/qa_rank()")
+
+    def qa_rank(self, question: str, answer: str) -> float:
+        import jax.numpy as jnp
+
+        from ..nn.transformer import lm_logits
+        from ..ops.norm import rms_norm
+
+        tok = self.tokenizer
+        yes_id = tok.tp.piece_to_id("yes")
+        no_id = tok.tp.piece_to_id("no")
+        text = (
+            '<|im_start|>system\nJudge whether the Document meets the '
+            'requirements based on the Query and the Instruct provided. '
+            'Note that the answer can only be "yes" or "no".<|im_end|>\n'
+            "<|im_start|>user\n"
+            f"<Instruct>: {self.task}\n<Query>: {question}\n"
+            f"<Document>: {answer}"
+            "<|im_end|>\n<|im_start|>assistant\n<think>\n\n</think>\n\n")
+        ids = tok.encode(text)[-self.cfg.max_length:]
+        h = self._last_hidden(ids)
+        h = rms_norm(h, self.params["final_norm"]["w"], eps=self.cfg.norm_eps)
+        logits = lm_logits(self.cfg, self.params, h[None])
+        two = jnp.stack([logits[0, 0, yes_id], logits[0, 0, no_id]])
+        p = jax.nn.softmax(two.astype(jnp.float32))
+        return float(p[0])

@@ -1,0 +1,155 @@
+"""VPU-path fused dequant GEMV Pallas kernel (B=1 decode).
+
+y[N] = sum_k x[k] * dequant(q[k, n])
+
+The MXU path (qmm_kernel.py) is weight-LOAD bound for single-row GEMV:
+the systolic array consumes ~4x128 weights/cycle regardless of batch, an
+~60 tok/s ceiling for an 8B model on v5e.  This kernel never touches the
+MXU: the quantized tile is unpacked and multiply-accumulated on the 8x128
+VPU, so throughput is bounded by HBM bandwidth and VPU rate instead
+(the reference's analog is the fused vec_dot q4_K kernels in
+/root/reference/ggml/src/ggml-quants.c).
+
+Compute layout per (n, k) grid step, all sublane-axis reductions done as
+halving adds (~1 VPU op/weight) down to an 8-row accumulator:
+
+    wq   [TK, TN]    unpack int4->f32 (or int8->f32)
+    p    = wq * x[TK, 1]                  (lane-broadcast multiply)
+    t    = group-halve(p)  [gs, 8, TN]    (reduce G -> 8 rows per group)
+    t   *= s[gs, 1, TN]
+    acc += halve(t)        [8, TN]
+
+The affine group bias b and the packed-format zero point are folded into
+tiny XLA-side matmuls by the wrapper:
+    y += (group-sums of x) @ b - zp * ((group-sums of x) @ s)
+so the kernel itself never subtracts the zero point (saves 1 op/weight).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kt: int, group: int,
+            packed: bool):
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:]                                   # [TK(/2), TN]
+    tn = q.shape[1]
+    xx = x_ref[:].astype(jnp.float32)              # [TK, 1]
+    if packed:
+        # group-local pairing (qtensor.pack_nibbles): byte row j of group g
+        # holds original rows (G*g + j, G*g + j + G/2) in (lo, hi)
+        half = group // 2
+        gs = q.shape[0] // half
+        qi = q.reshape(gs, half, tn).astype(jnp.int32)
+        lo = (qi & 0xF).astype(jnp.float32)        # rows 0..G/2-1 of group
+        hi = ((qi >> 4) & 0xF).astype(jnp.float32) # rows G/2..G-1
+        xg = xx.reshape(gs, group, 1)
+        p = lo * xg[:, :half] + hi * xg[:, half:]  # [gs, G/2, TN]
+        h = half
+    else:
+        gs = q.shape[0] // group
+        wq = q.astype(jnp.float32).reshape(gs, group, tn)
+        xg = xx.reshape(gs, group, 1)
+        p = wq * xg                                # [gs, G, TN]
+        h = group
+    # reduce the per-group row axis (axis=1) to 8 by halving adds
+    t = p
+    while h > 8:
+        t = t[:, : h // 2] + t[:, h // 2:]
+        h //= 2
+    s = s_ref[:].astype(jnp.float32)               # [gs, TN]
+    t = t * s[:, None, :]
+    # reduce the group axis: pairwise halving while even, then unrolled adds
+    g = gs
+    while g > 1 and g % 2 == 0:
+        t = t[: g // 2] + t[g // 2:]
+        g //= 2
+    r = t[0]
+    for i in range(1, g):
+        r = r + t[i]
+    acc_ref[:] += r
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _pick_tile(dim: int, want: int, unit: int) -> int:
+    t = min(want, dim)
+    t -= t % unit
+    while t >= unit:
+        if dim % t == 0:
+            return t
+        t -= unit
+    return dim
+
+
+@functools.partial(jax.jit, static_argnames=("group", "packed", "zero_point",
+                                             "tile_n", "tile_k", "interpret"))
+def qgemv_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
+                 packed: bool = False, zero_point: int = 0,
+                 tile_n: int = 1024, tile_k: int = 2048,
+                 interpret: bool = False):
+    """x: [1, K] float; q: [K, N] int8 (or packed uint8 [K/2, N]);
+    s/b: [K/group, N] f32; bias: [N].  Returns [1, N] f32."""
+    B, K = x.shape
+    assert B == 1, "VPU GEMV path is single-row; use qmm_pallas for B>1"
+    N = q.shape[1]
+    tile_n = _pick_tile(N, tile_n, 128)
+    tile_k = _pick_tile(K, tile_k, group)
+    n_kt = K // tile_k
+    qdiv = 2 if packed else 1
+    gs = tile_k // group
+
+    xc = x.reshape(K, 1).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_kt=n_kt, group=group, packed=packed),
+        grid=(N // tile_n, n_kt),
+        in_specs=[
+            pl.BlockSpec((tile_k, 1), lambda n, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k // qdiv, tile_n), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs, tile_n), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile_n), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, tile_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * N * K,
+            bytes_accessed=N * K // qdiv + N * K // group * 4 + K * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xc, q, s)
+    y = jnp.sum(out, axis=0, keepdims=True)        # [1, N]
+
+    corr = None
+    if zero_point or b is not None:
+        xg = jnp.sum(xc.reshape(K // group, group), axis=1,
+                     dtype=jnp.float32)[None, :]   # [1, K/G]
+    if zero_point:
+        corr = -zero_point * jnp.dot(xg, s, preferred_element_type=jnp.float32)
+    if b is not None:
+        t = jnp.dot(xg, b, preferred_element_type=jnp.float32)
+        corr = t if corr is None else corr + t
+    if corr is not None:
+        y = y + corr
+    if bias is not None:
+        y = y + bias[None, :]
+    return y

@@ -82,7 +82,8 @@ def test_llama3_logits_match_hf(tmp_path):
 
 
 def make_tiny_qwen3(path, *, vocab=256, hidden=64, heads=4, kv=2, layers=2,
-                    inter=96, head_dim=32, max_len=128):
+                    inter=96, head_dim=32, max_len=128,
+                    model_type=None, extra_pieces=()):
     torch.manual_seed(2)
     cfg = transformers.Qwen3Config(
         vocab_size=vocab, hidden_size=hidden, num_attention_heads=heads,
@@ -93,7 +94,8 @@ def make_tiny_qwen3(path, *, vocab=256, hidden=64, heads=4, kv=2, layers=2,
     hf = transformers.Qwen3ForCausalLM(cfg).eval()
     sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
     with open(path, "wb") as f:
-        w = GGMMWriter(f, int(ModelType.QWEN3), 1, meta={"model_name": "tiny-q3"})
+        w = GGMMWriter(f, int(model_type or ModelType.QWEN3), 1,
+                       meta={"model_name": "tiny-q3"})
         # models/qwen.h:746-760 layout
         vals = [int(GGMLType.F32), vocab, hidden, heads, layers, inter, max_len,
                 -1, 0, -1, -1, kv, head_dim]
@@ -103,7 +105,10 @@ def make_tiny_qwen3(path, *, vocab=256, hidden=64, heads=4, kv=2, layers=2,
         f.write(struct.pack("<i", 0))                   # tie
         f.write(struct.pack("<128i", *([0] * 128)))     # layer_is_sparse
         w._patch_offset(12)
-        w.write_vocab_bpe([(p, 1) for p in _bpe_pieces(vocab)], [])
+        pieces = [(p, 1) for p in _bpe_pieces(vocab)]
+        for j, (txt, typ) in enumerate(extra_pieces):
+            pieces[vocab - len(extra_pieces) + j] = (txt, typ)
+        w.write_vocab_bpe(pieces, [])
         names = ["model.embed_tokens.weight"]
         for i in range(layers):
             names += [f"model.layers.{i}.{n}" for n in [
