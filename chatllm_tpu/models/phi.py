@@ -11,7 +11,7 @@ from dataclasses import replace
 from ..runtime.chat import ChatTokenizer, HistoryEncoder
 from ..tokenizer.processor import BPEProcessor1
 from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
-                   load_llama_family_params, register_model)
+                   load_llama_family_params, load_moe_experts, register_model)
 from .llama import build_dense_config
 from .model_types import ModelType
 
@@ -264,6 +264,151 @@ class Phi2V1(BaseLLM):
                 "mlp": {
                     "up": pb.linear(f"{pfx}.mlp.fc1", bias=True),
                     "down": pb.linear(f"{pfx}.mlp.fc2", bias=True),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+class Phi4Encoder(HistoryEncoder):
+    """<|im_start|>{role}<|im_sep|>{content}<|im_end|> (models/phi.cpp v4
+    ChatHistoryEncoder:536-570)."""
+
+    def _role(self, role, ids):
+        tok = self.tokenizer
+        ids.append(tok.im_start_token_id)
+        ids.extend(tok.encode(role))
+        ids.append(tok.im_sep_token_id)
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        if tok.sys_prompt:
+            self._role("system", ids)
+            ids.extend(tok.encode(tok.sys_prompt))
+            ids.append(tok.im_end_token_id)
+
+    def append_user(self, round_idx, user, ids):
+        self._role("user", ids)
+        ids.extend(self.tokenizer.encode(user))
+        ids.append(self.tokenizer.im_end_token_id)
+
+    def append_ai(self, round_idx, ai, ids):
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(self.tokenizer.encode(ai))
+        ids.append(self.tokenizer.im_end_token_id)
+
+    def append_ai_opening(self, round_idx, ids):
+        self._role("assistant", ids)
+
+
+def make_phi4_tokenizer(gf, base):
+    from ..tokenizer.processor import BPEProcessor2
+
+    tp = BPEProcessor2()
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tp.enable_return_special_token(True)
+    tok = ChatTokenizer(tp, Phi4Encoder(), sys_prompt="")
+    tok.bos_token_id = base.bos_token_id
+    tok.eos_token_id = base.eos_token_id
+    tok.pad_token_id = base.eos_token_id
+    tok.im_start_token_id = tp.piece_to_id("<|im_start|>")
+    tok.im_sep_token_id = tp.piece_to_id("<|im_sep|>")
+    tok.im_end_token_id = tp.piece_to_id("<|im_end|>")
+    if tok.im_end_token_id >= 0:
+        tok.terminate_ids.add(tok.im_end_token_id)
+    return tok
+
+
+@register_model(ModelType.PHI4)
+class Phi4(BaseLLM):
+    """Phi-4: llama-v3 arch + ChatML-with-<|im_sep|> template
+    (models/phi.cpp v4:492-573)."""
+    EXTRA_FMT = "if"    # llama v3 config (models/llama.h:103)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .llama import build_dense_config
+
+        base, (n_kv, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tok = make_phi4_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.PHI3_MOE)
+class Phi3MoE(BaseLLM):
+    """Phi-3.5-MoE: SU-rope biased attention, LayerNorm blocks, sparsemixer
+    top-2 routing (models/phi.h:246-380; HF modeling_phimoe is ground truth
+    for the router since the reference custom op is WIP)."""
+    EXTRA_FMT = "5if" + f"{MAX_FACTOR_LEN}f{MAX_FACTOR_LEN}f" + "ff" + "2i"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        import math as _math
+
+        from ..nn.transformer import LayerSpec, TransformerConfig
+        from ..ops.rope import ROPE_NEOX, RopeConfig
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (max_pos, n_kv, orig_max, sliding_window, rope_scaling) = extra[:5]
+        rope_theta = float(extra[5])
+        long_factor = extra[6 + MAX_FACTOR_LEN:6 + 2 * MAX_FACTOR_LEN]
+        short_mscale, long_mscale = extra[6 + 2 * MAX_FACTOR_LEN:
+                                          6 + 2 * MAX_FACTOR_LEN + 2]
+        n_active, n_experts = extra[-2:]
+        rot = base.hidden_size // base.num_attention_heads
+        half = rot // 2
+        scale = max_pos / max(orig_max, 1)
+        ff = tuple(float(f) for f in long_factor[:half]) if rope_scaling else None
+        mscale = (long_mscale if rope_scaling and long_mscale > 0 else 1.0)
+        max_len = rt.max_length if rt.max_length > 0 else base.max_length
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=base.num_hidden_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=n_kv,
+            intermediate_size=base.intermediate_size,
+            max_length=max_len, norm_type="layernorm", norm_eps=1e-5,
+            rope=RopeConfig(head_dim=rot, freq_base=rope_theta,
+                            layout=ROPE_NEOX, freq_factors=ff,
+                            mscale_all=mscale, orig_ctx=orig_max),
+            qkv_bias=True, o_bias=True,
+            layer_specs=tuple(LayerSpec(is_moe=True)
+                              for _ in range(base.num_hidden_layers)),
+            moe_num_experts=n_experts, moe_top_k=n_active,
+            moe_score_func="sparsemixer",
+            cache_dtype=rt.cache_dtype)
+        tok = make_phi3_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.block_sparse_moe.gate",
+                                      bias=False),
+                    # w1=gate, w3=up, w2=down
+                    "experts": load_moe_experts(
+                        pb, f"{pfx}.block_sparse_moe", n_experts,
+                        names=("w1", "w3", "w2")),
                 },
             })
         params["layers"] = tuple(params["layers"])

@@ -104,6 +104,7 @@ class TransformerConfig:
     #   ggml swiglu_oai: min(g,L)*sigmoid(a*g) * (clamp(u,-L,L)+1))
     moe_swiglu_limit: float = 7.0
     moe_swiglu_alpha: float = 1.702
+    moe_jitter_eps: float = 0.01    # sparsemixer threshold (Phi-3.5-MoE)
     mla: Optional[MLAConfig] = None
     mla_compressed: bool = False    # latent ("memory") MLA cache: cache only
     #   [c_kv | k_pe] per token (reference forward_memory, deepseek.cpp:406)
@@ -259,6 +260,31 @@ def moe_mlp(cfg: TransformerConfig, p, x):
         # (models/gpt.cpp OssSparseMoE::forward: top_k then soft_max)
         topl, topi = jax.lax.top_k(router_logits, cfg.moe_top_k)      # [N, K]
         topv = jax.nn.softmax(topl, axis=-1)
+        return _moe_combine(cfg, p, xt, topi, topv, x)
+    if cfg.moe_score_func == "sparsemixer":
+        # Phi-3.5-MoE router (HF modeling_phimoe.sparsemixer inference
+        # path; the reference's custom op is WIP — phi.h:270, so HF is
+        # ground truth).  k=2: each expert's weight is the softmax over
+        # threshold-masked logits, gathered at that expert.
+        assert cfg.moe_top_k == 2, "sparsemixer is top-2 routing"
+        eps2 = 2.0 * cfg.moe_jitter_eps
+
+        def pick(sc, orig):
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            idx = jnp.argmax(sc, axis=-1)
+            factor = jnp.maximum(jnp.abs(orig), m)
+            masked = jnp.where((m - orig) / factor > eps2, -jnp.inf, sc)
+            g = jax.nn.softmax(masked, axis=-1)
+            w = jnp.take_along_axis(g, idx[:, None], axis=-1)[:, 0]
+            return idx, w
+
+        i1, w1 = pick(router_logits, router_logits)
+        masked_scores = jnp.where(
+            jax.nn.one_hot(i1, router_logits.shape[-1], dtype=bool),
+            -jnp.inf, router_logits)
+        i2, w2 = pick(masked_scores, router_logits)
+        topi = jnp.stack([i1, i2], axis=-1)
+        topv = jnp.stack([w1, w2], axis=-1)
         return _moe_combine(cfg, p, xt, topi, topv, x)
     if cfg.moe_score_func == "sigmoid":
         probs = jax.nn.sigmoid(router_logits)
