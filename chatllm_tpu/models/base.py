@@ -254,4 +254,19 @@ def load_model(path: str, rt: RuntimeConfig | None = None) -> BaseLLM:
     cls = lookup_model(gf.model_type)
     if cls is None:
         raise ValueError(f"unsupported model_type 0x{gf.model_type:x} in {path}")
-    return cls.load(gf, rt)
+    model = cls.load(gf, rt)
+    # The GGMM JSON meta carries the original HF config.json (reference
+    # load_more(meta_json), src/chat.h:986).  Norm eps is the one field the
+    # binary config structs don't carry, and HF checkpoints vary it
+    # (1e-5 vs 1e-6) — honor it so converted checkpoints match HF exactly.
+    hf_cfg = (gf.meta or {}).get("config.json") or {}
+    norm_type = getattr(getattr(model, "cfg", None), "norm_type", None)
+    if norm_type in ("rmsnorm", "layernorm") and not getattr(
+            cls, "IGNORE_META_NORM_EPS", False):
+        from dataclasses import replace as _replace
+
+        key = "rms_norm_eps" if norm_type == "rmsnorm" else "layer_norm_eps"
+        eps = hf_cfg.get(key)
+        if eps is not None and float(eps) != model.cfg.norm_eps:
+            model.cfg = _replace(model.cfg, norm_eps=float(eps))
+    return model

@@ -59,7 +59,7 @@ class Mistral(BaseLLM):
         base, (n_kv, sliding_window, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
         cfg = build_dense_config(
             base, num_key_value_heads=n_kv, rope_theta=rope_theta,
-            sliding_window=max(0, sliding_window),
+            sliding_window=max(0, sliding_window), norm_eps=1e-6,
             max_length=rt.max_length, cache_dtype=rt.cache_dtype)
         tok = make_mistral_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
@@ -136,4 +136,129 @@ class Mistral2(BaseLLM):
         tok = make_mistral_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+def make_mistral2_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
+    """Tekken (BPE2) vocab + [INST] template (mistral2::Tokenizer,
+    models/mistral.cpp:259-283)."""
+    from ..tokenizer.processor import BPEProcessor2
+
+    tp = BPEProcessor2()
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tp.enable_return_special_token(True)
+    tok = ChatTokenizer(tp, MistralEncoder(), sys_prompt="")
+    tok.bos_token_id = base.bos_token_id
+    tok.eos_token_id = base.eos_token_id
+    tok.pad_token_id = base.pad_token_id
+    return tok
+
+
+@register_model(ModelType.MISTRAL2)
+class Mistral2(BaseLLM):
+    """Mistral-v3-tokenizer models (tekken BPE2, custom head_dim)
+    (models/mistral.h:151-176)."""
+    EXTRA_FMT = "3if"   # n_kv, head_dim, sliding_window, rope_theta
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, head_dim, sliding_window, rope_theta) = BaseConfig.parse(
+            gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, head_dim=head_dim,
+            rope_theta=rope_theta, sliding_window=max(0, sliding_window),
+            norm_eps=1e-6, max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        tok = make_mistral2_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+def _yarn_mscale(scale: float, mscale: float = 1.0) -> float:
+    import math
+
+    if scale <= 1.0:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+@register_model(ModelType.MISTRAL3)
+class Mistral3(BaseLLM):
+    """Ministral-3 text model: YaRN + llama-4-style per-position attention
+    scaling (models/mistral.cpp mistral3:722-1010).  Vision (pixtral) tower
+    not wired yet — text chat works; [THINK] decodes as <think>.
+
+    Disk names are mistral-style: .attn. / .attention_norm. / .ffn_norm.
+    (the reference loads via add_tensor_name_translations)."""
+    # {n_kv, sliding_window, tie, head_dim} 4i + {beta_fast, beta_slow,
+    # factor, llama_4_scaling_beta, mscale, mscale_all_dim} 6f + orig_max i
+    # + rope_theta f
+    EXTRA_FMT = "4i6fif"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from dataclasses import replace
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        n_kv, sliding_window, tie_flag, head_dim = extra[:4]
+        (beta_fast, beta_slow, factor, l4_beta, mscale,
+         mscale_all) = extra[4:10]
+        orig_max = extra[10]
+        rope_theta = extra[11]
+        tie = bool(tie_flag)
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, head_dim=head_dim,
+            rope_theta=rope_theta, sliding_window=max(0, sliding_window),
+            norm_eps=1e-6, tie_lm_head=tie, max_length=rt.max_length,
+            cache_dtype=rt.cache_dtype)
+        if orig_max > 0:
+            # reference mistral3 ctor:901-926 — YaRN with corrected mscale
+            # (the net cos/sin scale after ggml's internal (1+0.1 ln f)
+            # multiplier equals yarn_get_mscale(f, mscale) /
+            # yarn_get_mscale(f, mscale_all)), and the score scale gets
+            # mscale_all^2
+            m = (_yarn_mscale(factor, mscale) / _yarn_mscale(factor, mscale_all)
+                 / (1.0 + 0.1 * __import__("math").log(max(factor, 1.0))))
+            attn_scale = (head_dim ** -0.5) * _yarn_mscale(factor, mscale_all) ** 2
+            cfg = replace(
+                cfg, attention_scale=attn_scale,
+                rope=replace(cfg.rope, freq_scale=1.0 / factor,
+                             ext_factor=1.0, attn_factor=m,
+                             beta_fast=beta_fast, beta_slow=beta_slow,
+                             orig_ctx=orig_max))
+        if l4_beta > 0 and orig_max > 0:
+            cfg = replace(cfg, attn_scale_beta=l4_beta,
+                          attn_scale_orig=orig_max)
+        tok = make_mistral2_tokenizer(gf, base)
+        ts = tok.tp.piece_to_id("[THINK]")
+        te = tok.tp.piece_to_id("[/THINK]")
+        if ts >= 0:
+            tok.tp.override_token_decoding(ts, "<think>")
+            tok.tp.override_token_decoding(te, "</think>")
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.attention_norm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.ffn_norm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        if not tie:
+            params["lm_head"] = pb.linear("lm_head")
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

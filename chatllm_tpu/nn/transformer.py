@@ -77,6 +77,10 @@ class TransformerConfig:
     use_alibi: bool = False                 # ALiBi position bias (no rope)
     logn_attn_seq: int = 0                  # Qwen-v1 logn attention: q scaled
     #   by log(pos)/log(seq) beyond seq (src/layers.cpp:3470)
+    attn_scale_beta: float = 0.0            # llama-4-style per-position q
+    #   scale 1 + beta*ln(1 + floor(pos/orig)) (Mistral3 ScaledSelfAttention,
+    #   models/mistral.cpp:946; LLAMA4 models/llama4.cpp)
+    attn_scale_orig: int = 0
     logit_softcap: float = 0.0              # attention score softcap (Gemma2)
     causal: bool = True                     # False: bidirectional encoder
     #   (cacheless embedding/reranker towers, e.g. MiniCPM-Embedding-Light)
@@ -706,6 +710,10 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
         q_mult = jnp.where(pos1 > cfg.logn_attn_seq,
                            jnp.log(pf) / jnp.log(float(cfg.logn_attn_seq)),
                            1.0)
+    elif cfg.attn_scale_beta > 0.0 and cfg.attn_scale_orig > 0:
+        pos1 = positions[-1] if positions.ndim == 3 else positions  # [B,T]
+        q_mult = 1.0 + cfg.attn_scale_beta * jnp.log(
+            1.0 + jnp.floor(pos1.astype(jnp.float32) / cfg.attn_scale_orig))
 
     ks, vs = list(cache.k), list(cache.v)
     quant = cache.k_scale is not None

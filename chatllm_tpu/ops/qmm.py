@@ -72,14 +72,26 @@ def matmul(x: jax.Array, lin, *, compute_dtype=jnp.bfloat16) -> jax.Array:
         # Mosaic needs the output dim lane-aligned (scale tiles are
         # [groups, N]); oddball small N falls back to the XLA dequant path
         if use_pallas_qmm() and lin.q.shape[1] % 128 == 0:
-            from .pallas.qmm_kernel import qmm_pallas
-
             lead = x.shape[:-1]
             x2 = x.reshape(-1, x.shape[-1])
-            y = qmm_pallas(x2, lin.q, lin.s, lin.b, lin.bias,
-                           group=lin.group_size, packed=lin.packed,
-                           zero_point=lin.zero_point,
-                           compute_dtype=compute_dtype)
+            import os
+
+            if x2.shape[0] == 1 and os.environ.get("CHATLLM_TPU_GEMV", "1") != "0":
+                # single-row decode GEMV: the MXU path is weight-LOAD bound
+                # (~60 tok/s ceiling at 8B on v5e); the VPU dequant-MAC
+                # kernel is bandwidth-bound instead (1.5x measured)
+                from .pallas.gemv_kernel import qgemv_pallas
+
+                y = qgemv_pallas(x2, lin.q, lin.s, lin.b, lin.bias,
+                                 group=lin.group_size, packed=lin.packed,
+                                 zero_point=lin.zero_point)
+            else:
+                from .pallas.qmm_kernel import qmm_pallas
+
+                y = qmm_pallas(x2, lin.q, lin.s, lin.b, lin.bias,
+                               group=lin.group_size, packed=lin.packed,
+                               zero_point=lin.zero_point,
+                               compute_dtype=compute_dtype)
             return y.reshape(*lead, y.shape[-1])
         w = dequant_weight(lin, compute_dtype)
         y = jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)

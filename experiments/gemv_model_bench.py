@@ -1,0 +1,115 @@
+"""Model-scale decode-GEMV bench: llama-3-8B shapes, q4 packed + f32 scales.
+
+Chains all 7 projections x 32 layers per token (lax.scan over stacked
+per-layer weights, fori_loop over tokens) so it measures exactly what the
+engine's decode loop pays per token for the linear layers.
+
+  python experiments/gemv_model_bench.py vpu [tile_n tile_k]
+  python experiments/gemv_model_bench.py mxu
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from chatllm_tpu.ops.pallas.gemv_kernel import qgemv_pallas
+from chatllm_tpu.ops.pallas.qmm_kernel import qmm_pallas
+
+L = 32
+H, KV, F = 4096, 1024, 14336
+G = 32
+TOKENS = 32
+# (K, N) per projection, in forward order
+SHAPES = [("q", H, H), ("k", H, KV), ("v", H, KV), ("o", H, H),
+          ("gate", H, F), ("up", H, F), ("down", F, H)]
+
+
+def make_weights():
+    """Cheap deterministic pseudo-weights (iota math — jax.random at these
+    sizes costs ~12 min through the axon tunnel)."""
+    ws = {}
+    total = 0
+    for idx, (name, K, N) in enumerate(SHAPES):
+        def mkq(idx=idx, K=K, N=N):
+            r = jax.lax.broadcasted_iota(jnp.int32, (L, K // 2, N), 2)
+            c = jax.lax.broadcasted_iota(jnp.int32, (L, K // 2, N), 1)
+            return ((r * 1103515245 + c * 12345 + idx) >> 7).astype(jnp.uint8)
+
+        def mks(idx=idx, K=K, N=N):
+            r = jax.lax.broadcasted_iota(jnp.float32, (L, K // G, N), 2)
+            return 0.005 + 0.00001 * jnp.cos(r + idx)
+
+        q = jax.jit(mkq)()
+        s = jax.jit(mks)()
+        ws[name] = (q, s)
+        total += q.size + s.size * 4
+    np.asarray(ws["down"][1][0, 0, :1])
+    print(f"weights on device: {total/1e9:.2f} GB", flush=True)
+    return ws, total
+
+
+def run(kernel_name, tile_n=1024, tile_k=2048, ws_total=None):
+    ws, total = ws_total or make_weights()
+
+    def proj(x, q, s, K, N):
+        if kernel_name == "vpu":
+            return qgemv_pallas(x, q, s, None, None, group=G, packed=True,
+                                zero_point=8, tile_n=tile_n, tile_k=tile_k)
+        return qmm_pallas(x, q, s, None, None, group=G, packed=True,
+                          zero_point=8)
+
+    def layer(x, lw):
+        # lw: dict name -> (q[K/2,N], s[K/G,N])
+        qo = proj(x, *lw["q"], H, H)
+        ko = proj(x, *lw["k"], H, KV)
+        vo = proj(x, *lw["v"], H, KV)
+        oo = proj(jnp.tanh(qo * 1e-3), *lw["o"], H, H)
+        h = jnp.tanh(oo * 1e-3)
+        g = proj(h, *lw["gate"], H, F)
+        u = proj(h, *lw["up"], H, F)
+        d = proj(jnp.tanh(g * u * 1e-4), *lw["down"], F, H)
+        return jnp.tanh(d * 1e-3) + (jnp.sum(ko) + jnp.sum(vo)) * 1e-9
+
+    @jax.jit
+    def decode(x0, ws):
+        def tok(t, x):
+            def body(x, lw):
+                return layer(x, lw), 0.0
+            x, _ = jax.lax.scan(body, x, ws)
+            return x
+        return jax.lax.fori_loop(0, TOKENS, tok, x0)
+
+    x0 = jnp.ones((1, H), jnp.float32)
+    print(f"[{kernel_name} tn={tile_n} tk={tile_k}] compiling...", flush=True)
+    t0 = time.perf_counter()
+    np.asarray(decode(x0, ws))
+    print(f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    np.asarray(decode(x0, ws))
+    dt = (time.perf_counter() - t0) / TOKENS
+    nparams = sum(K * N for _, K, N in SHAPES) * L
+    print(f"[{kernel_name}] {dt*1e3:.2f} ms/token -> {1/dt:.1f} tok/s "
+          f"({total/dt/1e9:.0f} GB/s eff, {nparams/1e9:.1f}B params)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    # args: either "<kernel> [tn tk]" or "sweep <kernel:tn:tk> <kernel:tn:tk> ..."
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        wt = make_weights()
+        for spec in sys.argv[2:]:
+            parts = spec.split(":")
+            name = parts[0]
+            tn = int(parts[1]) if len(parts) > 1 else 1024
+            tk = int(parts[2]) if len(parts) > 2 else 2048
+            run(name, tn, tk, ws_total=wt)
+    else:
+        name = sys.argv[1] if len(sys.argv) > 1 else "vpu"
+        tn = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+        tk = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+        run(name, tn, tk)

@@ -1,0 +1,59 @@
+"""VPU-path dequant GEMV kernel (ops/pallas/gemv_kernel.py) numerics in
+interpret mode, incl. packed int4, affine bias, zero-point folding, and the
+matmul() dispatch for single-row decode."""
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax.numpy as jnp
+
+from chatllm_tpu.ops.pallas.gemv_kernel import qgemv_pallas
+from chatllm_tpu.ops.qtensor import pack_nibbles
+
+
+@pytest.mark.parametrize("K,N,G,packed,use_b", [
+    (256, 384, 32, False, False),
+    (256, 384, 32, False, True),
+    (512, 256, 32, True, False),
+    (512, 256, 32, True, True),
+    (256, 128, 16, False, True),
+])
+def test_qgemv_matches_dense(K, N, G, packed, use_b):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, K)).astype(np.float32)
+    qv = rng.integers(-8, 8, size=(K, N)).astype(np.int8)
+    s = (rng.random((K // G, N)).astype(np.float32) * 0.1 + 0.01)
+    b = (rng.random((K // G, N)).astype(np.float32) * 0.05) if use_b else None
+    bias = rng.standard_normal(N).astype(np.float32)
+    w = (qv.astype(np.float32).reshape(K // G, G, N) * s[:, None, :]).reshape(K, N)
+    if b is not None:
+        w = w + np.repeat(b, G, axis=0)
+    ref = x @ w + bias
+    if packed:
+        qp, zero = pack_nibbles(qv, G)
+        y = qgemv_pallas(jnp.asarray(x), jnp.asarray(qp), jnp.asarray(s),
+                         None if b is None else jnp.asarray(b),
+                         jnp.asarray(bias), group=G, packed=True,
+                         zero_point=zero, tile_n=128, tile_k=256,
+                         interpret=True)
+    else:
+        y = qgemv_pallas(jnp.asarray(x), jnp.asarray(qv), jnp.asarray(s),
+                         None if b is None else jnp.asarray(b),
+                         jnp.asarray(bias), group=G, tile_n=128, tile_k=128,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-4)
+
+
+def test_qgemv_odd_tiles():
+    """K with a non-power-of-two group count exercises the unrolled-add
+    reduction tail."""
+    K, N, G = 96 * 32, 128, 32     # gs = 96 per tile if tile_k = K
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, K)).astype(np.float32)
+    qv = rng.integers(-8, 8, size=(K, N)).astype(np.int8)
+    s = np.ones((K // G, N), np.float32) * 0.02
+    ref = x @ (qv.astype(np.float32) * 0.02)
+    y = qgemv_pallas(jnp.asarray(x), jnp.asarray(qv), jnp.asarray(s),
+                     tile_n=128, tile_k=K, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-4)
