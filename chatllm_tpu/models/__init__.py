@@ -29,6 +29,7 @@ from . import minicpm    # noqa: F401
 from . import aliases    # noqa: F401
 from . import glm_asr    # noqa: F401
 from . import gpt_oss    # noqa: F401
+from . import misc_wave2 # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

@@ -232,6 +232,8 @@ class BaseLLM:
 
     def generate(self, input_ids, gen_cfg: GenerationConfig, **kw):
         kw.setdefault("is_terminator", self.tokenizer.is_terminate_token)
+        kw.setdefault("terminate_seq",
+                      getattr(self.tokenizer, "terminate_seq", None))
         kw.setdefault("perf", self.perf)
         return self.engine.generate(input_ids, gen_cfg, **kw)
 

@@ -95,11 +95,12 @@ def _pick_tile(dim: int, want: int, unit: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("group", "packed", "zero_point",
-                                             "tile_n", "tile_k", "interpret"))
+                                             "tile_n", "tile_k", "interpret",
+                                             "vmem_mb"))
 def qgemv_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
                  packed: bool = False, zero_point: int = 0,
                  tile_n: int = 1024, tile_k: int = 2048,
-                 interpret: bool = False):
+                 vmem_mb: int = 0, interpret: bool = False):
     """x: [1, K] float; q: [K, N] int8 (or packed uint8 [K/2, N]);
     s/b: [K/group, N] f32; bias: [N].  Returns [1, N] f32."""
     B, K = x.shape
@@ -129,7 +130,8 @@ def qgemv_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, tile_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            **({"vmem_limit_bytes": vmem_mb * 2 ** 20} if vmem_mb else {})),
         cost_estimate=pl.CostEstimate(
             flops=3 * N * K,
             bytes_accessed=N * K // qdiv + N * K // group * 4 + K * 4,

@@ -99,6 +99,38 @@ def _fit_bucket(n: int, room: int, hi: int) -> int:
     return b if b <= room else room
 
 
+class _Emitter:
+    """Streams accepted tokens while supporting multi-token terminator
+    sequences (reference match_output_sequence / is_output_terminated,
+    src/models_priv.h + models/reka.cpp:82-108): the last len(seq)-1 tokens
+    are held back from the stream until they can no longer complete the
+    terminator; on a match the sequence is removed from `out`."""
+
+    def __init__(self, on_token, terminate_seq=None):
+        self.on_token = on_token
+        self.seq = list(terminate_seq) if terminate_seq else None
+        self.hold = len(self.seq) - 1 if self.seq else 0
+        self.emitted = 0
+
+    def step(self, out: list) -> bool:
+        """Called after appending a token.  Returns True when the terminator
+        sequence completed (it is popped from `out`)."""
+        if self.seq and len(out) >= len(self.seq) and out[-len(self.seq):] == self.seq:
+            del out[-len(self.seq):]
+            return True
+        while self.emitted < len(out) - self.hold:
+            if self.on_token:
+                self.on_token(out[self.emitted])
+            self.emitted += 1
+        return False
+
+    def flush(self, out: list):
+        while self.emitted < len(out):
+            if self.on_token:
+                self.on_token(out[self.emitted])
+            self.emitted += 1
+
+
 class InferenceEngine:
     """Owns the jitted compute for one model (params + static config)."""
 
@@ -334,7 +366,8 @@ class InferenceEngine:
 
     def generate_from_logits(self, logits, cache, n_past, gen_cfg,
                              *, is_terminator=lambda t: False, on_token=None,
-                             should_stop=lambda: False, max_new=-1):
+                             should_stop=lambda: False, max_new=-1,
+                             terminate_seq=None):
         """Continue decoding given last-token logits (post-prefill)."""
         scfg = gen_cfg.sampler_config()
         max_len = self.max_length if gen_cfg.max_length <= 0 else min(gen_cfg.max_length, self.max_length)
@@ -347,11 +380,12 @@ class InferenceEngine:
         tok = tok[None, None]
         first = int(tok[0, 0])
         out: list[int] = []
+        emit = _Emitter(on_token, terminate_seq)
         if is_terminator(first):
             return out, cache, n_past
         out.append(first)
-        if on_token:
-            on_token(first)
+        if emit.step(out):
+            return out, cache, n_past
         block = max(1, min(self.decode_block, max_new))
         decode = self._decode_fn(scfg, block)
         done = False
@@ -368,8 +402,10 @@ class InferenceEngine:
                     done = True
                     break
                 out.append(t)
-                if on_token:
-                    on_token(t)
+                if emit.step(out):
+                    done = True
+                    break
+        emit.flush(out)
         return out, cache, n_past
 
     def generate(
@@ -384,6 +420,7 @@ class InferenceEngine:
         n_past: int = 0,
         completion_limit: int = -1,
         should_stop: Callable[[], bool] = lambda: False,
+        terminate_seq: Optional[list] = None,
     ):
         """Autoregressive generation.  Returns (generated ids, cache, n_past)."""
         scfg = gen_cfg.sampler_config()
@@ -410,18 +447,17 @@ class InferenceEngine:
 
         t1 = time.perf_counter()
         out: list[int] = []
+        emit = _Emitter(on_token, terminate_seq)
         if is_terminator(first):
             if perf:
                 perf.gen_ms += (time.perf_counter() - t1) * 1000
             return out, cache, n_past
 
         out.append(first)
-        if on_token:
-            on_token(first)
+        done = emit.step(out)
 
         block = max(1, min(self.decode_block, max_new))
         decode = self._decode_fn(scfg, block)
-        done = False
         while not done and len(out) < max_new and n_past + 1 < max_len and not should_stop():
             steps = min(block, max_new - len(out), max_len - 1 - n_past)
             toks, tok, cache, penalty, key = decode(
@@ -435,11 +471,13 @@ class InferenceEngine:
                     done = True
                     break
                 out.append(t)
-                if on_token:
-                    on_token(t)
+                if emit.step(out):
+                    done = True
+                    break
             # tokens past `steps` in the block were speculative; n_past
             # advanced only for consumed ones so their cache slots will be
             # overwritten by the next block
+        emit.flush(out)
         if perf:
             perf.gen_tokens += len(out)
             perf.gen_ms += (time.perf_counter() - t1) * 1000

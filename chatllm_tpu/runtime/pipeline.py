@@ -68,6 +68,7 @@ class Pipeline:
             cache=self._cache,
             n_past=self.n_past,
             should_stop=lambda: self.aborted,
+            terminate_seq=getattr(self.tokenizer, "terminate_seq", None),
         )
         return out
 

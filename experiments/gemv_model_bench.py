@@ -14,11 +14,59 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from chatllm_tpu.ops.pallas.gemv_kernel import qgemv_pallas
 from chatllm_tpu.ops.pallas.qmm_kernel import qmm_pallas
+
+
+def _stream_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kt):
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # minimal compute: touch every input tile with ~1 op per 8 rows
+    q = q_ref[:]
+    acc_ref[:] += (q[:8].astype(jnp.int32).astype(jnp.float32) * x_ref[0, 0]
+                   + s_ref[:8] * 0.0)
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "vmem_mb"))
+def stream_read(x, q, s, *, tile_n=1024, tile_k=2048, vmem_mb=0):
+    """Same grid/BlockSpecs as qgemv but near-zero compute — measures the
+    DMA ceiling for this access pattern."""
+    K2, N = q.shape
+    K = K2 * 2
+    gs = tile_k // G
+    n_kt = K // tile_k
+    xc = x.reshape(K, 1).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_stream_kernel, n_kt=n_kt),
+        grid=(N // tile_n, n_kt),
+        in_specs=[
+            pl.BlockSpec((tile_k, 1), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k // 2, tile_n), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs, tile_n), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile_n), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, tile_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            **({"vmem_limit_bytes": vmem_mb * 2 ** 20} if vmem_mb else {})),
+    )(xc, q, s)
+    return jnp.sum(out, axis=0, keepdims=True)
 
 L = 32
 H, KV, F = 4096, 1024, 14336
@@ -53,13 +101,17 @@ def make_weights():
     return ws, total
 
 
-def run(kernel_name, tile_n=1024, tile_k=2048, ws_total=None):
+def run(kernel_name, tile_n=1024, tile_k=2048, vmem_mb=0, ws_total=None):
     ws, total = ws_total or make_weights()
 
     def proj(x, q, s, K, N):
         if kernel_name == "vpu":
             return qgemv_pallas(x, q, s, None, None, group=G, packed=True,
-                                zero_point=8, tile_n=tile_n, tile_k=tile_k)
+                                zero_point=8, tile_n=tile_n, tile_k=tile_k,
+                                vmem_mb=vmem_mb)
+        if kernel_name == "stream":
+            return stream_read(x, q, s, tile_n=tile_n, tile_k=tile_k,
+                               vmem_mb=vmem_mb)
         return qmm_pallas(x, q, s, None, None, group=G, packed=True,
                           zero_point=8)
 
@@ -85,7 +137,7 @@ def run(kernel_name, tile_n=1024, tile_k=2048, ws_total=None):
         return jax.lax.fori_loop(0, TOKENS, tok, x0)
 
     x0 = jnp.ones((1, H), jnp.float32)
-    print(f"[{kernel_name} tn={tile_n} tk={tile_k}] compiling...", flush=True)
+    print(f"[{kernel_name} tn={tile_n} tk={tile_k} vm={vmem_mb}] compiling...", flush=True)
     t0 = time.perf_counter()
     np.asarray(decode(x0, ws))
     print(f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
@@ -107,7 +159,11 @@ if __name__ == "__main__":
             name = parts[0]
             tn = int(parts[1]) if len(parts) > 1 else 1024
             tk = int(parts[2]) if len(parts) > 2 else 2048
-            run(name, tn, tk, ws_total=wt)
+            vm = int(parts[3]) if len(parts) > 3 else 0
+            try:
+                run(name, tn, tk, vm, ws_total=wt)
+            except Exception as e:
+                print(f"[{spec}] FAILED: {str(e)[:200]}", flush=True)
     else:
         name = sys.argv[1] if len(sys.argv) > 1 else "vpu"
         tn = int(sys.argv[2]) if len(sys.argv) > 2 else 1024

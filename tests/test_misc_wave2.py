@@ -1,0 +1,168 @@
+"""Apriel / Reka-Flash-3 / RNJ-1 / JiuTian / CodeFuse-DeepSeek loaders +
+the multi-token terminate-sequence engine feature (reference
+match_output_sequence, models/reka.cpp:82-108)."""
+import struct
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from chatllm_tpu.ggmm.quants import GGMLType
+from chatllm_tpu.ggmm.writer import GGMMWriter
+from chatllm_tpu.models import ModelType, RuntimeConfig, load_model
+from chatllm_tpu.runtime.generate import GenerationConfig, _Emitter
+from test_model_golden import _bpe_pieces, _permute
+from test_zoo_wave2 import _llama_weights
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+RT32 = dict(weight_dtype="float32", compute_dtype="float32", cache_dtype="float32")
+V = 256
+
+
+def test_emitter_sequence_holdback():
+    got = []
+    e = _Emitter(got.append, terminate_seq=[7, 8, 9])
+    out = []
+    for t in [1, 2, 7, 8, 3, 7, 8, 9]:
+        out.append(t)
+        done = e.step(out)
+        if done:
+            break
+    assert done
+    assert out == [1, 2, 7, 8, 3]          # terminator removed
+    e.flush(out)
+    assert got == out                       # stream == final, no seq leaked
+
+
+def test_emitter_no_seq_passthrough():
+    got = []
+    e = _Emitter(got.append, terminate_seq=None)
+    out = []
+    for t in [5, 6, 7]:
+        out.append(t)
+        assert not e.step(out)
+    e.flush(out)
+    assert got == [5, 6, 7]
+
+
+def _tiny_llama(mtype, extra_bytes, vocab_kind="bpe", specials=(),
+                heads=4, kv=2, theta=50000.0, seed=1):
+    torch.manual_seed(seed)
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=heads,
+        num_key_value_heads=kv, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=theta, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, attention_bias=False)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    def write(path):
+        with open(path, "wb") as f:
+            w = GGMMWriter(f, int(mtype), 1, meta={})
+            w.write_config([int(GGMLType.F32), V, 64, heads, 2, 96, 128,
+                            1, 2, -1, -1], fmt="11i")
+            f.write(extra_bytes)
+            w._patch_offset(12)
+            pieces = [(p, 1) for p in _bpe_pieces(V)]
+            for j, sp in enumerate(specials):
+                pieces[V - len(specials) + j] = (sp, 4)
+            w.write_vocab_bpe(pieces, [])
+            _llama_weights(w, sd, 2, permute_heads=(heads, kv))
+    return hf, write
+
+
+def test_apriel_yarn_golden(tmp_path):
+    extra = struct.pack("<ifii3f", 2, 50000.0, 16, 64, 32.0, 1.0, 4.0)
+    hf, write = _tiny_llama(ModelType.APRIEL, extra, specials=[b"<|end|>"])
+    path = str(tmp_path / "apriel.bin")
+    write(path)
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.rope.freq_scale == pytest.approx(0.25)
+    assert model.cfg.rope.ext_factor == 1.0
+    # prompt within orig_max: logits finite + template applies
+    logits, _ = model.forward_logits(np.array([[5, 9, 11, 30]], np.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+    tok = model.tokenizer
+    ids = []
+    tok.chat_encoder.append_sys_prompt(ids)
+    tok.chat_encoder.append_user(0, "q", ids)
+    tok.chat_encoder.append_ai_opening(0, ids)
+    text = tok.tp.decode([i for i in ids if i != tok.bos_token_id])
+    assert "<|system|>" in text and text.endswith("<|assistant|>\n")
+
+
+def test_reka_terminate_seq_end_to_end(tmp_path):
+    extra = struct.pack("<if", 2, 50000.0)
+    hf, write = _tiny_llama(ModelType.REKA_FLASH3, extra, seed=3)
+    path = str(tmp_path / "reka.bin")
+    write(path)
+    model = load_model(path, RuntimeConfig(**RT32))
+    tok = model.tokenizer
+    assert tok.terminate_seq == tok.tp.encode(" <sep>")
+
+    gcfg = GenerationConfig(do_sample=False, sampling="greedy",
+                            max_new_tokens=10, temperature=0.0)
+    # unconstrained greedy tokens
+    model.tokenizer.terminate_seq = None
+    base_out, _, _ = model.engine.generate([5, 9, 11], gcfg)
+    assert len(base_out) >= 6
+    # terminate on the 3rd..4th generated tokens as a sequence
+    seq = base_out[2:4]
+    streamed = []
+    out, _, _ = model.engine.generate(
+        [5, 9, 11], gcfg, terminate_seq=seq, on_token=streamed.append)
+    assert out == base_out[:2]
+    assert streamed == out
+
+
+def test_jiutian_golden(tmp_path):
+    torch.manual_seed(4)
+    cfg = transformers.Qwen2Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=True)
+    hf = transformers.Qwen2ForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    sd.pop("lm_head.weight", None)
+    path = str(tmp_path / "jiutian.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.JIUTIAN), 1, meta={})
+        w.write_config([int(GGMLType.F32), V, 64, 4, 2, 96, 128,
+                        1, 2, -1, -1, 2, 1], fmt="13i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        pieces = [(p, 1) for p in _bpe_pieces(V)]
+        pieces[V - 3] = (b"<|endoftext|>", 4)
+        pieces[V - 2] = (b"<|im_start|>", 4)
+        pieces[V - 1] = (b"<|im_end|>", 4)
+        w.write_vocab_bpe(pieces, [])
+        _llama_weights(w, sd, 2)
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.tie_lm_head
+    ids = np.array([[3, 99, 150, 7]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids, dtype=torch.long)).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=2e-3, rtol=2e-3)
+
+
+def test_codefuse_template(tmp_path):
+    extra = struct.pack("<iff", 2, 1.0, 100000.0)
+    hf, write = _tiny_llama(ModelType.CODEFUSE_DEEPSEEK, extra, seed=5)
+    path = str(tmp_path / "cf.bin")
+    write(path)
+    model = load_model(path, RuntimeConfig(**RT32))
+    tok = model.tokenizer
+    assert tok.bos_token_id in tok.terminate_ids
+    ids = []
+    tok.sys_prompt = "s"
+    tok.chat_encoder.append_sys_prompt(ids)
+    tok.chat_encoder.append_user(0, "u", ids)
+    tok.chat_encoder.append_ai_opening(0, ids)
+    assert ids.count(tok.bos_token_id) == 3      # one per segment
+    text = tok.tp.decode([i for i in ids if i != tok.bos_token_id])
+    assert text == "system\ns\nhuman\nu\nbot\n"
