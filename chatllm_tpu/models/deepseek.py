@@ -268,7 +268,8 @@ class DeepSeekV2(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
-@register_model(ModelType.DEEPSEEK_V3, ModelType.MOONLIGHT)
+@register_model(ModelType.DEEPSEEK_V3, ModelType.MOONLIGHT,
+                ModelType.DEEPSEEK_V3_LIGHT)
 class DeepSeekV3(DeepSeekV2):
     """DeepSeek-V3 / Moonlight: V2's MLA layout + sigmoid scoring with
     e_score_correction_bias (noaux_tc top-k) — converter convert.py:8127."""

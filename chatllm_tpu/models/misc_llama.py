@@ -274,6 +274,27 @@ COHERE_REGEX = [
 ]
 
 
+def make_cohere_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
+    tp = BPEProcessor2(COHERE_REGEX)
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tp.enable_return_special_token(True)
+    tok = ChatTokenizer(tp, CohereEncoder(),
+                        sys_prompt="You are a powerful conversational AI "
+                                   "trained by Cohere to help people.")
+    tok.bos_token_id = base.bos_token_id
+    tok.eos_token_id = base.eos_token_id
+    tok.start_of_turn_token_id = tp.piece_to_id("<|START_OF_TURN_TOKEN|>")
+    tok.end_of_turn_token_id = tp.piece_to_id("<|END_OF_TURN_TOKEN|>")
+    tok.user_token_id = tp.piece_to_id("<|USER_TOKEN|>")
+    tok.chatbot_token_id = tp.piece_to_id("<|CHATBOT_TOKEN|>")
+    tok.system_token_id = tp.piece_to_id("<|SYSTEM_TOKEN|>")
+    tok.terminate_ids.add(tok.end_of_turn_token_id)
+    tok.is_special_id = lambda i: i in (
+        tok.start_of_turn_token_id, tok.end_of_turn_token_id,
+        tok.user_token_id, tok.chatbot_token_id, tok.system_token_id)
+    return tok
+
+
 @register_model(ModelType.COHERE_COMMAND_R, ModelType.COHERE_AYA_23)
 class CohereCommandR(BaseLLM):
     """Command-R: parallel residual, LayerNorm (no bias), interleaved rope,
@@ -295,23 +316,7 @@ class CohereCommandR(BaseLLM):
                             freq_base=rope_theta, layout=ROPE_NORMAL),
             parallel_residual=True, tie_lm_head=True, logit_scale=logit_scale,
             cache_dtype=rt.cache_dtype)
-        tp = BPEProcessor2(COHERE_REGEX)
-        tp.load(gf.tokenizer_reader(), base.vocab_size)
-        tp.enable_return_special_token(True)
-        tok = ChatTokenizer(tp, CohereEncoder(),
-                            sys_prompt="You are a powerful conversational AI "
-                                       "trained by Cohere to help people.")
-        tok.bos_token_id = base.bos_token_id
-        tok.eos_token_id = base.eos_token_id
-        tok.start_of_turn_token_id = tp.piece_to_id("<|START_OF_TURN_TOKEN|>")
-        tok.end_of_turn_token_id = tp.piece_to_id("<|END_OF_TURN_TOKEN|>")
-        tok.user_token_id = tp.piece_to_id("<|USER_TOKEN|>")
-        tok.chatbot_token_id = tp.piece_to_id("<|CHATBOT_TOKEN|>")
-        tok.system_token_id = tp.piece_to_id("<|SYSTEM_TOKEN|>")
-        tok.terminate_ids.add(tok.end_of_turn_token_id)
-        tok.is_special_id = lambda i: i in (
-            tok.start_of_turn_token_id, tok.end_of_turn_token_id,
-            tok.user_token_id, tok.chatbot_token_id, tok.system_token_id)
+        tok = make_cohere_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = {
             "embed": pb.embedding("model.embed_tokens.weight"),

@@ -251,3 +251,296 @@ class CodeFuseDeepSeek(BaseLLM):
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.COHERE_COMMAND_R7B)
+class CohereCommandR7B(BaseLLM):
+    """Command-R7B (cohere v2, models/cohere.cpp:197-336): parallel-residual
+    LayerNorm blocks; SWA layers carry rope, every `pattern`-th layer is
+    global attention with NO positional encoding (NoPE)."""
+    EXTRA_FMT = "3iff"  # n_kv, sliding_window, pattern, rope_theta, logit_scale
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..nn.transformer import LayerSpec, TransformerConfig
+        from ..ops.rope import ROPE_NORMAL, RopeConfig
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        n_kv, sliding_window, pattern, rope_theta, logit_scale = extra
+        n_layers = base.num_hidden_layers
+        # layer % pattern < pattern-1 -> SWA(+rope); else global NoPE
+        specs = tuple(
+            LayerSpec(sliding_window=sliding_window)
+            if (i % max(pattern, 1)) < pattern - 1 else
+            LayerSpec(use_rope=False)
+            for i in range(n_layers))
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=n_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=n_kv,
+            intermediate_size=base.intermediate_size,
+            max_length=rt.max_length if rt.max_length > 0 else base.max_length,
+            norm_type="layernorm", norm_eps=1e-5,
+            rope=RopeConfig(head_dim=base.hidden_size // base.num_attention_heads,
+                            freq_base=rope_theta, layout=ROPE_NORMAL),
+            parallel_residual=True, tie_lm_head=True, logit_scale=logit_scale,
+            layer_specs=specs, cache_dtype=rt.cache_dtype)
+        from .misc_llama import make_cohere_tokenizer
+
+        tok = make_cohere_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm", bias=False),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm", bias=False),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok,
+                   native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.INSTELLA)
+class Instella(BaseLLM):
+    """AMD Instella (models/instella.cpp): llama blocks with full-projection
+    qk-norm, pre_attention/pre_feedforward norm names, ChatML-ish OLMo
+    tokenizer."""
+    EXTRA_FMT = "if"    # n_kv, rope_theta
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..runtime.chat import ChatMLEncoder
+
+        base, (n_kv, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, rope_layout="neox",
+                                 qk_norm="rmsnorm_full",
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor2()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        tok = ChatTokenizer(tp, ChatMLEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        tok.im_start_token_id = tp.piece_to_id("<|im_start|>")
+        tok.im_end_token_id = tp.piece_to_id("<|im_end|>")
+        if tok.im_end_token_id >= 0:
+            tok.terminate_ids.add(tok.im_end_token_id)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.pre_attention_layernorm"),
+                "ffn_norm": pb.norm(f"{pfx}.pre_feedforward_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                    "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                    "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
+                },
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+class PanguEncoder(HistoryEncoder):
+    """[unused9]{role}：{content}[unused10] turns (models/pangu.cpp:5-82)."""
+
+    def _item(self, tag, ids, content=None):
+        tok = self.tokenizer
+        ids.append(tok.unused9_token_id)
+        text = f"{tag}："
+        if content is not None:
+            ids.extend(tok.encode(text + content))
+            ids.append(tok.unused10_token_id)
+        else:
+            ids.extend(tok.encode(text))
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        ids.append(tok.bos_token_id)
+        self._item("系统", ids, tok.sys_prompt)
+
+    def append_user(self, round_idx, user, ids):
+        self._item("用户", ids, user)
+
+    def append_ai(self, round_idx, ai, ids):
+        self._item("助手", ids, ai)
+
+    def append_ai_opening(self, round_idx, ids):
+        self._item("助手", ids)
+
+    def append_user_opening(self, round_idx, ids):
+        self._item("用户", ids)
+
+
+PANGU_SYS = ("你必须严格遵守法律法规和社会道德规范。生成任何内容时，都应避免涉及暴力、色情、"
+             "恐怖主义、种族歧视、性别歧视等不当内容。一旦检测到输入或输出有此类倾向，应拒绝"
+             "回答并发出警告。例如，如果输入内容包含暴力威胁或色情描述，应返回错误信息："
+             "“您的输入包含不当内容，无法处理。")
+
+
+def make_pangu_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
+    from ..tokenizer.processor import BPEProcessor1
+
+    tp = BPEProcessor1()
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tok = ChatTokenizer(tp, PanguEncoder(), sys_prompt=PANGU_SYS)
+    tok.bos_token_id = base.bos_token_id
+    tok.eos_token_id = base.eos_token_id
+    tok.pad_token_id = tp.piece_to_id("<pad>")
+    tok.unused9_token_id = tp.piece_to_id("[unused9]")
+    tok.unused10_token_id = tp.piece_to_id("[unused10]")
+    ts, te = tp.piece_to_id("[unused16]"), tp.piece_to_id("[unused17]")
+    if ts >= 0:
+        tp.override_token_decoding(ts, "<think>")
+        tp.override_token_decoding(te, "</think>")
+    return tok
+
+
+@register_model(ModelType.PANGU_EMBEDDED)
+class PanguEmbedded(BaseLLM):
+    """openPangu-Embedded: llama blocks with fully-biased attention
+    (models/pangu.cpp embedded:180-224)."""
+    EXTRA_FMT = "2if"   # n_kv, tie, rope_theta
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, tie_flag, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta,
+                                 tie_lm_head=bool(tie_flag),
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        from dataclasses import replace as _r
+        cfg = _r(cfg, qkv_bias=True, o_bias=True)
+        tok = make_pangu_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers,
+                                          tie_lm_head=bool(tie_flag))
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+HUNYUAN_V1_REGEX = [
+    r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+
+
+class HunyuanV1Encoder(HistoryEncoder):
+    """<hy_User>{user}<hy_Assistant>{ai}eos turns (hunyuan.cpp dense_v1
+    ChatHistoryEncoder:220-253)."""
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        ids.append(tok.bos_token_id)
+        if tok.sys_prompt:
+            ids.extend(tok.encode(tok.sys_prompt))
+
+    def append_user(self, round_idx, user, ids):
+        tok = self.tokenizer
+        ids.append(tok.hy_user_token_id)
+        ids.extend(tok.encode(user))
+
+    def append_ai(self, round_idx, ai, ids):
+        tok = self.tokenizer
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(tok.encode(ai))
+        ids.append(tok.eos_token_id)
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.append(self.tokenizer.hy_assistant_token_id)
+
+
+class HunyuanV1Extra04Encoder(HistoryEncoder):
+    """{user}<|extra_0|>{ai}eos, sys ends with <|extra_4|>
+    (hunyuan.cpp:255-288)."""
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        ids.append(tok.bos_token_id)
+        if tok.sys_prompt:
+            ids.extend(tok.encode(tok.sys_prompt))
+            ids.append(tok.extra_4_token_id)
+
+    def append_user(self, round_idx, user, ids):
+        tok = self.tokenizer
+        ids.extend(tok.encode(user))
+        ids.append(tok.extra_0_token_id)
+
+    def append_ai(self, round_idx, ai, ids):
+        tok = self.tokenizer
+        ids.extend(tok.encode(ai))
+        ids.append(tok.eos_token_id)
+
+
+@register_model(ModelType.HUNYUAN_DENSE_V1)
+class HunyuanDenseV1(BaseLLM):
+    """Hunyuan dense v1 (hy_User template generation) — hunyuan dense arch
+    + explicit head_dim (models/hunyuan.cpp:145-300)."""
+    EXTRA_FMT = "ifi"   # n_kv, rope_theta, head_dim
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, rope_theta, head_dim) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, rope_layout="neox",
+                                 head_dim=head_dim, tie_lm_head=True,
+                                 qk_norm="rmsnorm_post",
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor2(HUNYUAN_V1_REGEX)
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        hy_user = tp.piece_to_id("<｜hy_User｜>")
+        if hy_user >= 0:
+            tok = ChatTokenizer(tp, HunyuanV1Encoder(), sys_prompt="")
+            tok.hy_user_token_id = hy_user
+            tok.hy_assistant_token_id = tp.piece_to_id("<｜hy_Assistant｜>")
+            tok.bos_token_id = tp.piece_to_id("<｜hy_begin▁of▁sentence｜>")
+            tok.eos_token_id = tp.piece_to_id("<｜hy_place▁holder▁no▁2｜>")
+        else:
+            tok = ChatTokenizer(tp, HunyuanV1Extra04Encoder(), sys_prompt="")
+            tok.bos_token_id = base.bos_token_id
+            tok.eos_token_id = base.eos_token_id
+            tok.extra_0_token_id = tp.piece_to_id("<|extra_0|>")
+            tok.extra_4_token_id = tp.piece_to_id("<|extra_4|>")
+        tok.terminate_ids.add(tok.eos_token_id)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers,
+                                          tie_lm_head=True)
+        for i, layer in enumerate(params["layers"]):
+            pfx = f"model.layers.{i}.self_attn"
+            if pb.has(f"{pfx}.query_layernorm.weight"):
+                layer["attn"]["q_norm"] = pb.norm(f"{pfx}.query_layernorm")
+                layer["attn"]["k_norm"] = pb.norm(f"{pfx}.key_layernorm")
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -166,3 +166,150 @@ def test_codefuse_template(tmp_path):
     assert ids.count(tok.bos_token_id) == 3      # one per segment
     text = tok.tp.decode([i for i in ids if i != tok.bos_token_id])
     assert text == "system\ns\nhuman\nu\nbot\n"
+
+
+def test_cohere_r7b_golden(tmp_path):
+    """Cohere2: SWA+rope layers with a NoPE global layer every `pattern`
+    (HF Cohere2ForCausalLM is ground truth)."""
+    torch.manual_seed(12)
+    cfg = transformers.Cohere2Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=4, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0,
+        sliding_window=8, sliding_window_pattern=4, logit_scale=0.25,
+        layer_norm_eps=1e-5, tie_word_embeddings=True, layer_switch=4,
+        order_of_interleaved_layers=None)
+    hf = transformers.Cohere2ForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "r7b.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.COHERE_COMMAND_R7B), 1, meta={})
+        w.write_config([int(GGMLType.F32), V, 64, 4, 4, 96, 128,
+                        1, 2, -1, -1, 2, 8, 4], fmt="14i")
+        f.write(struct.pack("<ff", 10000.0, 0.25))
+        w._patch_offset(12)
+        pieces = [(p, 1) for p in _bpe_pieces(V)]
+        for j, sp in enumerate([b"<|START_OF_TURN_TOKEN|>", b"<|END_OF_TURN_TOKEN|>",
+                                b"<|USER_TOKEN|>", b"<|CHATBOT_TOKEN|>",
+                                b"<|SYSTEM_TOKEN|>"]):
+            pieces[V - 5 + j] = (sp, 4)
+        w.write_vocab_bpe(pieces, [])
+        # cohere: parallel residual, single input_layernorm, no lm_head
+        w.write_tensor("model.embed_tokens.weight",
+                       sd["model.embed_tokens.weight"], GGMLType.F32)
+        for i in range(4):
+            pfx = f"model.layers.{i}"
+            w.write_tensor(f"{pfx}.input_layernorm.weight",
+                           sd[f"{pfx}.input_layernorm.weight"], GGMLType.F32)
+            for pj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                arr = sd[f"{pfx}.self_attn.{pj}.weight"]
+                if pj == "q_proj":
+                    arr = _permute(arr, 4)
+                elif pj == "k_proj":
+                    arr = _permute(arr, 2)
+                w.write_tensor(f"{pfx}.self_attn.{pj}.weight", arr, GGMLType.F32)
+            for mj in ("gate_proj", "up_proj", "down_proj"):
+                w.write_tensor(f"{pfx}.mlp.{mj}.weight",
+                               sd[f"{pfx}.mlp.{mj}.weight"], GGMLType.F32)
+        w.write_tensor("model.norm.weight", sd["model.norm.weight"], GGMLType.F32)
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.layer_specs[0].sliding_window == 8
+    assert model.cfg.layer_specs[3].use_rope is False
+    ids = np.array([[7, 30, 102, 89, 5, 200, 41, 77, 3, 9, 150, 66]],
+                   dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids, dtype=torch.long)).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
+
+
+def test_instella_forward(tmp_path):
+    torch.manual_seed(13)
+    # reuse llama weights + add full-projection q/k norms
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "instella.bin")
+    rng = np.random.default_rng(0)
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.INSTELLA), 1, meta={})
+        w.write_config([int(GGMLType.F32), V, 64, 4, 2, 96, 128,
+                        1, 2, -1, -1, 2], fmt="12i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        pieces = [(p, 1) for p in _bpe_pieces(V)]
+        pieces[V - 2] = (b"<|im_start|>", 4)
+        pieces[V - 1] = (b"<|im_end|>", 4)
+        w.write_vocab_bpe(pieces, [])
+        w.write_tensor("model.embed_tokens.weight",
+                       sd["model.embed_tokens.weight"], GGMLType.F32)
+        for i in range(2):
+            pfx = f"model.layers.{i}"
+            w.write_tensor(f"{pfx}.pre_attention_layernorm.weight",
+                           sd[f"{pfx}.input_layernorm.weight"], GGMLType.F32)
+            w.write_tensor(f"{pfx}.pre_feedforward_layernorm.weight",
+                           sd[f"{pfx}.post_attention_layernorm.weight"], GGMLType.F32)
+            for pj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                w.write_tensor(f"{pfx}.self_attn.{pj}.weight",
+                               sd[f"{pfx}.self_attn.{pj}.weight"], GGMLType.F32)
+            w.write_tensor(f"{pfx}.self_attn.q_norm.weight",
+                           rng.random(64).astype(np.float32), GGMLType.F32)
+            w.write_tensor(f"{pfx}.self_attn.k_norm.weight",
+                           rng.random(32).astype(np.float32), GGMLType.F32)
+            for mj in ("gate_proj", "up_proj", "down_proj"):
+                w.write_tensor(f"{pfx}.mlp.{mj}.weight",
+                               sd[f"{pfx}.mlp.{mj}.weight"], GGMLType.F32)
+        w.write_tensor("model.norm.weight", sd["model.norm.weight"], GGMLType.F32)
+        w.write_tensor("lm_head.weight", sd["lm_head.weight"], GGMLType.F32)
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.qk_norm == "rmsnorm_full"
+    logits, _ = model.forward_logits(np.array([[5, 9, 11]], np.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_pangu_embedded_template(tmp_path):
+    torch.manual_seed(14)
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, attention_bias=True,
+        tie_word_embeddings=False)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "pangu.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.PANGU_EMBEDDED), 1, meta={})
+        w.write_config([int(GGMLType.F32), V, 64, 4, 2, 96, 128,
+                        1, 2, -1, -1, 2, 0], fmt="13i")
+        f.write(struct.pack("<f", 10000.0))
+        w._patch_offset(12)
+        pieces = [(chr(b).encode(), -float(b)) for b in range(V)]
+        pieces[V - 5] = ("<pad>".encode(), -900.0)
+        pieces[V - 4] = ("[unused9]".encode(), -901.0)
+        pieces[V - 3] = ("[unused10]".encode(), -902.0)
+        pieces[V - 2] = ("[unused16]".encode(), -903.0)
+        pieces[V - 1] = ("[unused17]".encode(), -904.0)
+        w.write_vocab_sp(pieces)
+        _llama_weights(w, sd, 2, permute_heads=(4, 2))
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.qkv_bias and model.cfg.o_bias
+    tok = model.tokenizer
+    assert tok.unused9_token_id >= 0
+    ids = []
+    tok.chat_encoder.append_user(0, "hi", ids)
+    tok.chat_encoder.append_ai_opening(0, ids)
+    assert ids.count(tok.unused9_token_id) == 2
+    assert ids.count(tok.unused10_token_id) == 1
+    # think-token decode overrides
+    assert tok.tp.decode([tok.tp.piece_to_id("[unused16]")]) == "<think>"
+
+
+def test_deepseek_v3_light_registered():
+    from chatllm_tpu.models.base import lookup_model
+    from chatllm_tpu.models.deepseek import DeepSeekV3
+
+    assert lookup_model(int(ModelType.DEEPSEEK_V3_LIGHT)) is DeepSeekV3
