@@ -394,3 +394,92 @@ class BailingMoE(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.BAILING_MOE2)
+class BailingMoE2(BaseLLM):
+    """Ling/Ring 2.0 (models/bailing.cpp moe2:107-300): qk-normed partial
+    rope, grouped sigmoid top-k with score-correction bias + routed scaling,
+    shared expert, dense first-k layers."""
+    # moe config "8ifi" + {rope_dim, n_group, topk_group} 3i + routed_scale f
+    EXTRA_FMT = "8ifi3if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..tokenizer.processor import BPEProcessor2
+        from .base import load_moe_experts
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, first_k_dense, moe_inter, moe_freq, n_routed, n_shared,
+         norm_topk, n_active, rope_theta, head_dim, rope_dim, n_group,
+         topk_group, routed_scale) = extra
+        n_layers = base.num_hidden_layers
+
+        def is_moe(i):
+            return i >= first_k_dense and i % max(moe_freq, 1) == 0
+
+        specs = tuple(LayerSpec(is_moe=is_moe(i)) for i in range(n_layers))
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, rope_theta=rope_theta,
+            head_dim=head_dim if head_dim > 0 else -1, qk_norm="rmsnorm",
+            norm_eps=1e-6, max_length=rt.max_length, cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, layer_specs=specs, moe_num_experts=n_routed,
+                      moe_top_k=n_active, moe_norm_topk_prob=bool(norm_topk),
+                      moe_score_func="sigmoid", moe_n_group=max(n_group, 1),
+                      moe_topk_group=max(topk_group, 1),
+                      moe_routed_scale=routed_scale,
+                      rope=replace(cfg.rope, rot_dim=rope_dim if rope_dim > 0 else -1))
+        tp = BPEProcessor2(BAILING_REGEX)
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        tok = ChatTokenizer(tp, BailingEncoder(),
+                            sys_prompt="You are Ling, an assistant created by inclusionAI")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        role_open = tp.piece_to_id("<role>")
+        if role_open >= 0:
+            tok.terminate_ids.add(role_open)
+        if tp.piece_to_id("<think>") >= 0:
+            tok.sys_prompt = "You are Ring, an assistant created by inclusionAI"
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            if is_moe(i):
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate", bias=False),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_routed),
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_experts.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_experts.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_experts.down_proj"),
+                    },
+                }
+                if pb.has(f"{pfx}.mlp.gate.expert_bias"):
+                    mlp["gate_bias"] = pb.array(f"{pfx}.mlp.gate.expert_bias")
+            else:
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                }
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                    "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                    "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": mlp,
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

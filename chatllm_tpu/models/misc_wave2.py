@@ -544,3 +544,132 @@ class HunyuanDenseV1(BaseLLM):
                 layer["attn"]["q_norm"] = pb.norm(f"{pfx}.query_layernorm")
                 layer["attn"]["k_norm"] = pb.norm(f"{pfx}.key_layernorm")
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+class ApertusChatEncoder(HistoryEncoder):
+    """<|system_start|>..<|system_end|> <|developer_start|>..<|developer_end|>
+    <|user_start|>..<|user_end|> <|assistant_start|>..<|assistant_end|>
+    (models/apertus.cpp:110-157)."""
+
+    def _seg(self, content, start, end, ids):
+        if start >= 0:
+            ids.append(start)
+        ids.extend(self.tokenizer.encode(content))
+        if end >= 0:
+            ids.append(end)
+
+    def append_sys_prompt(self, ids):
+        import datetime
+
+        tok = self.tokenizer
+        ids.append(tok.bos_token_id)
+        if not tok.sys_prompt:
+            s = ("You are Apertus, a helpful assistant created by the SwissAI "
+                 "initiative.\nKnowledge cutoff: 2024-04\nCurrent date: "
+                 + datetime.date.today().isoformat())
+            self._seg(s, tok.system_token_id, tok.end_system_token_id, ids)
+            thinking = "enabled" if getattr(tok, "enable_thinking", False) else "disabled"
+            self._seg(f"Deliberation: {thinking}\nTool Capabilities: disabled",
+                      tok.developer_token_id, tok.end_developer_token_id, ids)
+        else:
+            s = tok.sys_prompt
+            if not s.startswith("<|system_start|>"):
+                ids.append(tok.system_token_id)
+            ids.extend(tok.encode(s))
+            if "<|system_end|>" not in s:
+                ids.append(tok.end_system_token_id)
+
+    def append_user(self, round_idx, user, ids):
+        tok = self.tokenizer
+        self._seg(user, tok.user_token_id, tok.end_user_token_id, ids)
+
+    def append_ai(self, round_idx, ai, ids):
+        tok = self.tokenizer
+        self._seg(ai, tok.assistant_token_id, tok.end_assistant_token_id, ids)
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.append(self.tokenizer.assistant_token_id)
+
+    def append_user_opening(self, round_idx, ids):
+        ids.append(self.tokenizer.user_token_id)
+
+
+def _softplus(x: float) -> float:
+    import math
+
+    return math.log1p(math.exp(-abs(x))) + max(x, 0.0)
+
+
+@register_model(ModelType.APERTUS)
+class Apertus(BaseLLM):
+    """Apertus (SwissAI): llama blocks with per-head qk-norm, llama3-style
+    per-dim rope factors, and the xIELU MLP with per-layer learned scalars
+    (models/apertus.cpp; xielu op src/custom_ops.cpp:1210)."""
+    EXTRA_FMT = "ifi3f"  # n_kv, theta, orig_max, factor, low_f, high_f
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .llama import _llama31_factors
+
+        base, (n_kv, theta, orig_max, factor, low_f,
+               high_f) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        rot = base.hidden_size // base.num_attention_heads
+        ff = _llama31_factors(rot, theta, factor, low_f, high_f, orig_max)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=theta, freq_factors=ff,
+                                 rope_layout="neox", qk_norm="rmsnorm",
+                                 norm_eps=1e-6, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor2(APRIEL_REGEX)   # same pre-split as apriel
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        tok = ChatTokenizer(tp, ApertusChatEncoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        for name in ("system", "end_system", "developer", "end_developer",
+                     "user", "end_user", "assistant", "end_assistant"):
+            piece = f"<|{name.replace('end_', '')}_{'end' if name.startswith('end_') else 'start'}|>"
+            setattr(tok, f"{name}_token_id", tp.piece_to_id(piece))
+        if tok.end_assistant_token_id >= 0:
+            tok.terminate_ids.add(tok.end_assistant_token_id)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            raw = {k: float(pb.raw_f32(f"{pfx}.mlp.act_fn.{k}").reshape(-1)[0])
+                   for k in ("alpha_n", "alpha_p", "beta", "eps")}
+            # XIEMLP::load transforms (apertus.cpp:222-223)
+            xie = {
+                "beta": raw["beta"], "eps": raw["eps"],
+                "alpha_p": _softplus(raw["alpha_p"]),
+                "alpha_n": raw["beta"] + _softplus(raw["alpha_n"]),
+            }
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                    "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                    "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                    "xielu": xie,
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+    def set_additional_args(self, args: dict):
+        v = args.get("enable-thinking")
+        if v is not None:
+            self.tokenizer.enable_thinking = v not in ("0", "false", "False")

@@ -26,15 +26,15 @@ def synth_linear(n_in: int, n_out: int, fmt: str, *, bias: bool = False,
         qdt = jnp.uint8 if packed else jnp.int8
         if zeros:
             q = jnp.zeros((rows, n_out), qdt)
-            s = jnp.full((n_in // G, n_out), 0.01, jnp.float32)
+            s = jnp.full((n_in // G, n_out), 0.01, jnp.float16)
         else:
             rng = rng or np.random.default_rng(0)
             if packed:
                 q = jnp.asarray(rng.integers(0, 255, (rows, n_out), dtype=np.uint8))
             else:
                 q = jnp.asarray(rng.integers(-127, 127, (rows, n_out), dtype=np.int8))
-            s = jnp.asarray((rng.random((n_in // G, n_out)).astype(np.float32) * 0.01))
-        b = jnp.zeros((n_in // G, n_out), jnp.float32) if fmt == "q4" else None
+            s = jnp.asarray((rng.random((n_in // G, n_out)).astype(np.float16) * np.float16(0.01)))
+        b = jnp.zeros((n_in // G, n_out), jnp.float16) if fmt == "q4" else None
         return QuantLinear(q=q, s=s, b=b, packed=packed,
                            bias=jnp.zeros((n_out,), jnp.float32) if bias else None)
     dt = jnp.bfloat16 if fmt == "bf16" else jnp.float32

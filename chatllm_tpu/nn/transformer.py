@@ -234,7 +234,24 @@ def gated_mlp(cfg: TransformerConfig, p, x):
 
 def simple_mlp(cfg: TransformerConfig, p, x):
     """TheMLP (reference src/layers.h:1018): down(act(up(x)))."""
+    if "xielu" in p:
+        return xielu_mlp(cfg, p, x)
     h = _act(cfg.act)(matmul(x, p["up"])).astype(x.dtype)
+    return matmul(h, p["down"]).astype(x.dtype)
+
+
+def xielu_mlp(cfg: TransformerConfig, p, x):
+    """Apertus XIEMLP (models/apertus.cpp:170-232): down(xielu(up(x))) with
+    per-layer learned scalars; xielu (src/custom_ops.cpp:1210):
+      x > 0:  a_p x^2 + b x
+      x <= 0: a_n (expm1(min(x, eps)) - x) + b x
+    The loader pre-applies a_p = softplus(raw), a_n = b + softplus(raw)."""
+    a_n, a_p, beta, eps = (float(p["xielu"][k])
+                           for k in ("alpha_n", "alpha_p", "beta", "eps"))
+    h = matmul(x, p["up"]).astype(jnp.float32)
+    pos = a_p * h * h + beta * h
+    neg = a_n * (jnp.expm1(jnp.minimum(h, eps)) - h) + beta * h
+    h = jnp.where(h > 0.0, pos, neg).astype(x.dtype)
     return matmul(h, p["down"]).astype(x.dtype)
 
 

@@ -59,7 +59,8 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref, *, n_kt: int,
         tk = q.shape[0]
         gs = tk // group
         wq = q.astype(compute_dtype).reshape(gs, group, tn)
-    s = s_ref[:].astype(compute_dtype)             # [gs, TN]
+    # f16 scale tiles: convert via f32 (Mosaic lacks some f16 direct casts)
+    s = s_ref[:].astype(jnp.float32).astype(compute_dtype)  # [gs, TN]
     w = (wq * s[:, None, :]).reshape(tk, tn)
     xc = x_ref[:].astype(compute_dtype)            # [B, TK]
     acc_ref[:] += jnp.dot(xc, w, preferred_element_type=jnp.float32)

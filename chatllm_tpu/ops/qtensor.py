@@ -261,8 +261,13 @@ def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
         zero = 0
         if packed:
             q, zero = pack_nibbles(q, G)
+    # Device scales are f16: bit-exact for q4_0/q4_1/q5_x/q8_0 (their native
+    # scale IS f16) and within 1 f16 ulp for the k-quants' d*sc products —
+    # far below the 4/6-bit value quantization step, and it halves the
+    # scale-array HBM traffic (the grouped-affine layout's s+b are 1/3 of
+    # decode bytes at f32).
     return QuantLinear(
-        q=jnp.asarray(q), s=jnp.asarray(s),
-        b=None if b is None else jnp.asarray(b),
+        q=jnp.asarray(q), s=jnp.asarray(s, dtype=jnp.float16),
+        b=None if b is None else jnp.asarray(b, dtype=jnp.float16),
         bias=bias_arr, group_size=G, packed=packed, zero_point=zero,
     )

@@ -35,7 +35,7 @@ def _stream_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kt):
     # minimal compute: touch every input tile with ~1 op per 8 rows
     q = q_ref[:]
     acc_ref[:] += (q[:8].astype(jnp.int32).astype(jnp.float32) * x_ref[0, 0]
-                   + s_ref[:8] * 0.0)
+                   + s_ref[:8].astype(jnp.float32) * 0.0)
 
     @pl.when(kt == n_kt - 1)
     def _():
@@ -90,12 +90,12 @@ def make_weights():
 
         def mks(idx=idx, K=K, N=N):
             r = jax.lax.broadcasted_iota(jnp.float32, (L, K // G, N), 2)
-            return 0.005 + 0.00001 * jnp.cos(r + idx)
+            return (0.005 + 0.00001 * jnp.cos(r + idx)).astype(jnp.float16)
 
         q = jax.jit(mkq)()
         s = jax.jit(mks)()
         ws[name] = (q, s)
-        total += q.size + s.size * 4
+        total += q.size + s.size * s.dtype.itemsize
     np.asarray(ws["down"][1][0, 0, :1])
     print(f"weights on device: {total/1e9:.2f} GB", flush=True)
     return ws, total

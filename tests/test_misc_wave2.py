@@ -313,3 +313,86 @@ def test_deepseek_v3_light_registered():
     from chatllm_tpu.models.deepseek import DeepSeekV3
 
     assert lookup_model(int(ModelType.DEEPSEEK_V3_LIGHT)) is DeepSeekV3
+
+
+def test_apertus_xielu_golden(tmp_path):
+    """Apertus: xIELU MLP + per-head qk-norm + llama3 freq factors
+    (HF ApertusForCausalLM is ground truth)."""
+    torch.manual_seed(15)
+    cfg = transformers.ApertusConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=256, rope_theta=100000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 4.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+        tie_word_embeddings=False, attention_bias=False, mlp_bias=False)
+    hf = transformers.ApertusForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            act = layer.mlp.act_fn
+            act.alpha_n.normal_(0.5, 0.1)
+            act.alpha_p.normal_(0.5, 0.1)
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "apertus.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.APERTUS), 1, meta={})
+        w.write_config([int(GGMLType.F32), V, 64, 4, 2, 96, 256,
+                        1, 2, -1, -1, 2], fmt="12i")
+        f.write(struct.pack("<fifff", 100000.0, 64, 4.0, 1.0, 4.0))
+        w._patch_offset(12)
+        pieces = [(p, 1) for p in _bpe_pieces(V)]
+        for j, sp in enumerate([b"<|system_start|>", b"<|system_end|>",
+                                b"<|developer_start|>", b"<|developer_end|>",
+                                b"<|user_start|>", b"<|user_end|>",
+                                b"<|assistant_start|>", b"<|assistant_end|>"]):
+            pieces[V - 8 + j] = (sp, 4)
+        w.write_vocab_bpe(pieces, [])
+        w.write_tensor("model.embed_tokens.weight",
+                       sd["model.embed_tokens.weight"], GGMLType.F32)
+        for i in range(2):
+            pfx = f"model.layers.{i}"
+            w.write_tensor(f"{pfx}.input_layernorm.weight",
+                           sd[f"{pfx}.attention_layernorm.weight"], GGMLType.F32)
+            for mj, hfmj in (("down_proj", "down_proj"), ("up_proj", "up_proj")):
+                w.write_tensor(f"{pfx}.mlp.{mj}.weight",
+                               sd[f"{pfx}.mlp.{hfmj}.weight"], GGMLType.F32)
+            for k in ("alpha_n", "alpha_p", "beta", "eps"):
+                w.write_tensor(f"{pfx}.mlp.act_fn.{k}",
+                               sd[f"{pfx}.mlp.act_fn.{k}"].reshape(1), GGMLType.F32)
+            w.write_tensor(f"{pfx}.post_attention_layernorm.weight",
+                           sd[f"{pfx}.feedforward_layernorm.weight"], GGMLType.F32)
+            for pj in ("k_proj", "o_proj", "q_proj", "v_proj"):
+                w.write_tensor(f"{pfx}.self_attn.{pj}.weight",
+                               sd[f"{pfx}.self_attn.{pj}.weight"], GGMLType.F32)
+            w.write_tensor(f"{pfx}.self_attn.q_norm.weight",
+                           sd[f"{pfx}.self_attn.q_norm.weight"], GGMLType.F32)
+            w.write_tensor(f"{pfx}.self_attn.k_norm.weight",
+                           sd[f"{pfx}.self_attn.k_norm.weight"], GGMLType.F32)
+        w.write_tensor("model.norm.weight", sd["model.norm.weight"], GGMLType.F32)
+        w.write_tensor("lm_head.weight", sd["lm_head.weight"], GGMLType.F32)
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.cfg.rope.freq_factors is not None
+    ids = np.array([[7, 30, 102, 89, 5, 200]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids, dtype=torch.long)).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3, rtol=3e-3)
+
+    tok = model.tokenizer
+    ids = []
+    tok.chat_encoder.append_sys_prompt(ids)
+    tok.chat_encoder.append_user(0, "hi", ids)
+    tok.chat_encoder.append_ai_opening(0, ids)
+    assert ids[0] == tok.bos_token_id
+    assert ids.count(tok.system_token_id) == 1
+    assert ids.count(tok.developer_token_id) == 1
+    assert ids[-1] == tok.assistant_token_id
+    assert tok.end_assistant_token_id in tok.terminate_ids
+
+
+def test_bailing_moe2_forward(tmp_path):
+    from chatllm_tpu.models.base import lookup_model
+    from chatllm_tpu.models.deepseek import BailingMoE2
+
+    assert lookup_model(int(ModelType.BAILING_MOE2)) is BailingMoE2

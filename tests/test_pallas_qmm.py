@@ -72,7 +72,10 @@ def test_packed_nibbles_roundtrip():
 
         ref = dequantize(raw, t, (out_d, in_d)).T
         got = np.asarray(dequant_weight(lin, jnp.float32))
-        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+        # q4_0/q4_1 scales are natively f16 -> exact; q4_k's d*sc product
+        # rounds once through the f16 device scales (<= 1 ulp)
+        tol = 1e-6 if t in (GGMLType.Q4_0, GGMLType.Q4_1) else 3e-4
+        np.testing.assert_allclose(got, ref, atol=tol, rtol=5e-4)
 
         x = rng.standard_normal((2, in_d)).astype(np.float32)
         from chatllm_tpu.ops.pallas.qmm_kernel import qmm_pallas
