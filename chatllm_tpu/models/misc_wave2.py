@@ -673,3 +673,181 @@ class Apertus(BaseLLM):
         v = args.get("enable-thinking")
         if v is not None:
             self.tokenizer.enable_thinking = v not in ("0", "false", "False")
+
+
+@register_model(ModelType.MELLUM)
+class Mellum(BaseLLM):
+    """JetBrains Mellum-MoE (models/mellum.cpp): every layer is a qwen3-style
+    qk-normed MoE; full-attention layers run YaRN rope, SWA layers run a
+    separate plain rope base (dual rope tables via rope_local)."""
+    MAXL = 128
+    # 8i {n_kv, head_dim, sliding_window, moe_inter, experts_per_tok,
+    # n_experts, norm_topk, tie} + 7f {full_theta, factor, orig_max(f),
+    # beta_fast, beta_slow, attn_factor, swa_theta} + 128i swa + 128i sparse
+    EXTRA_FMT = f"8i7f{MAXL}i{MAXL}i"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..nn.transformer import LayerSpec
+        from ..ops.rope import ROPE_NEOX, RopeConfig
+        from .base import load_moe_experts
+        from .qwen import make_qwen_tokenizer
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, head_dim, sliding_window, moe_inter, n_active, n_experts,
+         norm_topk, tie_flag) = extra[:8]
+        (full_theta, factor, orig_max_f, beta_fast, beta_slow, attn_factor,
+         swa_theta) = extra[8:15]
+        layer_is_swa = extra[15:15 + cls.MAXL]
+        n_layers = base.num_hidden_layers
+        tie = bool(tie_flag)
+        specs = tuple(
+            LayerSpec(is_moe=True, sliding_window=sliding_window,
+                      local_rope=True)
+            if layer_is_swa[i] else LayerSpec(is_moe=True)
+            for i in range(n_layers))
+        rope_full = RopeConfig(
+            head_dim=head_dim, freq_base=full_theta, layout=ROPE_NEOX,
+            freq_scale=1.0 / factor if factor > 1.0 else 1.0,
+            ext_factor=1.0 if factor > 1.0 else 0.0,
+            attn_factor=attn_factor if factor > 1.0 else 1.0,
+            beta_fast=beta_fast, beta_slow=beta_slow,
+            orig_ctx=int(orig_max_f))
+        rope_swa = RopeConfig(head_dim=head_dim, freq_base=swa_theta,
+                              layout=ROPE_NEOX)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 head_dim=head_dim, qk_norm="rmsnorm",
+                                 norm_eps=1e-6, tie_lm_head=tie,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, rope=rope_full, rope_local=rope_swa,
+                      layer_specs=specs, moe_num_experts=n_experts,
+                      moe_top_k=n_active, moe_norm_topk_prob=bool(norm_topk))
+        tok = make_qwen_tokenizer(gf, base)
+        tok.sys_prompt = ""
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                    "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                    "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate"),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_experts),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        if not tie:
+            params["lm_head"] = pb.linear("lm_head")
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.NANBEIGE)
+class Nanbeige(BaseLLM):
+    """Nanbeige4 looped-layer llama (models/nanbeige.cpp): the layer stack
+    runs num_loops times with shared weights, per-loop KV caches, and the
+    final norm applied between loops unless skip_loop_final_norm."""
+    # {n_kv, head_dim, num_loops, skip_loop_final_norm, tie} + f rope_theta
+    EXTRA_FMT = "5if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..runtime.chat import ChatMLEncoder
+        from ..tokenizer.processor import BPEProcessor1
+
+        base, (n_kv, head_dim, num_loops, skip_norm, tie_flag,
+               rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        num_loops = int(rt.additional.get("num_loops", num_loops))
+        tie = bool(tie_flag)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 head_dim=head_dim, rope_theta=rope_theta,
+                                 tie_lm_head=tie, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, num_loops=max(1, num_loops),
+                      skip_loop_final_norm=bool(skip_norm))
+        tok_sys = "你是南北阁，一款由BOSS直聘自主研发并训练的专业大语言模型。"
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        # added tokens come from the JSON meta (tokenizer_config.json)
+        added = ((gf.meta or {}).get("tokenizer_config.json") or {}).get(
+            "added_tokens_decoder") or {}
+        for tid, entry in added.items():
+            tp.add_added_token(entry.get("content", ""), int(tid))
+        tok = ChatTokenizer(tp, ChatMLEncoder(), sys_prompt=tok_sys)
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        tok.im_start_token_id = tp.piece_to_id("<|im_start|>")
+        tok.im_end_token_id = tp.piece_to_id("<|im_end|>")
+        if tok.im_end_token_id >= 0:
+            tok.terminate_ids.add(tok.im_end_token_id)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers,
+                                          tie_lm_head=tie)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.OURO)
+class Ouro(BaseLLM):
+    """Ouro looped/universal transformer (models/ouro.cpp): full-sandwich
+    norm blocks re-run total_ut_steps times (shared weights, per-step KV
+    caches, final norm between steps), with an early-exit gate head.
+
+    The reference evaluates the gate on host and can exit early
+    (run_model_steps:196-255); under jit all steps run and the final step's
+    output is used — identical results at the default exit_threshold=1.0."""
+    EXTRA_FMT = "if"    # n_kv, rope_theta
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .qwen import make_qwen_tokenizer
+
+        base, (n_kv, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        steps = int(rt.additional.get("total_ut_steps", 4))
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, rope_layout="neox",
+                                 norm_eps=1e-6, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, num_loops=max(1, steps), post_norms=True)
+        tok = make_qwen_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "exit_gate": pb.linear("model.early_exit_gate"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "post_attn_norm": pb.norm(f"{pfx}.input_layernorm_2"),
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "post_ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm_2"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -110,6 +110,10 @@ class TransformerConfig:
     moe_swiglu_alpha: float = 1.702
     moe_jitter_eps: float = 0.01    # sparsemixer threshold (Phi-3.5-MoE)
     mla: Optional[MLAConfig] = None
+    num_loops: int = 1              # looped/recurrent stack count (Nanbeige
+    #   LoopModel, Ouro): same weights re-run num_loops times, each loop with
+    #   its own KV cache slice
+    skip_loop_final_norm: bool = False
     mla_compressed: bool = False    # latent ("memory") MLA cache: cache only
     #   [c_kv | k_pe] per token (reference forward_memory, deepseek.cpp:406)
     #   with the up-projections absorbed into q / output — MQA-shaped attention
@@ -173,7 +177,8 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
         dk = dv = cfg.resolved_head_dim()
         n_kv = cfg.num_key_value_heads
     ks, vs, kss, vss = [], [], [], []
-    for i in range(cfg.num_hidden_layers):
+    for ci in range(cfg.num_hidden_layers * max(1, cfg.num_loops)):
+        i = ci % cfg.num_hidden_layers
         spec = cfg.layer_spec(i)
         s = max_len if spec.sliding_window <= 0 else min(
             max_len, spec.sliding_window + SWA_EXTRA)
@@ -734,14 +739,22 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
 
     ks, vs = list(cache.k), list(cache.v)
     quant = cache.k_scale is not None
-    kss = list(cache.k_scale) if quant else [None] * cfg.num_hidden_layers
-    vss = list(cache.v_scale) if quant else [None] * cfg.num_hidden_layers
-    for i in range(cfg.num_hidden_layers):
-        spec = cfg.layer_spec(i)
-        c, s_ = (cos_l, sin_l) if (spec.local_rope and cos_l is not None) else (cos, sin)
-        x, ks[i], vs[i], kss[i], vss[i] = decoder_layer(
-            cfg, spec, params["layers"][i], x, c, s_, ks[i], vs[i], n_past,
-            kss[i], vss[i], q_mult)
+    kss = list(cache.k_scale) if quant else [None] * len(cache.k)
+    vss = list(cache.v_scale) if quant else [None] * len(cache.k)
+    L = cfg.num_hidden_layers
+    for loop in range(max(1, cfg.num_loops)):
+        # looped/recurrent stacks (Nanbeige LoopModel, models/nanbeige.cpp:
+        # 250-330; Ouro): weights are shared across loops, each loop has its
+        # own KV cache slice, final norm applied between loops unless skipped
+        if loop > 0 and not cfg.skip_loop_final_norm:
+            x = _norm(cfg, x, params["final_norm"])
+        for i in range(L):
+            spec = cfg.layer_spec(i)
+            ci = loop * L + i
+            c, s_ = (cos_l, sin_l) if (spec.local_rope and cos_l is not None) else (cos, sin)
+            x, ks[ci], vs[ci], kss[ci], vss[ci] = decoder_layer(
+                cfg, spec, params["layers"][i], x, c, s_, ks[ci], vs[ci],
+                n_past, kss[ci], vss[ci], q_mult)
 
     x = _norm(cfg, x, params["final_norm"])
     if last_only:

@@ -34,6 +34,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def f16_bits_to_f32(bits_i32):
+    """Decode IEEE f16 bit patterns (held in int32 lanes) to f32 on the VPU.
+
+    Mosaic rejects the f16 dtype outright ("Unsupported type in mosaic
+    dialect: 'f16'"), so f16 scale arrays are bitcast to uint16 OUTSIDE the
+    kernel and decoded here: ~6 VPU ops per SCALE element = /group per
+    weight.  Handles normals, subnormals and +-0 (scales are never inf/nan)."""
+    bits = bits_i32 & 0xFFFF
+    sign = (bits >> 15) & 1
+    exp = (bits >> 10) & 0x1F
+    man = bits & 0x3FF
+    normal = ((exp + 112) << 23) | (man << 13)
+    fn = jax.lax.bitcast_convert_type(normal, jnp.float32)
+    fsub = man.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    mag = jnp.where(exp == 0, fsub, fn)
+    return jnp.where(sign == 1, -mag, mag)
+
+
+def load_scale_f32(s_ref):
+    """Read a scale tile as f32 whatever its storage dtype (f32, or uint16
+    f16-bits after the wrapper's bitcast)."""
+    s = s_ref[:]
+    if s.dtype in (jnp.uint16, jnp.int16):
+        return f16_bits_to_f32(s.astype(jnp.int32))
+    return s.astype(jnp.float32)
+
+
 def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kt: int, group: int,
             packed: bool):
     kt = pl.program_id(1)
@@ -67,7 +94,7 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kt: int, group: int,
     while h > 8:
         t = t[:, : h // 2] + t[:, h // 2:]
         h //= 2
-    s = s_ref[:].astype(jnp.float32)               # [gs, TN]
+    s = load_scale_f32(s_ref)                      # [gs, TN]
     t = t * s[:, None, :]
     # reduce the group axis: pairwise halving while even, then unrolled adds
     g = gs
@@ -113,6 +140,8 @@ def qgemv_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
     gs = tile_k // group
 
     xc = x.reshape(K, 1).astype(jnp.float32)
+    s_in = (jax.lax.bitcast_convert_type(s, jnp.uint16)
+            if s.dtype == jnp.float16 else s)
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_kt=n_kt, group=group, packed=packed),
@@ -138,7 +167,7 @@ def qgemv_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xc, q, s)
+    )(xc, q, s_in)
     y = jnp.sum(out, axis=0, keepdims=True)        # [1, N]
 
     corr = None

@@ -59,8 +59,9 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref, *, n_kt: int,
         tk = q.shape[0]
         gs = tk // group
         wq = q.astype(compute_dtype).reshape(gs, group, tn)
-    # f16 scale tiles: convert via f32 (Mosaic lacks some f16 direct casts)
-    s = s_ref[:].astype(jnp.float32).astype(compute_dtype)  # [gs, TN]
+    from .gemv_kernel import load_scale_f32
+
+    s = load_scale_f32(s_ref).astype(compute_dtype)         # [gs, TN]
     w = (wq * s[:, None, :]).reshape(tk, tn)
     xc = x_ref[:].astype(compute_dtype)            # [B, TK]
     acc_ref[:] += jnp.dot(xc, w, preferred_element_type=jnp.float32)
@@ -111,6 +112,11 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         x = jnp.pad(x, ((0, B_pad - B), (0, 0)))
     tile_m = _pick_tile(B_pad, 256, 8)
     n_mt, n_nt = B_pad // tile_m, N // tile_n
+
+    # Mosaic has no f16 dtype: ship f16 scales as uint16 bit patterns,
+    # decoded on the VPU (gemv_kernel.f16_bits_to_f32)
+    if s.dtype == jnp.float16:
+        s = jax.lax.bitcast_convert_type(s, jnp.uint16)
 
     gs = tile_k // group
     in_specs = [

@@ -240,9 +240,9 @@ class InferenceEngine:
         def do_shift(cache, shift, keep):
             ks, vs = list(cache.k), list(cache.v)
             quant = cache.k_scale is not None
-            kss = list(cache.k_scale) if quant else [None] * cfg.num_hidden_layers
-            vss = list(cache.v_scale) if quant else [None] * cfg.num_hidden_layers
-            for i in range(cfg.num_hidden_layers):
+            kss = list(cache.k_scale) if quant else [None] * len(cache.k)
+            vss = list(cache.v_scale) if quant else [None] * len(cache.k)
+            for i in range(len(cache.k)):
                 k, v = ks[i], vs[i]
                 S = k.shape[1]
                 pos = jnp.arange(S)
@@ -252,7 +252,7 @@ class InferenceEngine:
                 if quant:
                     kss[i] = jnp.take(kss[i], src, axis=1)
                     vss[i] = jnp.take(vss[i], src, axis=1)
-                if cfg.layer_spec(i).use_rope and cfg.rope is not None:
+                if cfg.layer_spec(i % cfg.num_hidden_layers).use_rope and cfg.rope is not None:
                     # moved keys carry rope for their OLD absolute position;
                     # rotate by -shift (without the attn mscale, which is
                     # already baked into the stored keys)

@@ -329,6 +329,9 @@ class Processor:
         return self.id_to_piece_bytes(tid).decode("utf-8", errors="replace")
 
     def piece_to_id(self, piece: str) -> int:
+        for tok, tid in self.added_tokens:
+            if tok == piece:
+                return tid
         return self.vocab.token_to_id.get(piece.encode("utf-8"), self.id_unk_token)
 
     # -- config ------------------------------------------------------------

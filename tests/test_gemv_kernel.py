@@ -57,3 +57,40 @@ def test_qgemv_odd_tiles():
     y = qgemv_pallas(jnp.asarray(x), jnp.asarray(qv), jnp.asarray(s),
                      tile_n=128, tile_k=K, interpret=True)
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-4)
+
+
+def test_qgemv_f16_scales_interpret():
+    """f16 device scales ride into the kernel as uint16 bit patterns and are
+    decoded on the VPU (Mosaic has no f16 dtype)."""
+    rng = np.random.default_rng(2)
+    K, N, G = 256, 256, 32
+    x = rng.standard_normal((1, K)).astype(np.float32)
+    qv = rng.integers(-8, 8, size=(K, N)).astype(np.int8)
+    s16 = (rng.random((K // G, N)) * 0.1 + 1e-5).astype(np.float16)
+    # include a subnormal f16 and zero to exercise the decode paths
+    s16[0, 0] = np.float16(5e-8)
+    s16[0, 1] = np.float16(0.0)
+    w = (qv.astype(np.float32).reshape(K // G, G, N)
+         * s16.astype(np.float32)[:, None, :]).reshape(K, N)
+    ref = x @ w
+    y = qgemv_pallas(jnp.asarray(x), jnp.asarray(qv), jnp.asarray(s16),
+                     group=G, tile_n=128, tile_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-4)
+
+
+def test_qmm_f16_scales_interpret():
+    from chatllm_tpu.ops.pallas.qmm_kernel import qmm_pallas
+
+    rng = np.random.default_rng(3)
+    K, N, G = 256, 256, 32
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    qv = rng.integers(-8, 8, size=(K, N)).astype(np.int8)
+    s16 = (rng.random((K // G, N)) * 0.1 + 1e-5).astype(np.float16)
+    w = (qv.astype(np.float32).reshape(K // G, G, N)
+         * s16.astype(np.float32)[:, None, :]).reshape(K, N)
+    ref = x @ w
+    y = qmm_pallas(jnp.asarray(x), jnp.asarray(qv), jnp.asarray(s16),
+                   group=G, tile_n=128, tile_k=128,
+                   compute_dtype=jnp.float32, interpret=True)
+    rel = np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5
