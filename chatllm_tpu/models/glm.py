@@ -301,3 +301,105 @@ class CharacterGLM(BaseLLM):
         for k in ("user_name", "bot_name", "user_info", "bot_info"):
             if k in args:
                 setattr(enc, k, args[k])
+
+
+# ---------------------------------------------------------------------------
+# ChatGLM-6B (v1): 2D rope + alpha-scaled GLM residual
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+class GLM1Tokenizer(ChatTokenizer):
+    """ChatGLM-6B text transforms (chatglm.cpp Tokenizer::preprocess /
+    postprocess:89-162): \\n -> <n>, \\t -> <|tab|>, space runs ->
+    <|blank_N|>; inverse + CJK punctuation mapping on decode.  Every encode
+    prepends [gMASK] <sop> (Tokenizer::encode:44-48)."""
+
+    _PUNCT = [("，", ","), ("！", "!"), ("：", ":"), ("；", ";"), ("？", "?")]
+
+    def encode(self, text: str) -> list[int]:
+        out = text.replace("\n", "<n>").replace("\t", "<|tab|>")
+        out = _re.sub(r"[ ]{2,80}", lambda m: f"<|blank_{len(m.group())}|>", out)
+        return [self.gmask_token_id, self.bos_token_id] + self.tp.encode(out)
+
+    def decode(self, ids) -> str:
+        text = super().decode(ids)
+        text = text.replace("<n>", "\n").replace("<|tab|>", "\t")
+        text = _re.sub(r"<\|blank_(\d+)\|>", lambda m: " " * int(m.group(1)), text)
+        for zh, en in self._PUNCT:
+            text = _re.sub(rf"([一-鿿]){_re.escape(en)}", rf"\1{zh}", text)
+            text = _re.sub(rf"{_re.escape(en)}([一-鿿])", rf"{zh}\1", text)
+        return text
+
+
+class GLM1Encoder(HistoryEncoder):
+    """[Round N]\\n问：{user}\\n答：{ai}\\n (chatglm.cpp v1:50-74)."""
+
+    def append_user(self, round_idx, user, ids):
+        ids.extend(self.tokenizer.encode(f"[Round {round_idx + 1}]\n问：{user}\n"))
+
+    def append_ai(self, round_idx, ai, ids):
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(self.tokenizer.encode(ai + "\n"))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode("答："))
+
+
+@register_model(ModelType.CHATGLM)
+class ChatGLM1(BaseLLM):
+    """ChatGLM-6B: 2D rope (clamped + block position channels, the
+    chatglm1_rope custom op src/custom_ops.cpp:383-534), fused biased qkv,
+    GELU MLP, and the GLM residual x = norm(x)*sqrt(2L) + sublayer(norm(x))
+    (GLMBlock::forward src/layers.cpp:2385)."""
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..tokenizer.processor import BPEProcessor1
+
+        base, _ = BaseConfig.parse(gf)
+        d = base.hidden_size // base.num_attention_heads
+        cfg = TransformerConfig(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            num_hidden_layers=base.num_hidden_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=base.num_attention_heads,
+            intermediate_size=base.intermediate_size,
+            max_length=rt.max_length if rt.max_length > 0 else base.max_length,
+            act="gelu", norm_type="layernorm", norm_eps=1e-5,
+            rope=RopeConfig(head_dim=d, freq_base=10000.0, layout="glm1"),
+            qkv_bias=True, o_bias=True, mlp_bias=True,
+            glm1_residual=True, tie_lm_head=True,
+            cache_dtype=rt.cache_dtype)
+        tp = BPEProcessor1()
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tok = GLM1Tokenizer(tp, GLM1Encoder(), sys_prompt="")
+        tok.bos_token_id = tp.piece_to_id("<sop>")
+        tok.eos_token_id = tp.piece_to_id("<eop>")
+        tok.mask_token_id = tp.piece_to_id("[MASK]")
+        tok.gmask_token_id = tp.piece_to_id("[gMASK]")
+        tok.pad_token_id = tp.piece_to_id("<pad>")
+        tok.terminate_ids.add(tok.eos_token_id)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("transformer.word_embeddings.weight"),
+            "final_norm": pb.norm("transformer.final_layernorm"),
+            "layers": [],
+        }
+        for i in range(base.num_hidden_layers):
+            pfx = f"transformer.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "qkv": pb.linear(f"{pfx}.attention.query_key_value"),
+                    "o": pb.linear(f"{pfx}.attention.dense"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "up": pb.linear(f"{pfx}.mlp.dense_h_to_4h"),
+                    "down": pb.linear(f"{pfx}.mlp.dense_4h_to_h"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

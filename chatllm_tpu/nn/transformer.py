@@ -88,6 +88,7 @@ class TransformerConfig:
     embedding_scale: float = 1.0            # sqrt(hidden) for Gemma
     attention_scale: float = -1.0           # score scale; -1 = 1/sqrt(head_dim)
     parallel_residual: bool = False         # LMBlock2 (GPT-NeoX/Phi style)
+    glm1_residual: bool = False             # GLM1: residual = norm(x)*sqrt(2L)
     post_norms: bool = False                # LMBlock4 sandwich (Gemma2)
     pre_norm: bool = True                   # False: OLMo2 (post-norms only)
     residual_scale: float = 1.0             # Granite residual_multiplier
@@ -649,7 +650,15 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
         attn_out = _norm(cfg, attn_out, p["post_attn_norm"])
     rs = cfg.residual_scale
 
-    if cfg.parallel_residual:
+    if cfg.glm1_residual:
+        # GLM1 block (GLMBlock::forward, src/layers.cpp:2385-2401): the
+        # residual is the NORMED input scaled by sqrt(2*num_layers)
+        alpha = (2.0 * cfg.num_hidden_layers) ** 0.5
+        x = h * alpha + attn_out
+        h2 = _norm(cfg, x, p["ffn_norm"])
+        mlp_out = mlp_dispatch(cfg, spec, p["mlp"], h2)
+        x = h2 * alpha + mlp_out
+    elif cfg.parallel_residual:
         mlp_out = mlp_dispatch(cfg, spec, p["mlp"], h)
         x = x + rs * (attn_out + mlp_out) if rs != 1.0 else x + attn_out + mlp_out
     else:
@@ -712,7 +721,14 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
         else:
             positions = n_past + jnp.arange(T)[None, :]        # [1,T]
             positions = jnp.broadcast_to(positions, (B, T))
-    if positions.ndim == 3:
+    if positions.ndim == 3 and cfg.rope is not None and cfg.rope.layout == "glm1":
+        # ChatGLM1 2D rope: stream 0 = clamped position, stream 1 = block
+        # position; frequency tables restart per half (vision-rope shape)
+        from ..ops.rope import vision_rope_cos_sin
+        cos, sin = vision_rope_cos_sin(positions[0], positions[1],
+                                       cfg.rope.resolved_rot_dim(),
+                                       cfg.rope.freq_base)
+    elif positions.ndim == 3:
         # M-RoPE: [A, B, T] position streams (t, h, w[, e]) — Qwen2-VL
         # family multimodal prefill (models/qwen.cpp TensorPosHelper3D)
         from ..ops.rope import precompute_mrope_cache

@@ -26,6 +26,10 @@ import numpy as np
 
 ROPE_NEOX = "neox"        # rotate halves (HF convention)
 ROPE_NORMAL = "normal"    # rotate adjacent pairs (ggml mode 0)
+ROPE_GLM1 = "glm1"        # ChatGLM-6B 2D rope: two head halves, each
+#                           NeoX-rotated with its own position channel
+#                           (src/custom_ops.cpp ggml_compute_forward_
+#                           chatglm1_rope:383-534)
 
 
 @dataclass(frozen=True)
@@ -192,6 +196,18 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
         o1 = x1 * cos - x2 * sin
         o2 = x2 * cos + x1 * sin
         out = jnp.stack([o1, o2], axis=-1).reshape(xf.shape)
+    elif layout == ROPE_GLM1:
+        # halves rotated independently; pairing is WITHIN each half
+        # ((i, i+rot/4) and (rot/2+i, 3rot/4+i) — custom_ops.cpp:424-447)
+        q = rot // 4
+        outs = []
+        for h in range(2):
+            xh = xf[..., h * 2 * q:(h + 1) * 2 * q]
+            ch, sh = cos[..., h * q:(h + 1) * q], sin[..., h * q:(h + 1) * q]
+            x1, x2 = xh[..., :q], xh[..., q:]
+            outs.append(jnp.concatenate(
+                [x1 * ch - x2 * sh, x2 * ch + x1 * sh], axis=-1))
+        out = jnp.concatenate(outs, axis=-1)
     else:
         raise ValueError(f"rope layout {layout}")
     out = out.astype(x.dtype)

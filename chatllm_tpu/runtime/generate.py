@@ -178,10 +178,20 @@ class InferenceEngine:
             return self._prefill_cache[tpad]
         cfg = self.cfg
 
+        glm1 = cfg.rope is not None and cfg.rope.layout == "glm1"
+
         @partial(jax.jit, donate_argnums=(1,))
         def prefill(params, cache, ids, n_past, n_tokens, pos_delta):
             B, T = ids.shape
-            pos = jnp.broadcast_to((n_past + pos_delta) + jnp.arange(T)[None, :], (B, T))
+            if glm1:
+                # pos_delta carries the GLM1 position boundary (prompt-2):
+                # channel 0 clamps there, channel 1 counts past it
+                # (custom_ops.cpp chatglm1_rope:420-423)
+                p = jnp.broadcast_to(n_past + jnp.arange(T)[None, :], (B, T))
+                pos = jnp.stack([jnp.minimum(p, pos_delta),
+                                 jnp.maximum(p - pos_delta, 0)])
+            else:
+                pos = jnp.broadcast_to((n_past + pos_delta) + jnp.arange(T)[None, :], (B, T))
             logits, cache = transformer_forward(cfg, params, ids, cache, n_past,
                                                 positions=pos)
             last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
@@ -200,12 +210,19 @@ class InferenceEngine:
             return self._decode_fns[key_s]
         cfg = self.cfg
 
+        glm1 = cfg.rope is not None and cfg.rope.layout == "glm1"
+
         @partial(jax.jit, donate_argnums=(1,), static_argnums=())
         def decode_block(params, cache, tok, n_past, penalty, key, pos_delta):
             def body(carry, _):
                 tok, cache, n_past, penalty, key = carry
-                pos = jnp.broadcast_to((n_past + pos_delta)[None, None],
-                                       (tok.shape[0], 1))
+                if glm1:
+                    p = jnp.broadcast_to(n_past[None, None], (tok.shape[0], 1))
+                    pos = jnp.stack([jnp.minimum(p, pos_delta),
+                                     jnp.maximum(p - pos_delta, 0)])
+                else:
+                    pos = jnp.broadcast_to((n_past + pos_delta)[None, None],
+                                           (tok.shape[0], 1))
                 logits, cache = transformer_forward(cfg, params, tok, cache, n_past,
                                                     positions=pos)
                 lf = logits[:, -1, :]
@@ -430,6 +447,11 @@ class InferenceEngine:
 
         if cache is None:
             cache = self.new_cache(1, max_len)
+
+        if self.cfg.rope is not None and self.cfg.rope.layout == "glm1":
+            # reference: transformer->set_ctx(input_ids.size()) at generate
+            # start (src/models.cpp:972); boundary rides in pos_delta
+            self.pos_delta = max(n_past + len(input_ids) - 2, 0)
 
         t0 = time.perf_counter()
         logits, cache, n_past = self.prefill(input_ids, cache, n_past, chunk=gen_cfg.batch_size)
