@@ -189,16 +189,17 @@ def load_llama_family_params(pb: ParamBuilder, n_layers: int, *, tie_lm_head: bo
 
 
 def load_moe_experts(pb: "ParamBuilder", pfx: str, n_experts: int,
-                     names=("gate_proj", "up_proj", "down_proj")) -> dict:
-    """Stack per-expert FFN weights `{pfx}.experts.{j}.<name>.weight`
+                     names=("gate_proj", "up_proj", "down_proj"),
+                     container: str = "experts") -> dict:
+    """Stack per-expert FFN weights `{pfx}.{container}.{j}.<name>.weight`
     (reference concat-on-load, e.g. models/qwen.cpp:312-314) into dense
     [E, ...] arrays for the expert einsum."""
     gates, ups, downs = [], [], []
     g_n, u_n, d_n = names
     for j in range(n_experts):
-        gates.append(pb.raw_f32(f"{pfx}.experts.{j}.{g_n}.weight").T)
-        ups.append(pb.raw_f32(f"{pfx}.experts.{j}.{u_n}.weight").T)
-        downs.append(pb.raw_f32(f"{pfx}.experts.{j}.{d_n}.weight").T)
+        gates.append(pb.raw_f32(f"{pfx}.{container}.{j}.{g_n}.weight").T)
+        ups.append(pb.raw_f32(f"{pfx}.{container}.{j}.{u_n}.weight").T)
+        downs.append(pb.raw_f32(f"{pfx}.{container}.{j}.{d_n}.weight").T)
     dt = pb.compute_dtype
     return {
         "gate": jnp.asarray(np.stack(gates), dtype=dt),   # [E, H, F]

@@ -851,3 +851,123 @@ class Ouro(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.PANGU_MOE)
+class PanguMoE(BaseLLM):
+    """openPangu-MoE (models/pangu.cpp moe:83-180): softmax router with
+    grouped-argmax selection (one expert per group of E/K), learned
+    per-expert router_scale, shared expert, fully-biased attention."""
+    EXTRA_FMT = "4if"   # n_kv, moe_inter, experts_per_tok, n_experts, theta
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..nn.transformer import LayerSpec
+        from .base import load_moe_experts
+
+        base, (n_kv, moe_inter, n_active, n_experts,
+               rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        n_layers = base.num_hidden_layers
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, qkv_bias=True, o_bias=True,
+                      layer_specs=tuple(LayerSpec(is_moe=True)
+                                        for _ in range(n_layers)),
+                      moe_num_experts=n_experts, moe_top_k=n_active,
+                      moe_norm_topk_prob=False, moe_grouped_argmax=True)
+        tok = make_pangu_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate", bias=False),
+                    "router_scale": pb.array(f"{pfx}.mlp.router_scale"),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_experts),
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_expert.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_expert.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_expert.down_proj"),
+                    },
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.GROVE_MOE)
+class GroveMoE(BaseLLM):
+    """GroveMoE (models/grove.cpp): qwen3-style qk-normed attention + MoE
+    where every selected expert also adds its group's small "chunk" expert
+    (big/little experts, same routing weights)."""
+    EXTRA_FMT = "2if5if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        import numpy as _np
+
+        from ..nn.transformer import LayerSpec
+        from .base import load_moe_experts
+        from .qwen import make_qwen_tokenizer
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, head_dim, rope_theta, moe_inter, n_active, n_experts,
+         experts_per_group, small_inter, _small_weight) = extra
+        n_layers = base.num_hidden_layers
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 head_dim=head_dim, rope_theta=rope_theta,
+                                 rope_layout="neox", qk_norm="rmsnorm",
+                                 norm_eps=1e-6, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, layer_specs=tuple(LayerSpec(is_moe=True)
+                                             for _ in range(n_layers)),
+                      moe_num_experts=n_experts, moe_top_k=n_active)
+        tok = make_qwen_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                    "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                    "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate", bias=False),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_experts),
+                    "small_experts": load_moe_experts(
+                        pb, f"{pfx}.mlp",
+                        n_experts // max(experts_per_group, 1),
+                        names=("gate_proj", "up_proj", "down_proj"),
+                        container="chunk_experts"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -110,6 +110,7 @@ class TransformerConfig:
     moe_swiglu_limit: float = 7.0
     moe_swiglu_alpha: float = 1.702
     moe_jitter_eps: float = 0.01    # sparsemixer threshold (Phi-3.5-MoE)
+    moe_grouped_argmax: bool = False  # one expert per group of E/K (Pangu)
     mla: Optional[MLAConfig] = None
     num_loops: int = 1              # looped/recurrent stack count (Nanbeige
     #   LoopModel, Ouro): same weights re-run num_loops times, each loop with
@@ -334,7 +335,21 @@ def moe_mlp(cfg: TransformerConfig, p, x):
         gtop, _ = jax.lax.top_k(gscore, cfg.moe_topk_group)
         gmask = gscore >= gtop[..., -1:]
         sel = jnp.where(gmask[:, :, None], gsel, -jnp.inf).reshape(N, -1)
-    _, topi = jax.lax.top_k(sel, cfg.moe_top_k)                       # [N, K]
+    if "router_scale" in p:
+        # learned per-expert weight multiplier, applied to the combine
+        # weights but NOT the selection scores (GenericSparseMLP::forward,
+        # src/layers.cpp:3787-3790; Pangu-MoE)
+        probs = probs * p["router_scale"].astype(jnp.float32)
+    if cfg.moe_grouped_argmax:
+        # one expert per group of E/K (grouped_max group_indices routing,
+        # src/layers.cpp:3821-3831; Pangu-MoE)
+        N, E = sel.shape
+        K = cfg.moe_top_k
+        epg = E // K
+        gi = jnp.argmax(sel.reshape(N, K, epg), axis=-1)              # [N, K]
+        topi = gi + jnp.arange(K)[None, :] * epg
+    else:
+        _, topi = jax.lax.top_k(sel, cfg.moe_top_k)                   # [N, K]
     topv = jnp.take_along_axis(probs, topi, axis=-1)
     if cfg.moe_norm_topk_prob:
         topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
@@ -343,19 +358,13 @@ def moe_mlp(cfg: TransformerConfig, p, x):
     return _moe_combine(cfg, p, xt, topi, topv, x)
 
 
-def _moe_combine(cfg: TransformerConfig, p, xt, topi, topv, x):
-    """Expert compute + weighted combine given selected experts [N,K] and
-    weights [N,K].  Dense einsum over the expert dim (`mul_mat_id` analog)
-    gathered per token via one-hot matmul so shapes stay static for XLA."""
-    B, T, H = x.shape
-    E = cfg.moe_num_experts
-    onehot = jax.nn.one_hot(topi, E, dtype=xt.dtype)                  # [N,K,E]
+def _experts_out(cfg: TransformerConfig, ex, xt, topi, topv, n_experts):
+    """Weighted sum of selected experts' outputs: dense einsum over the
+    expert dim (`mul_mat_id` analog), gathered per token via one-hot matmul
+    so shapes stay static for XLA."""
+    onehot = jax.nn.one_hot(topi, n_experts, dtype=xt.dtype)          # [N,K,E]
     combine = jnp.einsum("nk,nke->ne", topv.astype(xt.dtype), onehot) # [N,E]
-    # experts stored stacked: gate/up/down with leading expert dim
-    ex = p["experts"]
     gw, uw, dw = ex["gate"], ex["up"], ex["down"]
-    # dense-over-experts compute (correct & simple; ragged Pallas kernel is
-    # the optimization path for big E)
     g = jnp.einsum("nh,ehf->enf", xt, gw)
     u = jnp.einsum("nh,ehf->enf", xt, uw)
     if "gate_b" in ex:
@@ -373,7 +382,20 @@ def _moe_combine(cfg: TransformerConfig, p, xt, topi, topv, x):
     out = jnp.einsum("enf,efh->enh", hidden, dw)                      # [E,N,H]
     if "down_b" in ex:
         out = out + ex["down_b"][:, None, :]
-    y = jnp.einsum("enh,ne->nh", out, combine)
+    return jnp.einsum("enh,ne->nh", out, combine)
+
+
+def _moe_combine(cfg: TransformerConfig, p, xt, topi, topv, x):
+    B, T, H = x.shape
+    y = _experts_out(cfg, p["experts"], xt, topi, topv, cfg.moe_num_experts)
+    if "small_experts" in p:
+        # GroveMoE big/little experts (models/grove.cpp BigLittleGrouped
+        # SparseMoE): every selected expert also runs its group's small
+        # "chunk" expert with the SAME routing weight; outputs are added
+        n_small = p["small_experts"]["gate"].shape[0]
+        group = cfg.moe_num_experts // n_small
+        y = y + _experts_out(cfg, p["small_experts"], xt, topi // group,
+                             topv, n_small)
     if "shared" in p:
         sh = gated_mlp(cfg, p["shared"], xt)
         if "shared_gate" in p:
