@@ -8,9 +8,10 @@ layout and weights load unmodified.
 from __future__ import annotations
 
 import math
+from dataclasses import replace
 
 from ..nn.transformer import TransformerConfig
-from ..ops.rope import ROPE_NORMAL, RopeConfig
+from ..ops.rope import ROPE_NEOX, ROPE_NORMAL, RopeConfig
 from ..runtime.chat import ChatTokenizer, HistoryEncoder
 from ..tokenizer.processor import BPEProcessor1, BPEProcessor2
 from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
@@ -250,4 +251,135 @@ class Llama32(Llama31):
         tok = make_llama3_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers, tie_lm_head=tie)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+class Llama4Encoder(HistoryEncoder):
+    """<|header_start|>role<|header_end|>\\n\\n{content}<|eot|> (llama.cpp v4
+    tokenizer reuses the v3 encoder with renamed specials)."""
+
+    def _header(self, role, ids):
+        tok = self.tokenizer
+        ids.append(tok.start_header_id)
+        ids.extend(tok.encode(role))
+        ids.append(tok.end_header_id)
+        ids.extend(tok.encode("\n\n"))
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        ids.append(tok.bos_token_id)
+        if tok.sys_prompt:
+            self._header("system", ids)
+            ids.extend(tok.encode(tok.sys_prompt))
+            ids.append(tok.eot_id)
+
+    def append_user(self, round_idx, user, ids):
+        self._header("user", ids)
+        ids.extend(self.tokenizer.encode(user))
+        ids.append(self.tokenizer.eot_id)
+
+    def append_ai(self, round_idx, ai, ids):
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(self.tokenizer.encode(ai))
+        ids.append(self.tokenizer.eot_id)
+
+    def append_ai_opening(self, round_idx, ids):
+        self._header("assistant", ids)
+
+
+@register_model(ModelType.LLAMA4)
+class Llama4(BaseLLM):
+    """Llama-4 Scout/Maverick text model (models/llama.h v4:347-600):
+    interleaved MoE layers (sigmoid top-k with PRE-weighting + shared
+    expert), NoPE every 4th layer, optional weightless post-rope qk L2 norm,
+    llama3-style per-dim rope factors.  Long-context attn temperature
+    tuning matches the reference (unsupported; context capped at 8192 -
+    use --max_length)."""
+    # v2 config + 8i {n_kv, attention_chunk_size, head_dim, interleave_step,
+    # inter_mlp, experts_per_tok, n_routed, use_qk_norm} + f aux + f theta +
+    # i orig + 3f {factor, low_f, high_f}
+    EXTRA_FMT = "8i2fi3f"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..nn.transformer import LayerSpec
+        from ..tokenizer.processor import BPEProcessor2
+        from .base import load_moe_experts
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, _chunk, head_dim, interleave, inter_mlp, n_active, n_routed,
+         use_qk_norm) = extra[:8]
+        (_aux, rope_theta) = extra[8:10]
+        orig_max = extra[10]
+        factor, low_f, high_f = extra[11:14]
+        n_layers = base.num_hidden_layers
+        rot = head_dim if head_dim > 0 else base.hidden_size // base.num_attention_heads
+        ff = (_llama31_factors(rot, rope_theta, factor, low_f, high_f, orig_max)
+              if orig_max > 0 else None)
+
+        def is_moe(i):
+            return (i + 1) % max(interleave, 1) == 0
+
+        specs = tuple(
+            LayerSpec(is_moe=is_moe(i), use_rope=((i + 1) % 4 != 0))
+            for i in range(n_layers))
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 head_dim=head_dim, rope_theta=rope_theta,
+                                 freq_factors=ff,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        # HF Llama4 rotates ADJACENT pairs (complex view) — ROPE_NORMAL with
+        # unpermuted weights
+        cfg = replace(cfg, layer_specs=specs,
+                      qk_norm="l2norm_post" if use_qk_norm else "none",
+                      moe_num_experts=n_routed, moe_top_k=n_active,
+                      moe_score_func="sigmoid", moe_norm_topk_prob=False,
+                      moe_pre_weighting=True)
+        tp = BPEProcessor2(LLAMA3_REGEX)
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tok = ChatTokenizer(tp, Llama4Encoder(), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        tok.start_header_id = tp.piece_to_id("<|header_start|>")
+        tok.end_header_id = tp.piece_to_id("<|header_end|>")
+        tok.eot_id = tp.piece_to_id("<|eot|>")
+        if tok.eot_id >= 0:
+            tok.terminate_ids.add(tok.eot_id)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            if is_moe(i):
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate", bias=False),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_routed),
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_expert.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_expert.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_expert.down_proj"),
+                    },
+                }
+            else:
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                }
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": mlp,
+            })
+        params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

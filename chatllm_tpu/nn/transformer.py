@@ -111,6 +111,8 @@ class TransformerConfig:
     moe_swiglu_alpha: float = 1.702
     moe_jitter_eps: float = 0.01    # sparsemixer threshold (Phi-3.5-MoE)
     moe_grouped_argmax: bool = False  # one expert per group of E/K (Pangu)
+    moe_pre_weighting: bool = False # routing weight multiplies the expert
+    #   INPUT, not the output (Llama-4 LlamaSparseMoE pre_weighting)
     mla: Optional[MLAConfig] = None
     num_loops: int = 1              # looped/recurrent stack count (Nanbeige
     #   LoopModel, Ouro): same weights re-run num_loops times, each loop with
@@ -387,7 +389,17 @@ def _experts_out(cfg: TransformerConfig, ex, xt, topi, topv, n_experts):
 
 def _moe_combine(cfg: TransformerConfig, p, xt, topi, topv, x):
     B, T, H = x.shape
-    y = _experts_out(cfg, p["experts"], xt, topi, topv, cfg.moe_num_experts)
+    if cfg.moe_pre_weighting:
+        # Llama-4: the routing weight scales the expert INPUT (nonlinear, so
+        # it cannot be folded into the output combine)
+        ones = jnp.ones_like(topv[:, :1])
+        y = 0.0
+        for k in range(topi.shape[-1]):
+            xk = xt * topv[:, k:k + 1].astype(xt.dtype)
+            y = y + _experts_out(cfg, p["experts"], xk, topi[:, k:k + 1],
+                                 ones, cfg.moe_num_experts)
+    else:
+        y = _experts_out(cfg, p["experts"], xt, topi, topv, cfg.moe_num_experts)
     if "small_experts" in p:
         # GroveMoE big/little experts (models/grove.cpp BigLittleGrouped
         # SparseMoE): every selected expert also runs its group's small
@@ -433,7 +445,7 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
                      eps=cfg.norm_eps).reshape(B, T, hq, d)
         k = rms_norm(k.reshape(B, T, hkv * d), p["k_norm"]["w"],
                      eps=cfg.norm_eps).reshape(B, T, hkv, d)
-    elif cfg.qk_norm not in ("none", "rmsnorm_post"):
+    elif cfg.qk_norm not in ("none", "rmsnorm_post", "l2norm_post"):
         # per-head RMS norm over head_dim (reference QKNormedAttention
         # src/layers.h:3073)
         q = rms_norm(q, p["q_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
@@ -448,6 +460,16 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
         # src/layers.h:3125; Hunyuan)
         q = rms_norm(q, p["q_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
         k = rms_norm(k, p["k_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
+    elif cfg.qk_norm == "l2norm_post" and spec.use_rope:
+        # weightless per-head norm after rope (Llama-4 Llama4TextL2Norm:
+        # x * rsqrt(mean(x^2) + eps)); HF applies it ONLY on rope layers
+        # (Llama4Attention: `if use_qk_norm and use_rope`)
+        def _l2(v):
+            vf = v.astype(jnp.float32)
+            return (vf * jax.lax.rsqrt(
+                jnp.mean(vf * vf, axis=-1, keepdims=True) + 1e-6)).astype(v.dtype)
+        q = _l2(q)
+        k = _l2(k)
 
     if q_mult is not None:
         # Qwen-v1 logn attention (mat_scale custom op, src/layers.cpp:3489)
