@@ -971,3 +971,228 @@ class GroveMoE(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+class ErnieEncoder(HistoryEncoder):
+    """<|im_start|>{role}\\n{content}<|im_end|>\\n\\n turns (models/ernie.cpp
+    Tokenizer::encode_role:55-70)."""
+
+    def _role(self, role, ids, content=None):
+        tok = self.tokenizer
+        ids.append(tok.im_start_token_id)
+        ids.extend(tok.encode(role))
+        if content is None:
+            return
+        ids.append(tok.nl_token_id)
+        ids.extend(tok.encode(content))
+        ids.append(tok.im_end_token_id)
+        ids.extend([tok.nl_token_id, tok.nl_token_id])
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        if tok.sys_prompt:
+            self._role("system", ids, tok.sys_prompt)
+
+    def append_user(self, round_idx, user, ids):
+        self._role("user", ids, user)
+
+    def append_ai(self, round_idx, ai, ids):
+        self._role("assistant", ids, ai)
+
+    def append_ai_opening(self, round_idx, ids):
+        self._role("assistant", ids)
+
+
+def make_ernie_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
+    from ..tokenizer.processor import BPEProcessor1
+
+    tp = BPEProcessor1()
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tok = ChatTokenizer(tp, ErnieEncoder(), sys_prompt="")
+    tok.bos_token_id = base.bos_token_id
+    tok.eos_token_id = base.eos_token_id
+    tok.im_start_token_id = tp.piece_to_id("<|im_start|>")
+    tok.im_end_token_id = tp.piece_to_id("<|im_end|>")
+    ids = tp.encode("\n")
+    tok.nl_token_id = ids[0] if ids else -1
+    if tok.im_end_token_id >= 0:
+        tok.terminate_ids.add(tok.im_end_token_id)
+    return tok
+
+
+@register_model(ModelType.ERNIE_MOE)
+class ErnieMoE(BaseLLM):
+    """ERNIE-4.5-MoE (models/ernie.cpp moe:175-300): softmax norm-topk
+    routing, shared experts, moe layers from moe_layer_start_index at
+    moe_layer_interval; use_correction_bias ignored like the reference."""
+    # 12i {n_kv, tie, n_experts, n_shared, start, moe_inter, capacity[3],
+    # moe_k, interval, use_correction_bias} + f theta
+    EXTRA_FMT = "12if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..nn.transformer import LayerSpec
+        from .base import load_moe_experts
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, tie_flag, n_experts, n_shared, start, moe_inter,
+         _c0, _c1, _c2, moe_k, interval, _bias) = extra[:12]
+        rope_theta = extra[12]
+        tie = bool(tie_flag)
+        n_layers = base.num_hidden_layers
+
+        def is_moe(i):
+            return i >= start and i % max(interval, 1) == 0
+
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, tie_lm_head=tie,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg,
+                      layer_specs=tuple(LayerSpec(is_moe=is_moe(i))
+                                        for i in range(n_layers)),
+                      moe_num_experts=n_experts, moe_top_k=moe_k,
+                      moe_norm_topk_prob=True)
+        tok = make_ernie_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "layers": [],
+        }
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            if is_moe(i):
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate", bias=False),
+                    "experts": load_moe_experts(pb, f"{pfx}.mlp", n_experts),
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_experts.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_experts.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_experts.down_proj"),
+                    },
+                }
+            else:
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                }
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": mlp,
+            })
+        params["layers"] = tuple(params["layers"])
+        if not tie:
+            params["lm_head"] = pb.linear("lm_head")
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.MEGREZ_MOE)
+class MegrezMoE(BaseLLM):
+    """Megrez2-MoE (models/megrez.cpp moe:146-380): grouped sigmoid top-k
+    with score-correction bias; SharedMoE layers REUSE the expert weights of
+    the previous MoE layer (cross-layer expert sharing) while keeping their
+    own router + shared expert."""
+    # v1-moe 8i + f theta + {experts_shared_frequency, n_group, topk_group}
+    # 3i + routed_scaling f
+    EXTRA_FMT = "8if3if"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from ..nn.transformer import LayerSpec
+        from ..tokenizer.processor import BPEProcessor2
+        from .base import load_moe_experts
+        from .llama import LLAMA3_REGEX
+        from .misc_llama2 import MegrezEncoder
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, first_k_dense, moe_inter, moe_freq, n_routed, n_shared,
+         norm_topk, n_active) = extra[:8]
+        rope_theta = extra[8]
+        shared_freq, n_group, topk_group = extra[9:12]
+        routed_scale = extra[12]
+        n_layers = base.num_hidden_layers
+
+        def layer_type(i):
+            if i < first_k_dense or i % max(moe_freq, 1) != 0:
+                return "dense"
+            return ("moe" if (i - first_k_dense) % max(shared_freq, 1) == 0
+                    else "shared_moe")
+
+        specs = tuple(LayerSpec(is_moe=layer_type(i) != "dense")
+                      for i in range(n_layers))
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, norm_eps=1e-6,
+                                 max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        cfg = replace(cfg, layer_specs=specs, moe_num_experts=n_routed,
+                      moe_top_k=n_active, moe_norm_topk_prob=bool(norm_topk),
+                      moe_score_func="sigmoid",
+                      # reference sets n_group = n_routed / config.n_group
+                      moe_n_group=max(n_routed // max(n_group, 1), 1),
+                      moe_topk_group=max(topk_group, 1),
+                      moe_routed_scale=routed_scale)
+        tp = BPEProcessor2(LLAMA3_REGEX)
+        tp.load(gf.tokenizer_reader(), base.vocab_size)
+        tp.enable_return_special_token(True)
+        rs = tp.piece_to_id("<|role_start|>")
+        re_ = tp.piece_to_id("<|role_end|>")
+        te = tp.piece_to_id("<|turn_end|>")
+        tok = ChatTokenizer(tp, MegrezEncoder(rs, re_, te), sys_prompt="")
+        tok.bos_token_id = base.bos_token_id
+        tok.eos_token_id = base.eos_token_id
+        if te >= 0:
+            tok.terminate_ids.add(te)
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "lm_head": pb.linear("lm_head"),
+            "layers": [],
+        }
+        last_experts = None
+        for i in range(n_layers):
+            pfx = f"model.layers.{i}"
+            lt = layer_type(i)
+            if lt == "dense":
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                }
+            else:
+                if lt == "moe":
+                    last_experts = load_moe_experts(pb, f"{pfx}.mlp", n_routed)
+                mlp = {
+                    "gate": pb.linear(f"{pfx}.mlp.gate", bias=False),
+                    "experts": last_experts,     # aliased for shared_moe
+                    "shared": {
+                        "gate": pb.linear(f"{pfx}.mlp.shared_experts.gate_proj"),
+                        "up": pb.linear(f"{pfx}.mlp.shared_experts.up_proj"),
+                        "down": pb.linear(f"{pfx}.mlp.shared_experts.down_proj"),
+                    },
+                }
+                if pb.has(f"{pfx}.mlp.gate.e_score_correction_bias"):
+                    mlp["gate_bias"] = pb.array(
+                        f"{pfx}.mlp.gate.e_score_correction_bias")
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": mlp,
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -93,3 +93,87 @@ def test_registrations():
 
     assert lookup_model(int(ModelType.PANGU_MOE)) is PanguMoE
     assert lookup_model(int(ModelType.GROVE_MOE)) is GroveMoE
+
+
+def test_ernie_megrez_registered():
+    from chatllm_tpu.models.base import lookup_model
+    from chatllm_tpu.models.misc_wave2 import ErnieMoE, MegrezMoE
+
+    assert lookup_model(int(ModelType.ERNIE_MOE)) is ErnieMoE
+    assert lookup_model(int(ModelType.MEGREZ_MOE)) is MegrezMoE
+
+
+def test_megrez_moe_expert_sharing(tmp_path):
+    """SharedMoE layers alias the previous MoE layer's expert arrays."""
+    import struct
+
+    import torch
+    import transformers
+
+    from chatllm_tpu.ggmm.quants import GGMLType
+    from chatllm_tpu.ggmm.writer import GGMMWriter
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from test_model_golden import _bpe_pieces
+
+    rng = np.random.default_rng(3)
+    V, H, F, MF, E = 256, 32, 48, 16, 4
+    L = 4   # layer0 dense (first_k=1), layer1 moe, layer2 shared, layer3 moe
+    path = str(tmp_path / "mg.bin")
+
+    def t(shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.MEGREZ_MOE), 1, meta={})
+        # 8i: n_kv, first_k_dense, moe_inter, moe_freq, n_routed, n_shared,
+        # norm_topk, n_active; f theta; 3i shared_freq, n_group, topk_group;
+        # f routed_scale
+        w.write_config([int(GGMLType.F32), V, H, 2, L, F, 64, 1, 2, -1, -1,
+                        2, 1, MF, 1, E, 1, 1, 2], fmt="19i")
+        f.write(struct.pack("<f", 10000.0))
+        f.write(struct.pack("<3i", 2, 2, 1))
+        f.write(struct.pack("<f", 1.0))
+        w._patch_offset(12)
+        pieces = [(p, 1) for p in _bpe_pieces(V)]
+        pieces[V - 3] = (b"<|role_start|>", 4)
+        pieces[V - 2] = (b"<|role_end|>", 4)
+        pieces[V - 1] = (b"<|turn_end|>", 4)
+        w.write_vocab_bpe(pieces, [])
+        w.write_tensor("model.embed_tokens.weight", t((V, H)), GGMLType.F32)
+        for i in range(L):
+            pfx = f"model.layers.{i}"
+            w.write_tensor(f"{pfx}.input_layernorm.weight", np.ones(H, np.float32), GGMLType.F32)
+            w.write_tensor(f"{pfx}.post_attention_layernorm.weight", np.ones(H, np.float32), GGMLType.F32)
+            for pj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                w.write_tensor(f"{pfx}.self_attn.{pj}.weight", t((H, H)), GGMLType.F32)
+            dense = i < 1 or i % 1 != 0
+            lt = "dense" if i < 1 else ("moe" if (i - 1) % 2 == 0 else "shared")
+            if lt == "dense":
+                for n in ("gate_proj", "up_proj", "down_proj"):
+                    shape = (H, F) if n == "down_proj" else (F, H)
+                    w.write_tensor(f"{pfx}.mlp.{n}.weight", t(shape), GGMLType.F32)
+            else:
+                w.write_tensor(f"{pfx}.mlp.gate.weight", t((E, H)), GGMLType.F32)
+                w.write_tensor(f"{pfx}.mlp.gate.e_score_correction_bias",
+                               t((E,)), GGMLType.F32)
+                if lt == "moe":
+                    for j in range(E):
+                        for n, shape in (("gate_proj", (MF, H)), ("up_proj", (MF, H)),
+                                         ("down_proj", (H, MF))):
+                            w.write_tensor(f"{pfx}.mlp.experts.{j}.{n}.weight",
+                                           t(shape), GGMLType.F32)
+                for n, shape in (("gate_proj", (MF, H)), ("up_proj", (MF, H)),
+                                 ("down_proj", (H, MF))):
+                    w.write_tensor(f"{pfx}.mlp.shared_experts.{n}.weight",
+                                   t(shape), GGMLType.F32)
+        w.write_tensor("model.norm.weight", np.ones(H, np.float32), GGMLType.F32)
+        w.write_tensor("lm_head.weight", t((V, H)), GGMLType.F32)
+    model = load_model(path, RuntimeConfig(weight_dtype="float32",
+                                           compute_dtype="float32",
+                                           cache_dtype="float32"))
+    layers = model.params["layers"]
+    # layer2 (shared_moe) aliases layer1's expert arrays
+    assert layers[2]["mlp"]["experts"] is layers[1]["mlp"]["experts"]
+    assert layers[3]["mlp"]["experts"] is not layers[1]["mlp"]["experts"]
+    logits, _ = model.forward_logits(np.array([[5, 9, 11]], np.int32))
+    assert np.isfinite(np.asarray(logits)).all()
