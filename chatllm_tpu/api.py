@@ -48,7 +48,8 @@ class ChatLLM:
                            re_quantize=a.re_quantize,
                            weight_dtype=a.weight_dtype,
                            compute_dtype=a.compute_dtype,
-                           mla_cache=a.mla_cache, additional=dict(a.additional))
+                           mla_cache=a.mla_cache, additional=dict(a.additional),
+                           layer_spec=getattr(a, 'layer_spec', ''))
         model = load_model(a.model_path, rt)
         pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
         pipe.gen_config = build_gen_config(a)

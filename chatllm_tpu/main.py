@@ -52,6 +52,7 @@ class Args:
     format: str = "chat"
     profile_dir: str = ""      # jax.profiler trace output dir
     additional: dict = field(default_factory=dict)
+    layer_spec: str = ""
     dump_tensors: set = field(default_factory=set)
 
 
@@ -167,9 +168,11 @@ def parse_args(argv: list[str]) -> Args:
             a.dump_tensors.add(nxt())
         elif arg.startswith("+"):
             a.additional[arg[1:]] = "1"
+        elif arg == "--layer_spec":
+            a.layer_spec = nxt()
         elif arg in ("--threads", "-n", "--flash_attn", "-fa", "--ggml_dir",
                      "--rpc_endpoints", "--serve_rpc", "-ngl", "--n_gpu_layers",
-                     "-mgl", "--model_gpu_layers", "--layer_spec"):
+                     "-mgl", "--model_gpu_layers"):
             # accepted for compatibility; meaningless or not-yet-wired on TPU
             if arg not in ("--flash_attn", "-fa"):
                 nxt()
@@ -263,7 +266,8 @@ def main(argv=None) -> int:
 
     rt = RuntimeConfig(cache_dtype=a.cache_dtype, compute_dtype=a.compute_dtype,
                        weight_dtype=a.weight_dtype, max_length=a.max_length,
-                       re_quantize=a.re_quantize, mla_cache=a.mla_cache)
+                       re_quantize=a.re_quantize, mla_cache=a.mla_cache,
+                       layer_spec=a.layer_spec)
     model = load_model(a.model_path, rt)
     pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
     pipe.gen_config = build_gen_config(a)

@@ -56,6 +56,10 @@ class RuntimeConfig:
                                     # head K/V) | "memory" (latent cache,
                                     # reference forward_memory deepseek.cpp:406)
     additional: dict = field(default_factory=dict)  # --set k v
+    layer_spec: str = ""            # --layer_spec "0:3,1:4": rebuild the
+                                    # stack from half-open source-layer
+                                    # ranges (duplicates share weights;
+                                    # reference set_layer_ids, src/chat.h:988)
 
 
 @dataclass
@@ -262,6 +266,8 @@ def load_model(path: str, rt: RuntimeConfig | None = None) -> BaseLLM:
     # load_more(meta_json), src/chat.h:986).  Norm eps is the one field the
     # binary config structs don't carry, and HF checkpoints vary it
     # (1e-5 vs 1e-6) — honor it so converted checkpoints match HF exactly.
+    if rt.layer_spec:
+        model = _apply_layer_spec(model, rt.layer_spec)
     hf_cfg = (gf.meta or {}).get("config.json") or {}
     norm_type = getattr(getattr(model, "cfg", None), "norm_type", None)
     if norm_type in ("rmsnorm", "layernorm") and not getattr(
@@ -272,4 +278,43 @@ def load_model(path: str, rt: RuntimeConfig | None = None) -> BaseLLM:
         eps = hf_cfg.get(key)
         if eps is not None and float(eps) != model.cfg.norm_eps:
             model.cfg = _replace(model.cfg, norm_eps=float(eps))
+    return model
+
+
+def parse_layer_spec(spec: str, n_layers: int) -> list[int]:
+    """'0:3,1:4' -> [0,1,2, 1,2,3]; 'all' -> identity; bare ints allowed
+    (reference --layer_spec, src/main.cpp:169-176)."""
+    if spec in ("", "all"):
+        return list(range(n_layers))
+    ids: list[int] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if ":" in part:
+            a, b = part.split(":")
+            ids.extend(range(int(a), int(b)))
+        else:
+            ids.append(int(part))
+    for i in ids:
+        if not (0 <= i < n_layers):
+            raise ValueError(f"layer_spec index {i} out of range 0..{n_layers - 1}")
+    return ids
+
+
+def _apply_layer_spec(model: "BaseLLM", spec: str) -> "BaseLLM":
+    """Rebuild the layer stack from source-layer indices.  Duplicated layers
+    ALIAS the same weight arrays (no copies); each stack position still gets
+    its own KV cache slot."""
+    from dataclasses import replace as _replace
+
+    cfg = model.cfg
+    ids = parse_layer_spec(spec, cfg.num_hidden_layers)
+    layers = tuple(model.params["layers"][j] for j in ids)
+    model.params = dict(model.params)
+    model.params["layers"] = layers
+    specs = cfg.layer_specs
+    new_specs = tuple(cfg.layer_spec(j) for j in ids) if specs else ()
+    model.cfg = _replace(cfg, num_hidden_layers=len(ids),
+                         layer_specs=new_specs)
     return model

@@ -156,3 +156,26 @@ def test_mellum_registered():
     from chatllm_tpu.models.misc_wave2 import Mellum
 
     assert lookup_model(int(ModelType.MELLUM)) is Mellum
+
+
+def test_layer_spec_remap(tmp_path):
+    """--layer_spec '0:2,0:2' doubles the stack with aliased weights
+    (reference set_layer_ids, src/chat.h:988, --layer_spec main.cpp:169)."""
+    from test_model_golden import make_tiny_llama3
+
+    path = str(tmp_path / "l3.bin")
+    hf = make_tiny_llama3(path)
+    base = load_model(path, RuntimeConfig(**RT32))
+    dup = load_model(path, RuntimeConfig(layer_spec="0:2,0:2", **RT32))
+    assert dup.cfg.num_hidden_layers == 4
+    assert dup.params["layers"][2] is dup.params["layers"][0]
+    # selection: single layer
+    one = load_model(path, RuntimeConfig(layer_spec="1", **RT32))
+    assert one.cfg.num_hidden_layers == 1
+    logits, _ = dup.forward_logits(np.array([[5, 9, 11]], np.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+
+    from chatllm_tpu.models.base import parse_layer_spec
+    assert parse_layer_spec("0:3,1:4", 8) == [0, 1, 2, 1, 2, 3]
+    with pytest.raises(ValueError):
+        parse_layer_spec("7:9", 8)
