@@ -235,18 +235,18 @@ def gated_mlp(cfg: TransformerConfig, p, x):
         F = h2.shape[-1] // 2
         g, u = h2[..., :F], h2[..., F:]
     else:
-        g = matmul(x, p["gate"])
-        u = matmul(x, p["up"])
+        g = matmul(x, p["gate"], shard="out")
+        u = matmul(x, p["up"], shard="out")
     h = (_act(cfg.act)(g) * u).astype(x.dtype)
-    return matmul(h, p["down"]).astype(x.dtype)
+    return matmul(h, p["down"], shard="in").astype(x.dtype)
 
 
 def simple_mlp(cfg: TransformerConfig, p, x):
     """TheMLP (reference src/layers.h:1018): down(act(up(x)))."""
     if "xielu" in p:
         return xielu_mlp(cfg, p, x)
-    h = _act(cfg.act)(matmul(x, p["up"])).astype(x.dtype)
-    return matmul(h, p["down"]).astype(x.dtype)
+    h = _act(cfg.act)(matmul(x, p["up"], shard="out")).astype(x.dtype)
+    return matmul(h, p["down"], shard="in").astype(x.dtype)
 
 
 def xielu_mlp(cfg: TransformerConfig, p, x):
@@ -257,11 +257,11 @@ def xielu_mlp(cfg: TransformerConfig, p, x):
     The loader pre-applies a_p = softplus(raw), a_n = b + softplus(raw)."""
     a_n, a_p, beta, eps = (float(p["xielu"][k])
                            for k in ("alpha_n", "alpha_p", "beta", "eps"))
-    h = matmul(x, p["up"]).astype(jnp.float32)
+    h = matmul(x, p["up"], shard="out").astype(jnp.float32)
     pos = a_p * h * h + beta * h
     neg = a_n * (jnp.expm1(jnp.minimum(h, eps)) - h) + beta * h
     h = jnp.where(h > 0.0, pos, neg).astype(x.dtype)
-    return matmul(h, p["down"]).astype(x.dtype)
+    return matmul(h, p["down"], shard="in").astype(x.dtype)
 
 
 def mlp_dispatch(cfg: TransformerConfig, spec: LayerSpec, p, x):
@@ -435,9 +435,9 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
         k = fused[..., qo:qo + kvo].reshape(B, T, hkv, d)
         v = fused[..., qo + kvo:].reshape(B, T, hkv, d)
     else:
-        q = matmul(x, p["q"]).reshape(B, T, hq, d)
-        k = matmul(x, p["k"]).reshape(B, T, hkv, d)
-        v = matmul(x, p["v"]).reshape(B, T, hkv, d)
+        q = matmul(x, p["q"], shard="out").reshape(B, T, hq, d)
+        k = matmul(x, p["k"], shard="out").reshape(B, T, hkv, d)
+        v = matmul(x, p["v"], shard="out").reshape(B, T, hkv, d)
 
     if cfg.qk_norm == "rmsnorm_full":
         # RMS norm over the whole projection (OLMo2-style)
@@ -510,7 +510,7 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
             k_scale=k_scale, v_scale=v_scale,
         )
     out = out.reshape(B, T, hq * d)
-    return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache, k_scale, v_scale
+    return matmul(out, p["o"], shard="in").astype(x.dtype), k_cache, v_cache, k_scale, v_scale
 
 
 def _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T,
@@ -731,7 +731,7 @@ def lm_logits(cfg: TransformerConfig, params, x):
         w = params["embed"]
         logits = jnp.dot(x.astype(w.dtype), w.T, preferred_element_type=jnp.float32)
     else:
-        logits = matmul(x, params["lm_head"])
+        logits = matmul(x, params["lm_head"], shard="out")
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0:

@@ -160,6 +160,41 @@ def _chunked_attention(qg, k_cache, v_cache, n_past, n_tokens, *, scale,
     return jnp.moveaxis(out, 3, 1)
 
 
+def _flash_sharded(mesh, q, k_cache, v_cache, n_past, n_tokens, *, scale,
+                   causal, sliding_window, logit_softcap, block_q, block_k):
+    """shard_map the flash kernel over the mesh: heads over 'tp', batch over
+    'dp'.  Both q and kv head counts split by tp, so the GQA group structure
+    is preserved per shard and no collective is needed.  Returns None when
+    the head/batch counts don't divide the mesh."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .pallas.flash import flash_attention
+
+    B, _, Hq, _ = q.shape
+    Hkv = k_cache.shape[2]
+    tp = mesh.shape.get("tp", 1)
+    dp = mesh.shape.get("dp", 1)
+    if Hq % tp or Hkv % tp or B % dp:
+        return None
+    dp_ax = "dp" if "dp" in mesh.shape else None
+    spec = P(dp_ax, None, "tp", None)
+    interp = jax.default_backend() == "cpu"
+
+    def per_shard(ql, kl, vl, np_, nt_):
+        return flash_attention(
+            ql, kl, vl, np_, nt_, scale=scale, causal=causal,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+            block_q=block_q, block_k=block_k, interpret=interp)
+
+    return shard_map(per_shard, mesh=mesh,
+                     in_specs=(spec, spec, spec, P(), P()),
+                     out_specs=spec, check_vma=False)(
+        q, k_cache, v_cache, jnp.asarray(n_past, jnp.int32),
+        jnp.asarray(n_tokens, jnp.int32))
+
+
 def attention_with_cache(
     q: jax.Array,                 # [B, T, Hq, D]
     k_cache: jax.Array,           # [B, S, Hkv, D] (already holds new keys)
@@ -192,11 +227,22 @@ def attention_with_cache(
         bk = _pick_block(S, 512)
         if bq >= 128 and bk >= 256:
             from .pallas.flash import flash_attention
+            from .qmm import active_kernel_mesh
 
-            return flash_attention(
-                q, k_cache, v_cache, n_past, n_tokens, scale=scale,
-                causal=causal, sliding_window=sliding_window,
-                logit_softcap=logit_softcap, block_q=bq, block_k=bk)
+            mesh = active_kernel_mesh()
+            if mesh is not None:
+                out = _flash_sharded(
+                    mesh, q, k_cache, v_cache, n_past, n_tokens, scale=scale,
+                    causal=causal, sliding_window=sliding_window,
+                    logit_softcap=logit_softcap, block_q=bq, block_k=bk)
+                if out is not None:
+                    return out
+                # head counts not divisible by tp: fall through to XLA paths
+            else:
+                return flash_attention(
+                    q, k_cache, v_cache, n_past, n_tokens, scale=scale,
+                    causal=causal, sliding_window=sliding_window,
+                    logit_softcap=logit_softcap, block_q=bq, block_k=bk)
 
     qg = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
 

@@ -15,10 +15,36 @@ f32 accumulators for PPL parity.
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
 from .qtensor import DenseLinear, QuantLinear
+
+# Active mesh for shard_map'd Pallas kernels.  `pallas_call` has no GSPMD
+# partitioning rule, so under a sharded pjit each kernel invocation must be
+# wrapped in shard_map with the layer's TP role ('out' = column-parallel,
+# 'in' = row-parallel + psum).  Replaces the reference's multi-device graph
+# scheduler (ggml_backend_sched, ggml/src/ggml-backend.cpp:924) for the
+# kernel path; set via `kernel_mesh(mesh)` by sharded callers.
+_TP_MESH = None
+
+
+@contextlib.contextmanager
+def kernel_mesh(mesh):
+    """Enable shard_map'd Pallas kernels over `mesh` (axes 'dp'/'tp')."""
+    global _TP_MESH
+    prev = _TP_MESH
+    _TP_MESH = mesh
+    try:
+        yield
+    finally:
+        _TP_MESH = prev
+
+
+def active_kernel_mesh():
+    return _TP_MESH
 
 
 def unpack_nibbles(q: jax.Array, group: int, zero: int = 0) -> jax.Array:
@@ -64,34 +90,119 @@ def dense_weight(lin, dtype=jnp.float32) -> jax.Array:
     return dequant_weight(lin, dtype)
 
 
-def matmul(x: jax.Array, lin, *, compute_dtype=jnp.bfloat16) -> jax.Array:
-    """y = x @ W (+ bias).  x: [..., in] -> [..., out]."""
+def _pallas_local(x2, q, s, b, bias, *, group, packed, zero_point,
+                  compute_dtype, interpret=False):
+    """Dispatch one already-local (per-shard or unsharded) quantized matmul
+    to the GEMV or GEMM Pallas kernel."""
+    import os
+
+    if x2.shape[0] == 1 and os.environ.get("CHATLLM_TPU_GEMV", "1") != "0":
+        # single-row decode GEMV: the MXU path is weight-LOAD bound
+        # (~60 tok/s ceiling at 8B on v5e); the VPU dequant-MAC
+        # kernel is bandwidth-bound instead (1.5x measured)
+        from .pallas.gemv_kernel import qgemv_pallas
+
+        return qgemv_pallas(x2, q, s, b, bias, group=group, packed=packed,
+                            zero_point=zero_point, interpret=interpret)
+    from .pallas.qmm_kernel import qmm_pallas
+
+    return qmm_pallas(x2, q, s, b, bias, group=group, packed=packed,
+                      zero_point=zero_point, compute_dtype=compute_dtype,
+                      interpret=interpret)
+
+
+def _matmul_sharded(x, lin: QuantLinear, shard: str, compute_dtype):
+    """shard_map'd Pallas matmul over the active mesh.
+
+    'out': weight column-sharded over tp, no collective; 'in': weight
+    row-sharded, per-shard partial sums psum'd over tp (the two Megatron
+    roles in parallel/mesh.py).  Returns None when the local shard would be
+    kernel-unfriendly — caller falls back to the XLA dequant path, which
+    GSPMD partitions on its own."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _TP_MESH
+    tp = mesh.shape.get("tp", 1)
+    dp_ax = "dp" if "dp" in mesh.shape else None
+    dp = mesh.shape.get("dp", 1)
+    interp = jax.default_backend() == "cpu"
+    K, N = lin.shape_in_out
+    G = lin.group_size
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    if rows % dp:
+        return None
+    if shard == "out":
+        if N % tp or (N // tp) % (G if interp else 128):
+            return None
+        w_spec, x_spec, o_spec = P(None, "tp"), P(dp_ax, None), P(dp_ax, "tp")
+        bias_spec = P("tp")
+    else:  # "in": contraction dim sharded -> partial sums
+        if K % tp or (K // tp) % G or (not interp and N % 128):
+            return None
+        w_spec, x_spec, o_spec = P("tp", None), P(dp_ax, "tp"), P(dp_ax, None)
+        bias_spec = P()
+    x2 = x.reshape(rows, K)
+
+    has_b, has_bias = lin.b is not None, lin.bias is not None
+    args = [x2, lin.q, lin.s] + ([lin.b] if has_b else []) \
+        + ([lin.bias] if has_bias else [])
+    in_specs = [x_spec, w_spec, w_spec] + ([w_spec] if has_b else []) \
+        + ([bias_spec] if has_bias else [])
+
+    def per_shard(*a):
+        xl, ql, sl = a[0], a[1], a[2]
+        i = 3
+        bl = a[i] if has_b else None
+        i += has_b
+        biasl = a[i] if has_bias else None
+        if shard == "in":
+            # add the replicated bias once, after the cross-shard reduction
+            y = _pallas_local(xl, ql, sl, bl, None, group=G,
+                              packed=lin.packed, zero_point=lin.zero_point,
+                              compute_dtype=compute_dtype, interpret=interp)
+            y = jax.lax.psum(y, "tp")
+            if biasl is not None:
+                y = y + biasl[None, :]
+            return y
+        return _pallas_local(xl, ql, sl, bl, biasl, group=G,
+                             packed=lin.packed, zero_point=lin.zero_point,
+                             compute_dtype=compute_dtype, interpret=interp)
+
+    y = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
+                  out_specs=o_spec, check_vma=False)(*args)
+    return y.reshape(*lead, N)
+
+
+def matmul(x: jax.Array, lin, *, compute_dtype=jnp.bfloat16,
+           shard: str | None = None) -> jax.Array:
+    """y = x @ W (+ bias).  x: [..., in] -> [..., out].
+
+    `shard` names the layer's tensor-parallel role ('out' | 'in') when a
+    kernel mesh is active (see `kernel_mesh`); ignored otherwise."""
     if isinstance(lin, DenseLinear):
         y = jnp.dot(x.astype(lin.w.dtype), lin.w, preferred_element_type=jnp.float32)
     elif isinstance(lin, QuantLinear):
+        if _TP_MESH is not None:
+            # under a sharded pjit, Pallas only via shard_map; anything
+            # unannotated or shard-unfriendly takes the XLA path (GSPMD
+            # partitions that on its own)
+            if shard in ("out", "in") and use_pallas_qmm():
+                y = _matmul_sharded(x, lin, shard, compute_dtype)
+                if y is not None:
+                    return y
         # Mosaic needs the output dim lane-aligned (scale tiles are
         # [groups, N]); oddball small N falls back to the XLA dequant path
-        if use_pallas_qmm() and lin.q.shape[1] % 128 == 0:
+        elif use_pallas_qmm() and lin.q.shape[1] % 128 == 0:
             lead = x.shape[:-1]
             x2 = x.reshape(-1, x.shape[-1])
-            import os
-
-            if x2.shape[0] == 1 and os.environ.get("CHATLLM_TPU_GEMV", "1") != "0":
-                # single-row decode GEMV: the MXU path is weight-LOAD bound
-                # (~60 tok/s ceiling at 8B on v5e); the VPU dequant-MAC
-                # kernel is bandwidth-bound instead (1.5x measured)
-                from .pallas.gemv_kernel import qgemv_pallas
-
-                y = qgemv_pallas(x2, lin.q, lin.s, lin.b, lin.bias,
-                                 group=lin.group_size, packed=lin.packed,
-                                 zero_point=lin.zero_point)
-            else:
-                from .pallas.qmm_kernel import qmm_pallas
-
-                y = qmm_pallas(x2, lin.q, lin.s, lin.b, lin.bias,
-                               group=lin.group_size, packed=lin.packed,
-                               zero_point=lin.zero_point,
-                               compute_dtype=compute_dtype)
+            y = _pallas_local(x2, lin.q, lin.s, lin.b, lin.bias,
+                              group=lin.group_size, packed=lin.packed,
+                              zero_point=lin.zero_point,
+                              compute_dtype=compute_dtype)
             return y.reshape(*lead, y.shape[-1])
         w = dequant_weight(lin, compute_dtype)
         y = jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)

@@ -40,3 +40,72 @@ def test_tp_sharded_forward_matches_single_device():
         out = fwd(sp, sc, ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_logits),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_tp_pallas_shard_map_matches_xla(monkeypatch):
+    """The Pallas kernels under a sharded pjit (shard_map + psum, interpret
+    mode on the virtual mesh) match the XLA dequant path.  VERDICT round-1
+    gap: the kernels had only ever run unsharded; the mesh path silently
+    fell back to XLA (ops/qmm.py use_pallas_qmm gating)."""
+    from chatllm_tpu.models.synthetic import build_synthetic_params, tiny_config
+    from chatllm_tpu.nn.transformer import init_cache, transformer_forward
+    from chatllm_tpu.ops import qmm
+    from chatllm_tpu.parallel.mesh import make_mesh, shard_cache, shard_params
+
+    cfg = tiny_config(heads=8, kv_heads=4, hidden=128)
+    params = build_synthetic_params(cfg, "q4", zeros=False, qkv_bias=False,
+                                    compute_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 16), dtype=np.int32))
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 1), dtype=np.int32))
+
+    cache = init_cache(cfg, 1, 32, dtype=jnp.float32)
+    ref1, cache = transformer_forward(cfg, params, ids, cache, 0)
+    ref2, _ = transformer_forward(cfg, params, tok, cache, 16)
+
+    monkeypatch.setenv("CHATLLM_TPU_QMM", "1")   # force the Pallas path
+    mesh = make_mesh(tp=4, dp=1)
+    with mesh, qmm.kernel_mesh(mesh):
+        sp = shard_params(params, mesh)
+        sc = shard_cache(init_cache(cfg, 1, 32, dtype=jnp.float32), mesh)
+
+        @jax.jit
+        def step(p, c, i, t):
+            l1, c = transformer_forward(cfg, p, i, c, 0)
+            l2, c = transformer_forward(cfg, p, t, c, i.shape[1])
+            return l1, l2
+
+        out1, out2 = step(sp, sc, ids, tok)
+    # bf16 accumulation order differs across shards (K split + psum):
+    # tolerance is bf16-epsilon-scale, far below any wiring error
+    scale = float(np.abs(np.asarray(ref1)).max())
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               atol=8e-3 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=8e-3 * scale, rtol=0)
+
+
+def test_flash_shard_map_matches_dense(monkeypatch):
+    """Pallas flash attention under shard_map (heads over tp) matches the
+    dense XLA attention path on the virtual mesh."""
+    from chatllm_tpu.ops import attention as A
+    from chatllm_tpu.ops import qmm
+    from chatllm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(2)
+    B, T, Hq, Hkv, D, S = 1, 128, 8, 4, 32, 1024
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    n_past = 256
+
+    monkeypatch.setenv("CHATLLM_TPU_FLASH", "0")
+    ref = A.attention_with_cache(q, k, v, n_past, T, scale=D ** -0.5)
+
+    monkeypatch.setenv("CHATLLM_TPU_FLASH", "1")
+    mesh = make_mesh(tp=4, dp=1)
+    with mesh, qmm.kernel_mesh(mesh):
+        out = jax.jit(lambda q, k, v: A.attention_with_cache(
+            q, k, v, n_past, T, scale=D ** -0.5))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
