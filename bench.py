@@ -139,6 +139,28 @@ def main():
     # binds before HBM at small batch; report it for context
     mxu_floor_tok_s = 4 * 128 * 940e6 / n_params
 
+    # attainable bound: measure this chip's *achievable* streaming bandwidth
+    # right now (spec HBM BW is not reachable through the axon relay), then
+    # divide by the bytes decode actually reads per token (every parameter
+    # except the embedding table, which is a 1-row gather)
+    del cache_b
+    try:
+        probe = jnp.zeros((256 * 2**20,), jnp.uint8)      # 256 MB
+
+        @jax.jit
+        def stream(a):
+            return a + jnp.uint8(1)
+
+        r = stream(probe); _ = np.asarray(r[:8])
+        t0 = time.perf_counter()
+        r = stream(probe); _ = np.asarray(r[:8])
+        bw_meas = 2 * probe.nbytes / (time.perf_counter() - t0)  # read+write
+    except Exception:
+        bw_meas = -1.0
+    embed_bytes = params["embed"].nbytes
+    read_bytes = pbytes - embed_bytes
+    attainable = bw_meas / read_bytes if bw_meas > 0 else -1.0
+
     print(json.dumps({
         "metric": "llama3_8b_q4_decode",
         "value": round(tok_s, 2),
@@ -149,6 +171,10 @@ def main():
         "batched8_tok_s": round(tok_s_batched, 1),
         "device": str(dev),
         "param_bytes_actual": pbytes,
+        "read_bytes_per_token": read_bytes,
+        "bw_measured_gb_s": round(bw_meas / 1e9, 1),
+        "attainable_tok_s": round(attainable, 1),
+        "vs_attainable": round(tok_s / attainable, 4) if attainable > 0 else -1.0,
         "roofline_tok_s": round(roofline, 1),
         "mxu_floor_tok_s": round(mxu_floor_tok_s, 1),
     }))
