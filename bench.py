@@ -145,15 +145,15 @@ def main():
     # except the embedding table, which is a 1-row gather)
     del cache_b
     try:
-        probe = jnp.zeros((256 * 2**20,), jnp.uint8)      # 256 MB
+        probe = jnp.zeros((128, 2048, 2048), jnp.float32)  # 2 GB f32
 
         @jax.jit
         def stream(a):
-            return a + jnp.uint8(1)
+            return a * jnp.float32(1.0001) + jnp.float32(1.0)
 
-        r = stream(probe); _ = np.asarray(r[:8])
+        r = stream(probe); _ = np.asarray(r[0, 0, :8])
         t0 = time.perf_counter()
-        r = stream(probe); _ = np.asarray(r[:8])
+        r = stream(probe); _ = np.asarray(r[0, 0, :8])
         bw_meas = 2 * probe.nbytes / (time.perf_counter() - t0)  # read+write
     except Exception:
         bw_meas = -1.0

@@ -31,6 +31,7 @@ from . import glm_asr    # noqa: F401
 from . import gpt_oss    # noqa: F401
 from . import misc_wave2 # noqa: F401
 from . import smolvlm    # noqa: F401
+from . import adept      # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

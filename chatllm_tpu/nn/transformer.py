@@ -445,6 +445,11 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
                      eps=cfg.norm_eps).reshape(B, T, hq, d)
         k = rms_norm(k.reshape(B, T, hkv * d), p["k_norm"]["w"],
                      eps=cfg.norm_eps).reshape(B, T, hkv, d)
+    elif cfg.qk_norm == "layernorm":
+        # per-head LayerNorm with bias (Persimmon qk_layernorm,
+        # reference PersimmonSelfAttention src/layers.h:3184)
+        q = layer_norm(q, p["q_norm"]["w"], p["q_norm"].get("b"), eps=cfg.norm_eps)
+        k = layer_norm(k, p["k_norm"]["w"], p["k_norm"].get("b"), eps=cfg.norm_eps)
     elif cfg.qk_norm not in ("none", "rmsnorm_post", "l2norm_post"):
         # per-head RMS norm over head_dim (reference QKNormedAttention
         # src/layers.h:3073)
