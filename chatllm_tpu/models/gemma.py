@@ -219,3 +219,169 @@ class Gemma2(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.GEMMA3Vis)
+class Gemma3Vis(Gemma3):
+    """Gemma-3 multimodal (reference models/gemma.cpp siglip namespace:246 +
+    v3 ChatHistoryEncoder::append_image:846).
+
+    SigLIP tower ("vision_model.encoder.layers.*" with converter-renamed
+    input/post_attention layernorms) → avg-pool the patch grid down to
+    mm_tokens_per_image → Gemma RMSNorm (`mm_soft_emb_norm`, weight stored
+    1+w by the converter) → no-bias `mm_input_projection` (stored transposed
+    = [vision_hidden, lm_hidden]).  Images enter the prompt as
+    \\n\\n<start_of_image>[soft tokens]<end_of_image>\\n\\n."""
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        self = super().load(gf, rt)
+        from ..nn.vit import ViTConfig
+
+        tok = self.tokenizer
+        tok.boi_token_id = tok.tp.piece_to_id("<start_of_image>")
+        tok.eoi_token_id = tok.tp.piece_to_id("<end_of_image>")
+
+        cfg_json = (gf.meta or {}).get("config.json", {})
+        vis = cfg_json.get("vision_config", {})
+        self.vis_cfg = None
+        self.vis_params = None
+        if vis and gf.has_tensor("vision_model.embeddings.patch_embedding.weight"):
+            self.mm_tokens_per_image = int(cfg_json.get("mm_tokens_per_image", 256))
+            self.vis_cfg = ViTConfig(
+                hidden_size=int(vis["hidden_size"]),
+                num_hidden_layers=int(vis["num_hidden_layers"]),
+                num_attention_heads=int(vis.get("num_attention_heads", 16)),
+                intermediate_size=int(vis["intermediate_size"]),
+                patch_size=int(vis["patch_size"]),
+                image_size=int(vis.get("image_size", 896)),
+                act="gelu_tanh", cls_token=False, layer_scale=False,
+                norm_eps=float(vis.get("layer_norm_eps", 1e-6)))
+            pp = (gf.meta or {}).get("preprocessor_config.json", {})
+            self.image_mean = pp.get("image_mean", [0.5, 0.5, 0.5])
+            self.image_std = pp.get("image_std", [0.5, 0.5, 0.5])
+            pb = ParamBuilder(gf, rt)
+            self.vis_params = _load_gemma3_vit_params(pb, self.vis_cfg)
+        return self
+
+    # ------------------------------------------------------------------
+    def encode_images(self, images) -> "jnp.ndarray":
+        """images [N, S, S, 3] normalized → [N * mm_tokens, lm_hidden]
+        (gemma.cpp MultiModalProjector::forward:289: pool → norm → proj)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..nn.vit import vit_forward
+        from ..ops.norm import rms_norm
+
+        cfg = self.vis_cfg
+        x = vit_forward(cfg, self.vis_params, jnp.asarray(images))
+        N, P, H = x.shape
+        g = cfg.grid
+        ts = int(round(self.mm_tokens_per_image ** 0.5))
+        k = g // ts
+        x = x.reshape(N, ts, k, ts, k, H).mean(axis=(2, 4))    # avg_pool_2d
+        x = x.reshape(N, ts * ts, H)
+        # converter stores 1+w, so no offset here
+        x = rms_norm(x, self.vis_params["soft_emb_norm"]["w"],
+                     eps=cfg.norm_eps, offset=0.0)
+        x = jnp.dot(x.astype(jnp.float32),
+                    self.vis_params["mm_input_projection"],
+                    preferred_element_type=jnp.float32)
+        return x.reshape(N * ts * ts, -1)
+
+    def image_token_count(self) -> int:
+        return self.mm_tokens_per_image
+
+    def chat_image(self, image, question: str, gen_config=None,
+                   streamer=None) -> str:
+        import numpy as np
+        import jax.numpy as jnp
+
+        from ..nn.transformer import embed_tokens
+        from ..runtime.generate import GenerationConfig
+        from ..runtime.vision import load_image, to_array
+
+        gen_config = gen_config or GenerationConfig(do_sample=False,
+                                                    max_new_tokens=256)
+        px = to_array(load_image(image), self.vis_cfg.image_size,
+                      self.image_mean, self.image_std)
+        media = self.encode_images(px[None])
+
+        tok = self.tokenizer
+        enc = tok.chat_encoder
+        pre: list[int] = []
+        enc.append_sys_prompt(pre)
+        # user turn opening (gemma template) then the image block
+        enc.append_user_opening(0, pre)
+        nl = tok.encode("\n")
+        pre.extend(nl); pre.extend(nl)
+        pre.append(tok.boi_token_id)
+        mid: list[int] = [tok.eoi_token_id]
+        mid.extend(nl); mid.extend(nl)
+        mid.extend(tok.encode(question))
+        enc_ids: list[int] = []
+        enc.append_ai_opening(0, enc_ids)
+        mid.extend(enc_ids)
+
+        emb_pre = embed_tokens(self.cfg, self.params,
+                               jnp.asarray(np.asarray([pre], np.int32)))[0]
+        emb_mid = embed_tokens(self.cfg, self.params,
+                               jnp.asarray(np.asarray([mid], np.int32)))[0]
+        # gemma scales token embeddings by sqrt(hidden); image embeddings
+        # enter unscaled (reference writes them raw into the extended table,
+        # then forward scales — HF Gemma3 get_image_features is unscaled and
+        # scaling applies to token ids only, so splice after scaling)
+        embeds = jnp.concatenate(
+            [emb_pre, media.astype(emb_pre.dtype), emb_mid], axis=0)[None]
+
+        eng = self.engine
+        cache = eng.new_cache(1, eng.max_length)
+        logits, cache, n_past = eng.prefill_embeds(embeds, cache, 0)
+        out, cache, n_past = eng.generate_from_logits(
+            logits, cache, n_past, gen_config,
+            is_terminator=tok.is_terminate_token,
+            on_token=(lambda t: streamer.put([t])) if streamer else None)
+        if streamer:
+            streamer.end()
+        return tok.decode(out)
+
+
+def _load_gemma3_vit_params(pb: ParamBuilder, vcfg) -> dict:
+    """On-disk names per Gemma3Converter (/root/reference/convert.py:6630-6660:
+    layer_norm1/2 → input/post_attention_layernorm, fc1/fc2 → fc0/fc1,
+    out_proj → o_proj; mm_input_projection stored already-transposed)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    params = {
+        "embed": {
+            "proj_w": jnp.asarray(np.transpose(
+                pb.raw_f32("vision_model.embeddings.patch_embedding.weight"),
+                (2, 3, 1, 0))),
+            "proj_b": pb.array("vision_model.embeddings.patch_embedding.bias"),
+            "pos": pb.array("vision_model.embeddings.position_embedding.weight"),
+        },
+        "post_norm": {"w": pb.array("vision_model.post_layernorm.weight"),
+                      "b": pb.array("vision_model.post_layernorm.bias")},
+        "soft_emb_norm": {
+            "w": pb.array("multi_modal_projector.mm_soft_emb_norm.weight")},
+        "mm_input_projection": pb.array(
+            "multi_modal_projector.mm_input_projection.weight"),
+        "layers": [],
+    }
+    for i in range(vcfg.num_hidden_layers):
+        pfx = f"vision_model.encoder.layers.{i}"
+        params["layers"].append({
+            "norm1": pb.norm(f"{pfx}.input_layernorm", bias=True),
+            "attn": {
+                "q": pb.linear(f"{pfx}.self_attn.q_proj", bias=True),
+                "k": pb.linear(f"{pfx}.self_attn.k_proj", bias=True),
+                "v": pb.linear(f"{pfx}.self_attn.v_proj", bias=True),
+                "o": pb.linear(f"{pfx}.self_attn.o_proj", bias=True),
+            },
+            "norm2": pb.norm(f"{pfx}.post_attention_layernorm", bias=True),
+            "mlp": {"fc0": pb.linear(f"{pfx}.mlp.fc0", bias=True),
+                    "fc1": pb.linear(f"{pfx}.mlp.fc1", bias=True)},
+        })
+    return params
