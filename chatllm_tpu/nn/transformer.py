@@ -746,7 +746,8 @@ def lm_logits(cfg: TransformerConfig, params, x):
 
 def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
                         n_past, *, last_only: bool = False,
-                        positions=None, input_embeds=None):
+                        positions=None, input_embeds=None,
+                        return_hidden: bool = False):
     """ids: [B, T] int32 → (logits [B, T|1, V] f32, new cache).
 
     `input_embeds` [B, T, H] overrides token embedding lookup (multimodal
@@ -824,7 +825,9 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
     x = _norm(cfg, x, params["final_norm"])
     if last_only:
         x = x[:, -1:, :]
-    logits = lm_logits(cfg, params, x)
+    # return_hidden: skip lm_head (reference transformer->skip_lm_head,
+    # janus.cpp generate_next_token — the gen head replaces it)
+    logits = x if return_hidden else lm_logits(cfg, params, x)
     return logits, KVCache(
         k=tuple(ks), v=tuple(vs),
         k_scale=tuple(kss) if quant else None,

@@ -51,6 +51,8 @@ def stream_read(x, q, s, *, tile_n=1024, tile_k=2048, vmem_mb=0):
     gs = tile_k // G
     n_kt = K // tile_k
     xc = x.reshape(K, 1).astype(jnp.float32)
+    if s.dtype == jnp.float16:   # Mosaic has no f16 dtype
+        s = jax.lax.bitcast_convert_type(s, jnp.uint16)
     out = pl.pallas_call(
         functools.partial(_stream_kernel, n_kt=n_kt),
         grid=(N // tile_n, n_kt),
@@ -112,6 +114,9 @@ def run(kernel_name, tile_n=1024, tile_k=2048, vmem_mb=0, ws_total=None):
         if kernel_name == "stream":
             return stream_read(x, q, s, tile_n=tile_n, tile_k=tile_k,
                                vmem_mb=vmem_mb)
+        if kernel_name == "vpu_bf16":
+            return qgemv_bf16(x, q, s, tile_n=tile_n, tile_k=tile_k,
+                              vmem_mb=vmem_mb)
         return qmm_pallas(x, q, s, None, None, group=G, packed=True,
                           zero_point=8)
 
@@ -169,3 +174,72 @@ if __name__ == "__main__":
         tn = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
         tk = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
         run(name, tn, tk)
+
+
+# ---------------- bf16-compute VPU variant ----------------
+# Tests whether the VPU dequant-MAC is op-throughput-bound: if bf16 lanes
+# run 2x f32, this closes most of the gap to the stream ceiling.
+
+def _kernel_bf16(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kt, group):
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:]
+    tn = q.shape[1]
+    xx = x_ref[:].astype(jnp.bfloat16)
+    half = group // 2
+    gs = q.shape[0] // half
+    qi = q.reshape(gs, half, tn).astype(jnp.int32)
+    lo = (qi & 0xF).astype(jnp.bfloat16)
+    hi = ((qi >> 4) & 0xF).astype(jnp.bfloat16)
+    xg = xx.reshape(gs, group, 1)
+    p = lo * xg[:, :half] + hi * xg[:, half:]
+    h = half
+    t = p
+    while h > 8:
+        t = t[:, : h // 2] + t[:, h // 2:]
+        h //= 2
+    from chatllm_tpu.ops.pallas.gemv_kernel import f16_bits_to_f32
+    sc = f16_bits_to_f32(s_ref[:].astype(jnp.int32)).astype(jnp.bfloat16)
+    t = t * sc[:, None, :]
+    g = gs
+    while g > 1 and g % 2 == 0:
+        t = t[: g // 2] + t[g // 2:]
+        g //= 2
+    r = t[0]
+    for i in range(1, g):
+        r = r + t[i]
+    acc_ref[:] += r.astype(jnp.float32)
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_k", "vmem_mb"))
+def qgemv_bf16(x, q, s, *, tile_n=1024, tile_k=2048, vmem_mb=0):
+    K2, N = q.shape
+    K = K2 * 2
+    gs = tile_k // G
+    n_kt = K // tile_k
+    xc = x.reshape(K, 1).astype(jnp.float32)
+    s_in = jax.lax.bitcast_convert_type(s, jnp.uint16) if s.dtype == jnp.float16 else s
+    out = pl.pallas_call(
+        functools.partial(_kernel_bf16, n_kt=n_kt, group=G),
+        grid=(N // tile_n, n_kt),
+        in_specs=[
+            pl.BlockSpec((tile_k, 1), lambda n, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k // 2, tile_n), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs, tile_n), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile_n), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, tile_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            **({"vmem_limit_bytes": vmem_mb * 2 ** 20} if vmem_mb else {})),
+    )(xc, q, s_in)
+    return jnp.sum(out, axis=0, keepdims=True)
