@@ -152,9 +152,12 @@ def main():
             return a * jnp.float32(1.0001) + jnp.float32(1.0)
 
         r = stream(probe); _ = np.asarray(r[0, 0, :8])
-        t0 = time.perf_counter()
-        r = stream(probe); _ = np.asarray(r[0, 0, :8])
-        bw_meas = 2 * probe.nbytes / (time.perf_counter() - t0)  # read+write
+        best = float("inf")
+        for _i in range(3):          # best-of-3: single shots through the
+            t0 = time.perf_counter()  # axon relay are noisy (±2x)
+            r = stream(probe); _ = np.asarray(r[0, 0, :8])
+            best = min(best, time.perf_counter() - t0)
+        bw_meas = 2 * probe.nbytes / best  # read+write
     except Exception:
         bw_meas = -1.0
     embed_bytes = params["embed"].nbytes
