@@ -53,25 +53,17 @@ def _flash_kernel(np_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
     if sliding_window > 0:
         live = jnp.logical_and(live, k_lo + block_k - 1 > q_lo - sliding_window)
 
-    @pl.when(live)
-    def _compute():
-        # native-dtype MXU inputs (bf16 at full rate), f32 accumulation
-        q = q_ref[0, 0]                                           # [bq, D]
-        k = k_ref[0, 0]                                           # [bk, D]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if logit_softcap > 0.0:
-            s = jnp.tanh(s / logit_softcap) * logit_softcap
+    # interior blocks need no masking at all: every key in the block is
+    # written, causally visible to every query row, and inside the window —
+    # skip the [bq, bk] iota/compare/select VPU work for them (roughly half
+    # the KV blocks of a causal prefill are interior)
+    interior = k_lo + block_k <= n_past + n_tokens
+    if causal:
+        interior = jnp.logical_and(interior, k_lo + block_k - 1 <= q_lo)
+    if sliding_window > 0:
+        interior = jnp.logical_and(interior, k_lo > q_hi - sliding_window)
 
-        q_pos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        k_pos = k_lo + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        valid = k_pos < n_past + n_tokens
-        if causal:
-            valid = jnp.logical_and(valid, k_pos <= q_pos)
-        if sliding_window > 0:
-            valid = jnp.logical_and(valid, k_pos > q_pos - sliding_window)
-        s = jnp.where(valid, s, NEG_INF)
-
+    def _update(s):
         m_prev = m_ref[:, :1]                                     # [bq, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)                # [bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)
@@ -85,6 +77,32 @@ def _flash_kernel(np_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         acc_ref[...] = acc_ref[...] * corr + pv
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    def _scores():
+        # native-dtype MXU inputs (bf16 at full rate), f32 accumulation
+        q = q_ref[0, 0]                                           # [bq, D]
+        k = k_ref[0, 0]                                           # [bk, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if logit_softcap > 0.0:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+        return s
+
+    @pl.when(jnp.logical_and(live, interior))
+    def _compute_fast():
+        _update(_scores())
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
+    def _compute_masked():
+        s = _scores()
+        q_pos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = k_lo + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        valid = k_pos < n_past + n_tokens
+        if causal:
+            valid = jnp.logical_and(valid, k_pos <= q_pos)
+        if sliding_window > 0:
+            valid = jnp.logical_and(valid, k_pos > q_pos - sliding_window)
+        _update(jnp.where(valid, s, NEG_INF))
 
     @pl.when(ki == n_kv_blocks - 1)
     def _finalize():

@@ -13,9 +13,13 @@ Everything is stored output-dim-along-lanes ([K, N] / [K/G, N]), so the
 dequant broadcast and the dot contraction need no transposes, and every
 BlockSpec tile is (sublane, lane)-aligned.
 
-Grid: (M/TILE_M, N/TILE_N, K/TILE_K), K innermost so the f32 accumulator
-tile stays resident in VMEM across the K sweep; the batch/sequence dim is
-tiled too so long-prefill activations never exceed VMEM.
+Grid: (N/TILE_N, K/TILE_K, M/TILE_M) with the **M sweep innermost** so each
+weight tile is dequantized ONCE (at m==0, into a VMEM scratch) and reused
+for every activation tile.  With M outermost (the v1 layout) long-prefill
+matmuls re-ran the VPU dequant per M-tile, capping the MXU at ~40%
+utilization at M=2048; here the dequant cost is amortized to 1/n_mt.  The
+output block is the whole [B, TILE_N] column, resident in VMEM across the
+(k, m) sweep and accumulated in f32 in place.
 """
 from __future__ import annotations
 
@@ -27,51 +31,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref, *, n_kt: int,
-            group: int, packed: bool, zero_point: int, compute_dtype):
-    kt = pl.program_id(2)
+def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref, *, n_kt: int,
+            tile_m: int, group: int, packed: bool, zero_point: int,
+            compute_dtype):
+    kt = pl.program_id(1)
+    mt = pl.program_id(2)
+
+    @pl.when(mt == 0)
+    def _dequant():
+        # Dequant cost: 2 VPU ops per weight (int→bf16 convert + bf16
+        # multiply), +2 for the nibble unpack on the packed path — paid once
+        # per weight tile, amortized over the whole M sweep.  The affine
+        # group bias is handled OUTSIDE the kernel:
+        # Σ_k x_k (q s + b) = x·(q s) + (Σ_{k∈g} x_k)·b, so the wrapper adds
+        # a tiny [B, K/G] @ [K/G, N] matmul on the XLA side in full f32.
+        q = q_ref[:]                               # [TK(/2), TN] int8/uint8
+        tn = q.shape[1]
+        if packed:
+            # group-local pairing: byte row j of group g = rows
+            # (32g+j, 32g+j+16); Mosaic has no uint8 shifts — widen to i32
+            half = group // 2
+            qg = q.reshape(q.shape[0] // half, half, tn)
+            qi = qg.astype(jnp.int32)
+            lo = (qi & 0xF).astype(compute_dtype)
+            hi = ((qi >> 4) & 0xF).astype(compute_dtype)
+            wq = jnp.concatenate([lo, hi], axis=1)  # [gs, group, TN]
+            if zero_point:
+                wq = wq - jnp.asarray(zero_point, compute_dtype)
+            gs = wq.shape[0]
+            tk = gs * group
+        else:
+            tk = q.shape[0]
+            gs = tk // group
+            wq = q.astype(compute_dtype).reshape(gs, group, tn)
+        from .gemv_kernel import load_scale_f32
+
+        s = load_scale_f32(s_ref).astype(compute_dtype)     # [gs, TN]
+        w_ref[:] = (wq * s[:, None, :]).reshape(tk, tn)
+
+    xc = x_ref[:].astype(compute_dtype)            # [TM, TK]
+    part = jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32)
+    sl = pl.ds(mt * tile_m, tile_m)
 
     @pl.when(kt == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    def _first():
+        o_ref[sl, :] = part
 
-    # Dequant cost budget: 2 VPU ops per weight (int→bf16 convert + bf16
-    # multiply), +2 for the nibble unpack on the packed path.  The affine
-    # group bias is handled OUTSIDE the kernel:
-    # Σ_k x_k (q s + b) = x·(q s) + (Σ_{k∈g} x_k)·b, so the wrapper adds a
-    # tiny [B, K/G] @ [K/G, N] matmul on the XLA side in full f32.
-    q = q_ref[:]                                   # [TK(/2), TN] int8/uint8
-    tn = q.shape[1]
-    if packed:
-        # group-local pairing: byte row j of group g = rows (32g+j, 32g+j+16)
-        half = group // 2
-        qg = q.reshape(q.shape[0] // half, half, tn)
-        # Mosaic has no uint8 shifts/casts — widen to int32 for the bit ops
-        qi = qg.astype(jnp.int32)
-        lo = (qi & 0xF).astype(compute_dtype)
-        hi = ((qi >> 4) & 0xF).astype(compute_dtype)
-        wq = jnp.concatenate([lo, hi], axis=1)     # [gs, group, TN]
-        if zero_point:
-            wq = wq - jnp.asarray(zero_point, compute_dtype)
-        gs = wq.shape[0]
-        tk = gs * group
-    else:
-        tk = q.shape[0]
-        gs = tk // group
-        wq = q.astype(compute_dtype).reshape(gs, group, tn)
-    from .gemv_kernel import load_scale_f32
+    @pl.when(kt != 0)
+    def _acc():
+        o_ref[sl, :] += part
 
-    s = load_scale_f32(s_ref).astype(compute_dtype)         # [gs, TN]
-    w = (wq * s[:, None, :]).reshape(tk, tn)
-    xc = x_ref[:].astype(compute_dtype)            # [B, TK]
-    acc_ref[:] += jnp.dot(xc, w, preferred_element_type=jnp.float32)
-
-    @pl.when(kt == n_kt - 1)
-    def _():
-        out = acc_ref[:]
-        if bias_ref is not None:
-            out = out + bias_ref[:]
-        o_ref[:] = out
+    if bias_ref is not None:
+        @pl.when(kt == n_kt - 1)
+        def _bias():
+            o_ref[sl, :] += bias_ref[:]
 
 
 def _pick_tile(dim: int, want: int, unit: int) -> int:
@@ -96,6 +109,14 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
     s/b: [K/group, N] f32; bias: [N].  Returns [B, N] f32."""
     B, K = x.shape
     N = q.shape[1]
+    # pad batch/sequence to the sublane minimum
+    B_pad = max(8, B)
+    if B_pad % 8:
+        B_pad += 8 - B_pad % 8
+    # the [B, TILE_N] f32 output column lives in VMEM for the whole (k, m)
+    # sweep — shrink TILE_N so it stays within budget at long prefill
+    while tile_n > 128 and B_pad * tile_n * 4 > 6 * 2 ** 20:
+        tile_n //= 2
     # largest tile sizes that divide the problem (lane/sublane-aligned)
     tile_n = _pick_tile(N, tile_n, 128)
     tile_k = _pick_tile(K, tile_k, group)
@@ -103,15 +124,14 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
     n_kt = K // tile_k
     qdiv = 2 if packed else 1
 
-    # pad batch/sequence to the f32 sublane minimum, and tile it so
-    # long-prefill activations don't blow VMEM (scoped limit ~16 MB)
-    B_pad = max(8, B)
-    if B_pad % 8:
-        B_pad += 8 - B_pad % 8
     if B_pad != B:
         x = jnp.pad(x, ((0, B_pad - B), (0, 0)))
     tile_m = _pick_tile(B_pad, 256, 8)
     n_mt, n_nt = B_pad // tile_m, N // tile_n
+    # activations go to the MXU in compute_dtype anyway; casting outside the
+    # kernel halves x DMA traffic (x is re-streamed once per (n, k) pair)
+    x_f32 = x
+    x = x.astype(compute_dtype)
 
     # Mosaic has no f16 dtype: ship f16 scales as uint16 bit patterns,
     # decoded on the VPU (gemv_kernel.f16_bits_to_f32)
@@ -120,17 +140,17 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
 
     gs = tile_k // group
     in_specs = [
-        pl.BlockSpec((tile_m, tile_k), lambda m, n, k: (m, k),
+        pl.BlockSpec((tile_m, tile_k), lambda n, k, m: (m, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_k // qdiv, tile_n), lambda m, n, k: (k, n),
+        pl.BlockSpec((tile_k // qdiv, tile_n), lambda n, k, m: (k, n),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gs, tile_n), lambda m, n, k: (k, n),
+        pl.BlockSpec((gs, tile_n), lambda n, k, m: (k, n),
                      memory_space=pltpu.VMEM),
     ]
     args = [x, q, s]
     has_bias = bias is not None
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, tile_n), lambda m, n, k: (0, n),
+        in_specs.append(pl.BlockSpec((1, tile_n), lambda n, k, m: (0, n),
                                      memory_space=pltpu.VMEM))
         args.append(bias.reshape(1, N))
 
@@ -139,25 +159,27 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         idx = 3
         bias_ref = refs[idx] if has_bias else None
         idx += has_bias
-        o_ref, acc_ref = refs[idx], refs[idx + 1]
-        _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, acc_ref,
-                n_kt=n_kt, group=group, packed=packed,
+        o_ref, w_ref = refs[idx], refs[idx + 1]
+        _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref,
+                n_kt=n_kt, tile_m=tile_m, group=group, packed=packed,
                 zero_point=zero_point, compute_dtype=compute_dtype)
 
     out = pl.pallas_call(
         kernel,
-        grid=(n_mt, n_nt, n_kt),
+        grid=(n_nt, n_kt, n_mt),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile_m, tile_n), lambda m, n, k: (m, n),
+        out_specs=pl.BlockSpec((B_pad, tile_n), lambda n, k, m: (0, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_k, tile_n), compute_dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 2 ** 20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_pad * N * K,
-            bytes_accessed=N * K // qdiv + N * K // group * 4 + B_pad * K * 4,
+            bytes_accessed=N * K // qdiv + N * K // group * 4
+            + n_nt * B_pad * K * 2,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -165,6 +187,7 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
     out = out[:B]
     if b is not None:
         # affine group-bias term: Σ_g b[g, n] · (Σ_{k∈g} x[b, k]) in f32
-        xg = jnp.sum(x[:B].reshape(B, K // group, group), axis=2)
+        xg = jnp.sum(x_f32[:B].astype(jnp.float32)
+                     .reshape(B, K // group, group), axis=2)
         out = out + jnp.dot(xg, b, preferred_element_type=jnp.float32)
     return out

@@ -83,6 +83,18 @@ def use_pallas_qmm() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _pallas_max_rows() -> int:
+    """Row-count crossover between the Pallas fused kernels and the XLA
+    dequant path.  Measured on the v5e (bench.py A/B, 8B shapes): the fused
+    kernel wins while the matmul is weight-streaming-bound (B=1 GEMV 66 vs
+    11 tok/s, B=8 batched decode 351 vs 125 tok/s), but at prefill widths
+    XLA's fused dequant feeds the MXU harder (TTFT-2048 262 ms vs 350 ms) —
+    so wide matmuls go to XLA."""
+    import os
+
+    return int(os.environ.get("CHATLLM_TPU_QMM_MAX_ROWS", "64"))
+
+
 def dense_weight(lin, dtype=jnp.float32) -> jax.Array:
     """Materialize a linear's weight matrix [in, out] (dense or dequantized)."""
     if isinstance(lin, DenseLinear):
@@ -186,17 +198,21 @@ def matmul(x: jax.Array, lin, *, compute_dtype=jnp.bfloat16,
     if isinstance(lin, DenseLinear):
         y = jnp.dot(x.astype(lin.w.dtype), lin.w, preferred_element_type=jnp.float32)
     elif isinstance(lin, QuantLinear):
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        few_rows = rows <= _pallas_max_rows()
         if _TP_MESH is not None:
             # under a sharded pjit, Pallas only via shard_map; anything
-            # unannotated or shard-unfriendly takes the XLA path (GSPMD
-            # partitions that on its own)
-            if shard in ("out", "in") and use_pallas_qmm():
+            # unannotated, shard-unfriendly, or prefill-wide takes the XLA
+            # path (GSPMD partitions that on its own)
+            if shard in ("out", "in") and use_pallas_qmm() and few_rows:
                 y = _matmul_sharded(x, lin, shard, compute_dtype)
                 if y is not None:
                     return y
         # Mosaic needs the output dim lane-aligned (scale tiles are
         # [groups, N]); oddball small N falls back to the XLA dequant path
-        elif use_pallas_qmm() and lin.q.shape[1] % 128 == 0:
+        elif use_pallas_qmm() and few_rows and lin.q.shape[1] % 128 == 0:
             lead = x.shape[:-1]
             x2 = x.reshape(-1, x.shape[-1])
             y = _pallas_local(x2, lin.q, lin.s, lin.b, lin.bias,

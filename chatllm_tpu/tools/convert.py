@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import struct
 
 import numpy as np
@@ -37,11 +38,12 @@ QUANT_MAP = {
 # tensor loading
 # ---------------------------------------------------------------------------
 
-def load_state_dict(model_dir: str) -> dict:
+def load_state_dict(model_dir: str, weights_glob: str = "") -> dict:
     """All tensors from *.safetensors (or pytorch_model.bin) as numpy f32."""
     sd = {}
     st_files = sorted(f for f in os.listdir(model_dir)
-                      if f.endswith(".safetensors"))
+                      if f.endswith(".safetensors")
+                      and (not weights_glob or f.startswith(weights_glob)))
     if st_files:
         from safetensors import safe_open
 
@@ -54,7 +56,8 @@ def load_state_dict(model_dir: str) -> dict:
                     sd[k] = np.asarray(t, dtype=np.float32)
         return sd
     bins = sorted(f for f in os.listdir(model_dir)
-                  if f.startswith("pytorch_model") and f.endswith(".bin"))
+                  if f.startswith(weights_glob or "pytorch_model")
+                  and f.endswith(".bin"))
     if bins:
         import torch
 
@@ -65,6 +68,63 @@ def load_state_dict(model_dir: str) -> dict:
                 sd[k] = v.float().numpy()
         return sd
     raise FileNotFoundError(f"no weights found in {model_dir}")
+
+
+class LoRAMerge:
+    """Merge a PEFT LoRA adapter into the base weights at conversion time
+    (reference convert.py:681 `LoRAState`): a tensor stored outright in the
+    adapter replaces the base tensor; `<n>.lora_A/.lora_B` pairs fold in as
+    W + (alpha/r) · B@A (transposed when fan_in_fan_out)."""
+
+    def __init__(self, path: str):
+        cfg = json.load(open(os.path.join(path, "adapter_config.json"),
+                             encoding="utf-8"))
+        assert cfg.get("peft_type") == "LORA", "adapter is not a LoRA"
+        self.scaling = cfg["lora_alpha"] / cfg["r"]
+        self.fan_in_fan_out = bool(cfg.get("fan_in_fan_out", False))
+        self.tensors = load_state_dict(path, weights_glob="adapter_model")
+
+    def merge(self, name: str, arr: np.ndarray) -> np.ndarray:
+        key = "base_model.model." + name
+        if key in self.tensors:
+            return self.tensors[key]
+        ka = key.replace(".weight", ".lora_A.weight")
+        if ka in self.tensors:
+            kb = key.replace(".weight", ".lora_B.weight")
+            delta = self.tensors[kb] @ self.tensors[ka]
+            if self.fan_in_fan_out:
+                delta = delta.T
+            return arr + delta * np.float32(self.scaling)
+        return arr
+
+
+_BLOCK_LEN = {GGMLType.Q8_0: 32, GGMLType.Q4_0: 32, GGMLType.Q4_1: 32,
+              GGMLType.Q4_K: 256}
+
+
+def _type_fallback(shape, dtype: GGMLType) -> GGMLType:
+    """Row length must divide the codec's block; degrade q4_k→q8_0→f16 like
+    the reference (convert.py:810 tensor_type_fallback)."""
+    blk = _BLOCK_LEN.get(dtype)
+    if blk is None or shape[-1] % blk == 0:
+        return dtype
+    if dtype == GGMLType.Q4_K:
+        return _type_fallback(shape, GGMLType.Q8_0)
+    return GGMLType.F16
+
+
+def pick_tensor_type(name: str, arr: np.ndarray, dtype: GGMLType,
+                     rules=()) -> GGMLType:
+    """Resolve the storage type for one tensor: 1d → f32, then the first
+    matching `-tt pattern type` rule (later flags take priority), then the
+    block-divisibility fallback (reference convert.py:830)."""
+    if arr.ndim <= 1:
+        return GGMLType.F32
+    for pat, t in rules:
+        if re.match(pat, name):
+            dtype = t
+            break
+    return _type_fallback(arr.shape, dtype)
 
 
 def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
@@ -363,7 +423,7 @@ def _strip_prefixes(sd: dict) -> dict:
 
 
 def convert(model_dir: str, out_path: str, quant: str = "q8_0",
-            name: str = "") -> str:
+            name: str = "", lora_dir: str = "", tensor_types=()) -> str:
     cfg = json.load(open(os.path.join(model_dir, "config.json"),
                          encoding="utf-8"))
     arch = (cfg.get("architectures") or ["?"])[0]
@@ -372,7 +432,13 @@ def convert(model_dir: str, out_path: str, quant: str = "q8_0",
             f"architecture {arch} not supported (have: "
             f"{', '.join(sorted(ARCH_CONVERTERS))})")
     dtype = QUANT_MAP[quant]
-    sd = _strip_prefixes(load_state_dict(model_dir))
+    sd = load_state_dict(model_dir)
+    if lora_dir:
+        lora = LoRAMerge(lora_dir)
+        sd = {k: lora.merge(k, v) for k, v in sd.items()}
+    sd = _strip_prefixes(sd)
+    # later -tt flags take priority (reference convert.py:10692 reversed())
+    rules = [(pat, QUANT_MAP[t.lower()]) for pat, t in reversed(tensor_types)]
     meta = {"model_name": name or os.path.basename(os.path.abspath(model_dir)),
             "config.json": cfg}
     with open(out_path, "wb") as f:
@@ -388,6 +454,12 @@ def convert(model_dir: str, out_path: str, quant: str = "q8_0",
         w.write_tensor = orig_write_tensor
         export_vocab(w, model_dir)
         for nm, arr, dt in pending:
+            # -tt rules only override the run's default quant choice — a
+            # tensor the emitter forces to another type stays forced
+            if rules and dt == dtype:
+                dt = pick_tensor_type(nm, arr, dtype, rules)
+            else:
+                dt = _type_fallback(arr.shape, dt) if arr.ndim >= 2 else dt
             w.write_tensor(nm, arr, dt)
     return out_path
 
@@ -397,9 +469,16 @@ def main(argv=None):
     ap.add_argument("-i", "--model", required=True, help="HF model directory")
     ap.add_argument("-o", "--out", required=True, help="output GGMM file")
     ap.add_argument("-t", "--type", default="q8_0", choices=sorted(QUANT_MAP))
+    ap.add_argument("-l", "--lora", default="",
+                    help="LoRA adapter directory to merge into the weights")
+    ap.add_argument("-tt", "--tensor_type", nargs=2, action="append",
+                    default=[], metavar=("PATTERN", "TYPE"),
+                    help="per-tensor storage type override (regex, repeatable;"
+                         " later flags win): -tt 'lm_head.*' q8_0")
     ap.add_argument("--name", default="")
     a = ap.parse_args(argv)
-    out = convert(a.model, a.out, a.type, a.name)
+    out = convert(a.model, a.out, a.type, a.name, lora_dir=a.lora,
+                  tensor_types=a.tensor_type)
     print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
 
 

@@ -178,3 +178,90 @@ def test_convert_mistral_roundtrip(tmp_path):
     with torch.no_grad():
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=2e-3, rtol=2e-3)
+
+
+def test_convert_lora_merge(tmp_path):
+    """-l adapter_dir folds (alpha/r)*B@A into the base weights
+    (reference convert.py:681 LoRAState.merge_tensor)."""
+    from safetensors.numpy import save_file
+
+    torch.manual_seed(11)
+    cfg = transformers.Qwen2Config(
+        vocab_size=260, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False, sliding_window=None)
+    hf = transformers.Qwen2ForCausalLM(cfg).eval()
+    d = _save_hf_dir(tmp_path, hf,
+                     {**cfg.to_dict(), "architectures": ["Qwen2ForCausalLM"]},
+                     ["<|endoftext|>"])
+
+    # tiny adapter: rank-2 delta on layer-0 q_proj + full replace of norm
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((2, 64), dtype=np.float32) * 0.05
+    B = rng.standard_normal((64, 2), dtype=np.float32) * 0.05
+    new_norm = rng.standard_normal(64).astype(np.float32)
+    ld = tmp_path / "lora"
+    ld.mkdir()
+    pfx = "base_model.model.model.layers.0"
+    save_file({f"{pfx}.self_attn.q_proj.lora_A.weight": A,
+               f"{pfx}.self_attn.q_proj.lora_B.weight": B,
+               "base_model.model.model.norm.weight": new_norm},
+              str(ld / "adapter_model.safetensors"))
+    (ld / "adapter_config.json").write_text(json.dumps(
+        {"peft_type": "LORA", "r": 2, "lora_alpha": 4,
+         "fan_in_fan_out": False}))
+
+    out = str(tmp_path / "ql.bin")
+    convert(d, out, "f32", lora_dir=str(ld))
+
+    # expected: HF model with the same merge applied manually
+    with torch.no_grad():
+        hf.model.layers[0].self_attn.q_proj.weight += torch.from_numpy(
+            (B @ A) * np.float32(4 / 2))
+        hf.model.norm.weight.copy_(torch.from_numpy(new_norm))
+    model = load_model(out, RuntimeConfig(**RT32))
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=2e-3, rtol=2e-3)
+
+
+def test_convert_tensor_type_rules(tmp_path):
+    """-tt regex/type overrides per-tensor storage; later flags win; block
+    divisibility degrades q4_k->q8_0->f16 (reference convert.py:810,830)."""
+    from chatllm_tpu.ggmm.quants import GGMLType
+    from chatllm_tpu.ggmm.reader import GGMMFile
+
+    torch.manual_seed(12)
+    cfg = transformers.Qwen2Config(
+        vocab_size=260, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=1, intermediate_size=96,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        sliding_window=None)
+    hf = transformers.Qwen2ForCausalLM(cfg).eval()
+    d = _save_hf_dir(tmp_path, hf,
+                     {**cfg.to_dict(), "architectures": ["Qwen2ForCausalLM"]},
+                     ["<|endoftext|>"])
+    out = str(tmp_path / "tt.bin")
+    convert(d, out, "q8_0",
+            tensor_types=[("model.embed", "f32"),
+                          (".*embed_tokens.*", "f16"),   # later flag wins
+                          ("lm_head", "q4_k")])          # 64 % 256 -> q8_0
+    g = GGMMFile.open(out)
+    try:
+        by = {e.name: e.dtype for e in g.tensors.values()} \
+            if isinstance(g.tensors, dict) else \
+            {e.name: e.dtype for e in g.tensors}
+        assert by["model.embed_tokens.weight"] == GGMLType.F16
+        assert by["lm_head.weight"] == GGMLType.Q8_0      # q4_k fallback
+        assert by["model.layers.0.mlp.gate_proj.weight"] == GGMLType.Q8_0
+        assert by["model.norm.weight"] == GGMLType.F32    # 1d untouched
+    finally:
+        g.close()
+
+    # the file still loads and runs
+    model = load_model(out, RuntimeConfig(**RT32))
+    logits, _ = model.forward_logits(np.array([[7, 30, 5]], dtype=np.int32))
+    assert np.all(np.isfinite(np.asarray(logits)))
