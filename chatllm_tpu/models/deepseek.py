@@ -150,6 +150,10 @@ class DeepSeekV2(BaseLLM):
     HAS_GATE_BIAS = False
 
     @classmethod
+    def make_tokenizer(cls, gf, base):
+        return make_deepseek_v1_tokenizer(gf, base)
+
+    @classmethod
     def load(cls, gf, rt: RuntimeConfig):
         from ..nn.transformer import MLAConfig
         from ..ops.rope import ROPE_NORMAL, RopeConfig
@@ -201,7 +205,7 @@ class DeepSeekV2(BaseLLM):
             mla_compressed=(rt.mla_cache == "memory"),
             cache_dtype=rt.cache_dtype)
 
-        tok = make_deepseek_v1_tokenizer(gf, base)
+        tok = cls.make_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = {
             "embed": pb.embedding("model.embed_tokens.weight"),

@@ -183,6 +183,9 @@ class ModelType(enum.IntEnum):
     HUNYUAN_DENSE = 0x1F00
     HUNYUAN_MOE_V1 = 0x1F01
     HUNYUAN_DENSE_V1 = 0x1F02
+    WEDLM = 0x1F03                 # models/hunyuan.cpp:10 (diffusion LM)
+    YOUTU = 0x1F04                 # models/hunyuan.cpp:11
+    HUNYUAN_V3 = 0x1F05            # models/hunyuan.cpp:12
 
     MOONLIGHT = 0x2000
     INSTELLA = 0x2100
@@ -201,6 +204,8 @@ class ModelType(enum.IntEnum):
     APERTUS = 0x2C00
     GROVE_MOE = 0x2D00
     BAILING_MOE2 = 0x2E00
+    LLADA2 = 0x2E01                # models/bailing.cpp:11 (diffusion LM)
+    GLM_MOE_LITE = 9               # models/chatglm.cpp:13
     MEGREZ_MOE = 0x2F00
     OURO = 0x3000
     MELLUM = 0x3010
@@ -234,17 +239,21 @@ class ModelType(enum.IntEnum):
     PADDLE_OCR_VL = TAG_ChatImageIn + 0x00070
 
     QWEN2_AUDIO = TAG_ChatAudioIn + 0x00001
+    QWEN3_ForcedAligner = TAG_ChatAudioIn + 0x00002  # models/qwen.cpp:13
 
     QWEN2_5_VL = TAG_ChatImageInVideoIn + 0x00001
     QWEN2_VL = TAG_ChatImageInVideoIn + 0x00002
     QWEN3_VL = TAG_ChatImageInVideoIn + 0x00003
+    QWEN3_5 = TAG_ChatImageInVideoIn + 0x00004   # models/qwen3_5.cpp:7
     GLM4V = TAG_ChatImageInVideoIn + 0x00040
     KIMI_VL = TAG_ChatImageInVideoIn + 0x00100
     SMOL_VLM = TAG_ChatImageInVideoIn + 0x00200
     YOUTU_VL = TAG_ChatImageInVideoIn + 0x00220
+    PENGUIN_VL = TAG_ChatImageInVideoIn + 0x00221  # models/hunyuan.cpp:13
     LocateAnything = TAG_ChatImageInVideoIn + 0x00230
 
     GEMMA4 = TAG_ChatImageInVideoInAudioIn + 0x00001
+    GEMMA4_Unified = TAG_ChatImageInVideoInAudioIn + 0x00002  # gemma4.cpp:7
 
     JANUS_PRO = TAG_ChatImageInImageOut + 0x00001
     NEOCHAT = TAG_ChatImageInImageOut + 0x00010

@@ -118,6 +118,13 @@ class TransformerConfig:
     #   LoopModel, Ouro): same weights re-run num_loops times, each loop with
     #   its own KV cache slice
     skip_loop_final_norm: bool = False
+    layer_fwd: tuple = ()           # Solar-Pro depth-up-scaling skip pairs
+    #   ((src, dst), ...): layer src's output is saved and blended into
+    #   layer dst's input as t*saved + (1-t)*x with t = layer_fwd_alpha
+    #   (reference SolarModel::forward, models/solar.cpp:160-190; the HF
+    #   remote-code bskcn_tv semantics — the reference's scale(fwd, 1-a) +
+    #   scale(fwd, a) drops the current stream, HF is ground truth)
+    layer_fwd_alpha: float = 0.0
     mla_compressed: bool = False    # latent ("memory") MLA cache: cache only
     #   [c_kv | k_pe] per token (reference forward_memory, deepseek.cpp:406)
     #   with the up-projections absorbed into q / output — MQA-shaped attention
@@ -808,19 +815,28 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
     kss = list(cache.k_scale) if quant else [None] * len(cache.k)
     vss = list(cache.v_scale) if quant else [None] * len(cache.k)
     L = cfg.num_hidden_layers
+    fwd_to = dict(cfg.layer_fwd)           # src layer -> dst layer (static)
     for loop in range(max(1, cfg.num_loops)):
         # looped/recurrent stacks (Nanbeige LoopModel, models/nanbeige.cpp:
         # 250-330; Ouro): weights are shared across loops, each loop has its
         # own KV cache slice, final norm applied between loops unless skipped
         if loop > 0 and not cfg.skip_loop_final_norm:
             x = _norm(cfg, x, params["final_norm"])
+        fwd_saved = {}
         for i in range(L):
             spec = cfg.layer_spec(i)
             ci = loop * L + i
+            if i in fwd_saved:
+                # Solar-Pro bskcn blend at the skip target
+                t = cfg.layer_fwd_alpha
+                x = (t * fwd_saved.pop(i).astype(jnp.float32)
+                     + (1.0 - t) * x.astype(jnp.float32)).astype(x.dtype)
             c, s_ = (cos_l, sin_l) if (spec.local_rope and cos_l is not None) else (cos, sin)
             x, ks[ci], vs[ci], kss[ci], vss[ci] = decoder_layer(
                 cfg, spec, params["layers"][i], x, c, s_, ks[ci], vs[ci],
                 n_past, kss[ci], vss[ci], q_mult)
+            if i in fwd_to:
+                fwd_saved[fwd_to[i]] = x
 
     x = _norm(cfg, x, params["final_norm"])
     if last_only:
