@@ -383,3 +383,160 @@ class Llama4(BaseLLM):
             })
         params["layers"] = tuple(params["layers"])
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+# ---------------------------------------------------------------------------
+# LLAMA_MULTI: multi-token prediction (reference models/llama.h:245
+# MultiPredModel).  Trunk = layers 0..L-2; prediction heads = layer L-1 plus
+# `n_future_tokens - 1` extra llama blocks ("model.extra_heads.N."), each fed
+# the trunk output and emitting one future token's logits per step.  The
+# generate loop samples all head logits in order and feeds them back as the
+# next step's input (reference src/models.cpp:1029-1037 samples
+# logits.size()/vocab tokens per forward).
+# ---------------------------------------------------------------------------
+
+@register_model(ModelType.LLAMA_MULTI)
+class LlamaMulti(BaseLLM):
+    EXTRA_FMT = "ifi"   # n_kv, rope_theta, n_future_tokens (llama.h:248)
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, rope_theta, n_future) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tok = make_llama2_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers)
+        extra = []
+        for j in range(n_future - 1):
+            pfx = f"model.extra_heads.{j}"
+            extra.append({
+                "attn_norm": pb.norm(f"{pfx}.input_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                },
+                "ffn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                },
+            })
+        params["extra_heads"] = tuple(extra)
+        m = cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+        m.n_future_tokens = n_future
+        # --set n_future_tokens N limits how many heads run
+        # (reference set_additional_args / set_n_future_tokens)
+        eff = int(rt.additional.get("n_future_tokens", n_future))
+        m.effective_n = max(1, min(eff, n_future))
+        return m
+
+    def _multi_cache(self, batch, max_len):
+        from dataclasses import replace as _rep
+
+        from ..nn.transformer import init_cache
+
+        n_heads = self.n_future_tokens
+        c = init_cache(_rep(self.cfg, num_hidden_layers=(
+            self.cfg.num_hidden_layers - 1 + n_heads)), batch, max_len)
+        return c
+
+    def _multi_step(self, params, cache, ids, n_past):
+        """One forward: trunk + all effective heads.  Returns
+        (logits [n_eff, V] f32, new cache)."""
+        import jax.numpy as jnp
+
+        from ..nn.transformer import (KVCache, _norm, decoder_layer,
+                                      embed_tokens, lm_logits)
+        from ..ops.rope import precompute_rope_cache
+
+        cfg = self.cfg
+        L = cfg.num_hidden_layers
+        B, T = ids.shape
+        x = embed_tokens(cfg, params, ids)
+        positions = jnp.broadcast_to(n_past + jnp.arange(T)[None, :], (B, T))
+        cos, sin = precompute_rope_cache(positions, cfg.rope)
+        ks, vs = list(cache.k), list(cache.v)
+        spec = cfg.layer_spec(0)
+        for i in range(L - 1):
+            x, ks[i], vs[i], _, _ = decoder_layer(
+                cfg, spec, params["layers"][i], x, cos, sin, ks[i], vs[i],
+                n_past)
+        heads = [params["layers"][L - 1]] + list(params["extra_heads"])
+        outs = []
+        for j in range(self.effective_n):
+            ci = L - 1 + j
+            h, ks[ci], vs[ci], _, _ = decoder_layer(
+                cfg, spec, heads[j], x, cos, sin, ks[ci], vs[ci], n_past)
+            h = _norm(cfg, h[:, -1:, :], params["final_norm"])
+            outs.append(lm_logits(cfg, params, h)[:, 0])
+        return jnp.stack(outs, axis=1)[0], KVCache(k=tuple(ks), v=tuple(vs))
+
+    def forward_logits(self, input_ids, n_past: int = 0, cache=None):
+        """Head-0 full-sequence logits are not defined for this model;
+        return the per-head last-token logits instead (testing)."""
+        import numpy as np
+
+        ids = np.atleast_2d(np.asarray(input_ids, np.int32))
+        if cache is None:
+            cache = self._multi_cache(ids.shape[0], self.cfg.max_length)
+        return self._multi_step(self.params, cache, ids, n_past)
+
+    def generate(self, input_ids, gen_cfg, *, is_terminator=lambda t: False,
+                 on_token=None, perf=None, cache=None, n_past=0,
+                 completion_limit=-1, should_stop=lambda: False,
+                 terminate_seq=None, **_kw):
+        import time
+
+        import jax
+        import numpy as np
+
+        from ..ops.sampling import (PenaltyState, penalty_accept,
+                                    sample_token)
+
+        scfg = gen_cfg.sampler_config()
+        max_len = self.cfg.max_length if gen_cfg.max_length <= 0 else min(
+            gen_cfg.max_length, self.cfg.max_length)
+        max_new = completion_limit if completion_limit > 0 else (
+            gen_cfg.max_new_tokens if gen_cfg.max_new_tokens > 0 else max_len)
+        if cache is None:
+            cache = self._multi_cache(1, max_len)
+        step = jax.jit(lambda p, c, i, n: self._multi_step(p, c, i, n))
+        penalty = PenaltyState.init(self.cfg.vocab_size, scfg.penalty_window)
+        key = jax.random.key(gen_cfg.seed or 0)
+        out: list[int] = []
+        cur = list(input_ids)
+        t0 = time.perf_counter()
+        first = True
+        done = False
+        while not done and cur and len(out) < max_new and \
+                n_past + len(cur) < max_len and not should_stop():
+            logits, cache = step(self.params, cache,
+                                 np.asarray(cur, np.int32)[None, :],
+                                 np.int32(n_past))
+            n_past += len(cur)
+            if first and perf:
+                perf.prompt_tokens += len(cur)
+                perf.prompt_ms += (time.perf_counter() - t0) * 1000
+            first = False
+            cur = []
+            lh = np.asarray(logits)
+            for j in range(lh.shape[0]):
+                key, sub = jax.random.split(key)
+                tok, _ = sample_token(lh[j], scfg, sub, penalty)
+                t = int(tok)
+                penalty = penalty_accept(penalty, tok)
+                if is_terminator(t) or len(out) >= max_new:
+                    done = True
+                    break
+                cur.append(t)
+                out.append(t)
+                if on_token:
+                    on_token(t)
+        if perf:
+            perf.gen_tokens += len(out)
+        return out, cache, n_past

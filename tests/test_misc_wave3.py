@@ -424,3 +424,85 @@ def test_youtu_golden_dense_mla(tmp_path):
     tok.chat_encoder.append_ai_opening(0, out)
     assert out[0] == tok.user_token_id
     assert out[-1] == tok.assistant_token_id
+
+
+def test_llama_multi_mtp(tmp_path):
+    """LLAMA_MULTI (models/llama.h:245): head 0 = trunk + last layer +
+    final norm + lm_head == a plain llama forward; generation emits
+    n_future tokens per forward step."""
+    torch.manual_seed(26)
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    rng = np.random.default_rng(26)
+    path = str(tmp_path / "lm.bin")
+    with open(path, "wb") as f:
+        w = GGMMWriter(f, int(ModelType.LLAMA_MULTI), 1, meta={})
+        vals = [int(GGMLType.F32), V, 64, 4, 2, 96, 128, 1, 2, -1, -1, 2]
+        w.write_config(vals, fmt=f"{len(vals)}i")
+        f.write(struct.pack("<fi", 10000.0, 2))   # rope_theta, n_future
+        w._patch_offset(12)
+        w.write_vocab_sp(_sp_pieces())
+        w.write_tensor("model.embed_tokens.weight",
+                       sd["model.embed_tokens.weight"], GGMLType.F32)
+        for i in range(2):
+            pfx = f"model.layers.{i}"
+            w.write_tensor(f"{pfx}.input_layernorm.weight",
+                           sd[f"{pfx}.input_layernorm.weight"], GGMLType.F32)
+            for pj, nh in (("q_proj", 4), ("k_proj", 2), ("v_proj", 0), ("o_proj", 0)):
+                arr = sd[f"{pfx}.self_attn.{pj}.weight"]
+                if nh:
+                    arr = _permute(arr, nh)
+                w.write_tensor(f"{pfx}.self_attn.{pj}.weight", arr, GGMLType.F32)
+            w.write_tensor(f"{pfx}.post_attention_layernorm.weight",
+                           sd[f"{pfx}.post_attention_layernorm.weight"], GGMLType.F32)
+            for mj in ("gate_proj", "up_proj", "down_proj"):
+                w.write_tensor(f"{pfx}.mlp.{mj}.weight",
+                               sd[f"{pfx}.mlp.{mj}.weight"], GGMLType.F32)
+        # one extra prediction head (n_future=2), random weights
+        pfx = "model.extra_heads.0"
+        w.write_tensor(f"{pfx}.input_layernorm.weight", np.ones(64, np.float32),
+                       GGMLType.F32)
+        for pj, shp in (("q_proj", (64, 64)), ("k_proj", (32, 64)),
+                        ("v_proj", (32, 64)), ("o_proj", (64, 64))):
+            w.write_tensor(f"{pfx}.self_attn.{pj}.weight",
+                           (rng.standard_normal(shp) * 0.05).astype(np.float32),
+                           GGMLType.F32)
+        w.write_tensor(f"{pfx}.post_attention_layernorm.weight",
+                       np.ones(64, np.float32), GGMLType.F32)
+        for mj, shp in (("gate_proj", (96, 64)), ("up_proj", (96, 64)),
+                        ("down_proj", (64, 96))):
+            w.write_tensor(f"{pfx}.mlp.{mj}.weight",
+                           (rng.standard_normal(shp) * 0.05).astype(np.float32),
+                           GGMLType.F32)
+        w.write_tensor("model.norm.weight", sd["model.norm.weight"], GGMLType.F32)
+        w.write_tensor("lm_head.weight", sd["lm_head.weight"], GGMLType.F32)
+
+    model = load_model(path, RuntimeConfig(**RT32))
+    assert model.n_future_tokens == 2 and model.effective_n == 2
+    ids = np.array([[3, 9, 50, 7]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    lh = np.asarray(logits)
+    assert lh.shape == (2, V)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids, dtype=torch.long)).logits[0, -1].numpy()
+    np.testing.assert_allclose(lh[0], ref, atol=5e-3, rtol=5e-3)
+
+    # greedy generation: first sampled token equals HF argmax; two tokens
+    # are emitted per forward step
+    from chatllm_tpu.runtime.generate import GenerationConfig
+    out, _, _ = model.generate(list(ids[0]), GenerationConfig(
+        max_new_tokens=4, do_sample=False))
+    assert len(out) == 4
+    assert out[0] == int(ref.argmax())
+
+    # --set n_future_tokens 1 limits the heads
+    m1 = load_model(path, RuntimeConfig(
+        additional={"n_future_tokens": "1"}, **RT32))
+    assert m1.effective_n == 1
+    l1, _ = m1.forward_logits(ids)
+    assert np.asarray(l1).shape == (1, V)
