@@ -36,6 +36,7 @@ from . import janus      # noqa: F401
 from . import misc_wave3 # noqa: F401
 from . import alphageo   # noqa: F401
 from . import baichuan_m1  # noqa: F401
+from . import diffusion  # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

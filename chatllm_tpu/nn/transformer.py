@@ -427,7 +427,8 @@ def _moe_combine(cfg: TransformerConfig, p, xt, topi, topv, x):
 
 def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
                     cos, sin, k_cache, v_cache, n_past,
-                    k_scale=None, v_scale=None, q_mult=None):
+                    k_scale=None, v_scale=None, q_mult=None,
+                    mask_extra=None):
     B, T, H = x.shape
     d = cfg.resolved_head_dim()
     hq = cfg.num_attention_heads
@@ -489,6 +490,7 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
 
     if spec.sliding_window > 0 and k_cache.shape[1] < cfg.max_length:
         # ring cache write (partial cache, reference src/layers.h:1973)
+        assert mask_extra is None, "mask_extra unsupported with ring cache"
         assert jnp.ndim(n_past) == 0, (
             "per-slot n_past (continuous batching) not supported with the "
             "SWA ring cache; allocate full-length caches for serving")
@@ -519,6 +521,7 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
             sliding_window=spec.sliding_window,
             sinks=p.get("sinks"),
             alibi_slopes=(alibi_slopes_for(hq) if cfg.use_alibi else None),
+            mask_extra=mask_extra,
             k_scale=k_scale, v_scale=v_scale,
         )
     out = out.reshape(B, T, hq * d)
@@ -685,7 +688,8 @@ def _mla_compressed_block(cfg, spec, p, x, cos, sin, k_cache, v_cache,
 
 def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
                   cos, sin, k_cache, v_cache, n_past,
-                  k_scale=None, v_scale=None, q_mult=None):
+                  k_scale=None, v_scale=None, q_mult=None,
+                  mask_extra=None):
     """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
     (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
     if spec.no_attn:
@@ -701,7 +705,7 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
     else:
         attn_out, k_cache, v_cache, k_scale, v_scale = attention_block(
             cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past,
-            k_scale, v_scale, q_mult)
+            k_scale, v_scale, q_mult, mask_extra)
     if cfg.post_norms:
         attn_out = _norm(cfg, attn_out, p["post_attn_norm"])
     rs = cfg.residual_scale
@@ -754,7 +758,7 @@ def lm_logits(cfg: TransformerConfig, params, x):
 def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
                         n_past, *, last_only: bool = False,
                         positions=None, input_embeds=None,
-                        return_hidden: bool = False):
+                        return_hidden: bool = False, mask_extra=None):
     """ids: [B, T] int32 → (logits [B, T|1, V] f32, new cache).
 
     `input_embeds` [B, T, H] overrides token embedding lookup (multimodal
@@ -834,7 +838,7 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
             c, s_ = (cos_l, sin_l) if (spec.local_rope and cos_l is not None) else (cos, sin)
             x, ks[ci], vs[ci], kss[ci], vss[ci] = decoder_layer(
                 cfg, spec, params["layers"][i], x, c, s_, ks[ci], vs[ci],
-                n_past, kss[ci], vss[ci], q_mult)
+                n_past, kss[ci], vss[ci], q_mult, mask_extra)
             if i in fwd_to:
                 fwd_saved[fwd_to[i]] = x
 
