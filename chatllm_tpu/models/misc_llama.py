@@ -393,6 +393,76 @@ class Exaone(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
+@register_model(ModelType.EXAONE4)
+class Exaone4(BaseLLM):
+    """EXAONE 4.0 (models/exaone.cpp:89-246): post-norm-only blocks
+    (LMBlock4<Identity, attn, RMSNorm, Identity, SiLUMLP, RMSNorm>), per-head
+    qk RMSNorm before rope, hybrid layout where sliding layers carry
+    llama3.1-scaled rope and global layers are NoPE (when sliding_window>0).
+    Weight layout = OLMo2 converter names (convert.py:3355), non-permuted."""
+    MAX_LAYERS = 128
+    EXTRA_FMT = "3ifi3f128i"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .llama import _llama31_factors
+
+        base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        (n_kv, sliding_window, tie_flag, rope_theta, orig_max,
+         factor, low_f, high_f) = extra[:8]
+        is_sliding = extra[8:8 + base.num_hidden_layers]
+        tie = bool(tie_flag)
+        rot = base.hidden_size // base.num_attention_heads
+        ff = _llama31_factors(rot, rope_theta, factor, low_f, high_f, orig_max)
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, rope_layout=ROPE_NEOX,
+                                 freq_factors=ff, tie_lm_head=tie,
+                                 norm_eps=1e-5, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        specs = ()
+        if sliding_window > 0:
+            specs = tuple(
+                LayerSpec(sliding_window=sliding_window) if is_sliding[i]
+                else LayerSpec(use_rope=False)
+                for i in range(base.num_hidden_layers))
+        cfg = replace(cfg, pre_norm=False, post_norms=True,
+                      qk_norm="rmsnorm", layer_specs=specs)
+        tok = _bpe2_tokenizer(
+            gf, base, ExaoneEncoder(),
+            sys_prompt="You are EXAONE model from LG AI Research, a helpful assistant.")
+        pb = ParamBuilder(gf, rt)
+        params = {
+            "embed": pb.embedding("model.embed_tokens.weight"),
+            "final_norm": pb.norm("model.norm"),
+            "layers": [],
+        }
+        if not tie:
+            params["lm_head"] = pb.linear("lm_head")
+        for i in range(base.num_hidden_layers):
+            pfx = f"model.layers.{i}"
+            params["layers"].append({
+                "attn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "attn": {
+                    "q": pb.linear(f"{pfx}.self_attn.q_proj"),
+                    "k": pb.linear(f"{pfx}.self_attn.k_proj"),
+                    "v": pb.linear(f"{pfx}.self_attn.v_proj"),
+                    "o": pb.linear(f"{pfx}.self_attn.o_proj"),
+                    "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                    "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
+                },
+                "post_attn_norm": pb.norm(f"{pfx}.post_attention_layernorm"),
+                "ffn_norm": pb.norm(f"{pfx}.post_feedforward_layernorm"),
+                "post_ffn_norm": pb.norm(f"{pfx}.post_feedforward_layernorm"),
+                "mlp": {
+                    "gate": pb.linear(f"{pfx}.mlp.gate_proj"),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj"),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj"),
+                },
+            })
+        params["layers"] = tuple(params["layers"])
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
 class MiniCPMEncoder(HistoryEncoder):
     """<用户>...<AI>... template (models/minicpm.cpp)."""
 
