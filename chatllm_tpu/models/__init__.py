@@ -37,6 +37,8 @@ from . import misc_wave3 # noqa: F401
 from . import alphageo   # noqa: F401
 from . import baichuan_m1  # noqa: F401
 from . import diffusion  # noqa: F401
+from . import qwen3_vl_mod  # noqa: F401
+from . import glm_vl     # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

@@ -46,6 +46,10 @@ class QwenViTConfig:
     window_size: int = 112                  # 0 → full attention everywhere
     fullatt_block_indices: tuple = ()
     is_v2: bool = False                     # Qwen2-VL (LN + quick-GELU, full attn)
+    is_v3: bool = False                     # Qwen3-VL (LN + GELU-tanh, learned
+    #                                         pos-embed, deepstack taps)
+    num_position_embeddings: int = 0        # v3 learned pos table size (n²)
+    deepstack_visual_indexes: tuple = ()    # v3 block indices tapped for deepstack
     norm_eps: float = 1e-6
 
     @property
@@ -77,7 +81,7 @@ def grid_layout(cfg: QwenViTConfig, grid_h: int, grid_w: int) -> GridLayout:
     m = cfg.spatial_merge_size
     assert grid_h % m == 0 and grid_w % m == 0
     bh, bw = grid_h // m, grid_w // m
-    if cfg.is_v2 or cfg.window_size <= 0:
+    if cfg.is_v2 or cfg.is_v3 or cfg.window_size <= 0:
         win = max(bh, bw)  # one window == whole image
     else:
         win = cfg.window_size // cfg.patch_size // m
@@ -123,6 +127,10 @@ def _vit_attention(cfg: QwenViTConfig, p, x, cos, sin, mask):
 
 
 def _vit_mlp(cfg: QwenViTConfig, p, x):
+    if cfg.is_v3:
+        h = matmul(x, p["fc0"]).astype(jnp.float32)
+        h = jax.nn.gelu(h, approximate=True)        # gelu_pytorch_tanh
+        return matmul(h.astype(x.dtype), p["fc1"])
     if cfg.is_v2:
         h = matmul(x, p["fc0"]).astype(jnp.float32)
         h = h * jax.nn.sigmoid(1.702 * h)           # quick_gelu
@@ -133,9 +141,125 @@ def _vit_mlp(cfg: QwenViTConfig, p, x):
 
 
 def _vnorm(cfg: QwenViTConfig, x, p):
-    if cfg.is_v2:
+    if cfg.is_v2 or cfg.is_v3:
         return layer_norm(x, p["w"], p.get("b"), eps=cfg.norm_eps)
     return rms_norm(x, p["w"], eps=cfg.norm_eps)
+
+
+def _bilinear_pos_embed(table, n_side: int, grid_h: int, grid_w: int):
+    """Interpolate the [n², hidden] learned pos table onto (grid_h, grid_w)
+    in raster order — HF Qwen3VLVisionModel.fast_pos_embed_interpolate
+    4-corner bilinear (the reference uses ggml bicubic at
+    models/qwen.cpp:2166; HF is the numeric oracle)."""
+    h_idx = np.linspace(0, n_side - 1, grid_h)
+    w_idx = np.linspace(0, n_side - 1, grid_w)
+    hf, wf = h_idx.astype(np.int64), w_idx.astype(np.int64)
+    hc = np.clip(hf + 1, 0, n_side - 1)
+    wc = np.clip(wf + 1, 0, n_side - 1)
+    dh, dw = h_idx - hf, w_idx - wf
+    out = 0.0
+    for hi, wh in ((hf, 1 - dh), (hc, dh)):
+        for wi, ww in ((wf, 1 - dw), (wc, dw)):
+            idx = (hi[:, None] * n_side + wi[None, :]).reshape(-1)
+            wgt = (wh[:, None] * ww[None, :]).reshape(-1)
+            out = out + table[jnp.asarray(idx)] * jnp.asarray(
+                wgt, table.dtype)[:, None]
+    return out                                       # [grid_h*grid_w, hidden]
+
+
+def _v3_merge(cfg: QwenViTConfig, p, x, postshuffle: bool):
+    """Qwen3VLVisionPatchMerger: norm → m²-concat → fc0 → GELU → fc1
+    (postshuffle_norm variant norms AFTER the concat)."""
+    m2 = cfg.spatial_merge_size ** 2
+    if postshuffle:
+        x = x.reshape(x.shape[0] // m2, m2 * cfg.hidden_size)
+        x = layer_norm(x, p["norm"]["w"], p["norm"].get("b"), eps=1e-6)
+    else:
+        x = layer_norm(x, p["norm"]["w"], p["norm"].get("b"), eps=1e-6)
+        x = x.reshape(x.shape[0] // m2, m2 * cfg.hidden_size)
+    x = matmul(x, p["fc0"]).astype(jnp.float32)
+    x = jax.nn.gelu(x, approximate=False)
+    return matmul(x, p["fc1"])
+
+
+def qwen3_vit_forward(cfg: QwenViTConfig, params, frames, layout: GridLayout,
+                      grid_h: int, grid_w: int):
+    """Qwen3-VL tower (HF Qwen3VLVisionModel; reference
+    models/qwen.cpp:2126-2488 v3_vl::vit): dual temporal conv + bias,
+    bilinear-interpolated learned pos-embed, full attention with 2-D rope,
+    GELU-tanh MLP blocks; returns (merged [n/m², lm_hidden],
+    deepstack list of same-shape features tapped at
+    cfg.deepstack_visual_indexes)."""
+    p = cfg.patch_size
+    emb = params["embed"]
+
+    def pconv(img, w):
+        k = jnp.transpose(jnp.asarray(w), (2, 3, 1, 0))
+        y = jax.lax.conv_general_dilated(
+            img[None].astype(jnp.float32), k.astype(jnp.float32),
+            window_strides=(p, p), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        return y.reshape(grid_h * grid_w, -1)
+
+    x = pconv(frames[0], emb["proj0"]) + pconv(frames[1], emb["proj1"])
+    x = x + emb["bias"][None, :]
+    n_side = int(round(cfg.num_position_embeddings ** 0.5))
+    x = x + _bilinear_pos_embed(emb["pos"], n_side, grid_h, grid_w)
+    x = x[jnp.asarray(layout.perm)]
+
+    cos, sin = vision_rope_cos_sin(jnp.asarray(layout.pos_h),
+                                   jnp.asarray(layout.pos_w), cfg.head_dim)
+    deepstack = []
+    for i, lp in enumerate(params["layers"]):
+        x = x + _vit_attention(cfg, lp["attn"], _vnorm(cfg, x, lp["norm1"]),
+                               cos, sin, None)
+        x = x + _vit_mlp(cfg, lp["mlp"], _vnorm(cfg, x, lp["norm2"]))
+        if i in cfg.deepstack_visual_indexes:
+            j = cfg.deepstack_visual_indexes.index(i)
+            deepstack.append(_v3_merge(cfg, params["ds_mergers"][j], x,
+                                       postshuffle=True))
+    out = _v3_merge(cfg, params["merger"], x, postshuffle=False)
+    rev = jnp.asarray(layout.reverse)
+    return out[rev], [d[rev] for d in deepstack]
+
+
+def load_qwen3_vit_params(pb, cfg: QwenViTConfig, prefix: str = "visual.") -> dict:
+    """Weight names per Qwen3VLConverter (convert.py:5707-5828): fused qkv
+    split into q/k/v, conv3d split into proj.0/proj.1 + proj.bias."""
+    def merger(path):
+        return {"norm": pb.norm(path + "norm"),
+                "fc0": pb.linear(path + "mlp.fc0", bias=True),
+                "fc1": pb.linear(path + "mlp.fc1", bias=True)}
+
+    params = {
+        "embed": {
+            "proj0": pb.raw_f32(f"{prefix}patch_embed.proj.0.weight"),
+            "proj1": pb.raw_f32(f"{prefix}patch_embed.proj.1.weight"),
+            "bias": pb.array(f"{prefix}patch_embed.proj.bias"),
+            "pos": pb.array(f"{prefix}pos_embed.weight"),
+        },
+        "merger": merger(f"{prefix}merger."),
+        "ds_mergers": tuple(
+            merger(f"{prefix}deepstack_merger_list.{i}.")
+            for i in range(len(cfg.deepstack_visual_indexes))),
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pfx = f"{prefix}blocks.{i}"
+        params["layers"].append({
+            "norm1": pb.norm(f"{pfx}.norm1", bias=True),
+            "norm2": pb.norm(f"{pfx}.norm2", bias=True),
+            "attn": {
+                "q": pb.linear(f"{pfx}.attn.q_proj", bias=True),
+                "k": pb.linear(f"{pfx}.attn.k_proj", bias=True),
+                "v": pb.linear(f"{pfx}.attn.v_proj", bias=True),
+                "o": pb.linear(f"{pfx}.attn.proj", bias=True),
+            },
+            "mlp": {"fc0": pb.linear(f"{pfx}.mlp.fc0", bias=True),
+                    "fc1": pb.linear(f"{pfx}.mlp.fc1", bias=True)},
+        })
+    params["layers"] = tuple(params["layers"])
+    return params
 
 
 def qwen_vit_forward(cfg: QwenViTConfig, params, frames, layout: GridLayout,

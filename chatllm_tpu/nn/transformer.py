@@ -758,7 +758,8 @@ def lm_logits(cfg: TransformerConfig, params, x):
 def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
                         n_past, *, last_only: bool = False,
                         positions=None, input_embeds=None,
-                        return_hidden: bool = False, mask_extra=None):
+                        return_hidden: bool = False, mask_extra=None,
+                        extra_residuals=None):
     """ids: [B, T] int32 → (logits [B, T|1, V] f32, new cache).
 
     `input_embeds` [B, T, H] overrides token embedding lookup (multimodal
@@ -839,6 +840,11 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
             x, ks[ci], vs[ci], kss[ci], vss[ci] = decoder_layer(
                 cfg, spec, params["layers"][i], x, c, s_, ks[ci], vs[ci],
                 n_past, kss[ci], vss[ci], q_mult, mask_extra)
+            if extra_residuals is not None and i < extra_residuals.shape[0]:
+                # DeepStack visual features added to the first few layers'
+                # hidden states (HF Qwen3VLTextModel._deepstack_process;
+                # reference models/qwen.cpp:2558 DeepStackPreprocess)
+                x = x + extra_residuals[i].astype(x.dtype)
             if i in fwd_to:
                 fwd_saved[fwd_to[i]] = x
 

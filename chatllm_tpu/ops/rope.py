@@ -128,9 +128,13 @@ def mrope_axis_ids(cfg: RopeConfig) -> np.ndarray:
     secs = list(cfg.mrope_sections) + [0] * (4 - len(cfg.mrope_sections))
     ids = np.zeros(half, dtype=np.int64)
     if cfg.mrope_interleaved:
+        # out-of-bound slots fall back to the T stream when no 4th section
+        # exists (HF Qwen3VLTextRotaryEmbedding.apply_interleaved_mrope
+        # leaves the T base untouched there)
+        fallback = 3 if secs[3] > 0 else 0
         for j in range(half):
             a = j % 3
-            ids[j] = a if j < 3 * secs[a] else 3
+            ids[j] = a if j < 3 * secs[a] else fallback
     else:
         total = max(1, sum(secs))
         bounds = np.cumsum(secs)

@@ -327,12 +327,14 @@ class InferenceEngine:
         return logits, cache, n_past
 
     def prefill_embeds(self, embeds, cache: KVCache, n_past: int,
-                       positions=None):
+                       positions=None, extra_residuals=None):
         """Prefill from pre-computed input embeddings [1, T, H] (multimodal
         prompts with spliced media embeddings).
 
         `positions` (optional): explicit rope positions — [T] 1-D, or [A, T]
-        M-RoPE axis streams (t, h, w[, e]) for Qwen-VL-style models."""
+        M-RoPE axis streams (t, h, w[, e]) for Qwen-VL-style models.
+        `extra_residuals` (optional): [n_ds, B, T, H] DeepStack features
+        added to the hidden states after layers 0..n_ds-1 (Qwen3-VL)."""
         cfg = self.cfg
         T = embeds.shape[1]
         room = max(1, self._write_capacity(cache) - n_past)
@@ -348,13 +350,19 @@ class InferenceEngine:
                 p = None if pos_np is None else pos_np[..., done:done + n]
                 if p is not None and p.shape[0] == 1:
                     p = p[0]
+                er = None if extra_residuals is None else \
+                    extra_residuals[:, :, done:done + n]
                 logits, cache, n_past = self.prefill_embeds(
-                    embeds[:, done:done + n], cache, n_past, positions=p)
+                    embeds[:, done:done + n], cache, n_past, positions=p,
+                    extra_residuals=er)
                 done += n
             return logits, cache, n_past
         tpad = _fit_bucket(T, room, hi=max(16, self.max_length))
         if tpad != T:
             embeds = jnp.pad(embeds, ((0, 0), (0, tpad - T), (0, 0)))
+            if extra_residuals is not None:
+                extra_residuals = jnp.pad(
+                    extra_residuals, ((0, 0), (0, 0), (0, tpad - T), (0, 0)))
         if positions is not None:
             positions = jnp.asarray(np.atleast_2d(np.asarray(positions, np.int32)))
             if positions.shape[-1] != tpad:
@@ -365,20 +373,21 @@ class InferenceEngine:
                 positions = positions[0]               # [B=1, T]
 
         key_s = ("embeds", tpad, positions is not None,
-                 None if positions is None else positions.shape[0])
+                 None if positions is None else positions.shape[0],
+                 None if extra_residuals is None else extra_residuals.shape[0])
         if key_s not in self._prefill_cache:
             @partial(jax.jit, donate_argnums=(1,))
-            def prefill_e(params, cache, embeds, n_past, n_tokens, pos):
+            def prefill_e(params, cache, embeds, n_past, n_tokens, pos, er):
                 logits, cache = transformer_forward(
                     cfg, params, None, cache, n_past, input_embeds=embeds,
-                    positions=pos)
+                    positions=pos, extra_residuals=er)
                 last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
                 return last[:, 0, :], cache
 
             self._prefill_cache[key_s] = prefill_e
         fn = self._prefill_cache[key_s]
         logits, cache = fn(self.params, cache, embeds, jnp.int32(n_past),
-                           jnp.int32(T), positions)
+                           jnp.int32(T), positions, extra_residuals)
         return logits, cache, n_past + T
 
     def generate_from_logits(self, logits, cache, n_past, gen_cfg,
