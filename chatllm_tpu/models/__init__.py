@@ -39,6 +39,7 @@ from . import baichuan_m1  # noqa: F401
 from . import diffusion  # noqa: F401
 from . import qwen3_vl_mod  # noqa: F401
 from . import glm_vl     # noqa: F401
+from . import qwen3_asr  # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",
