@@ -40,6 +40,7 @@ from . import diffusion  # noqa: F401
 from . import qwen3_vl_mod  # noqa: F401
 from . import glm_vl     # noqa: F401
 from . import qwen3_asr  # noqa: F401
+from . import oute       # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

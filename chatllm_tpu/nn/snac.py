@@ -30,6 +30,8 @@ class SnacConfig:
     vq_strides: tuple = (4, 2, 1)
     noise: bool = True
     depthwise: bool = True
+    auto_output_padding: bool = True   # False: DAC (OuteTTS) — upsample
+    #   ConvTranspose output_padding pinned to 0 (orpheus.h DecoderBlock)
 
     @property
     def frame_tokens(self) -> int:
@@ -102,11 +104,12 @@ def residual_unit(p, x, *, dilation, groups=1, kernel_size=7):
     return x + y
 
 
-def decoder_block(p, x, *, stride, noise, groups, key=None):
+def decoder_block(p, x, *, stride, noise, groups, key=None,
+                  auto_output_padding=True):
     y = snake1d(x, p["snake"])
     y = conv_transpose1d(y, p["up_w"], p["up_b"], stride=stride,
                          padding=(stride + 1) // 2,
-                         output_padding=stride % 2)
+                         output_padding=stride % 2 if auto_output_padding else 0)
     if noise:
         n = conv1d(y, p["noise_w"], None)
         if key is not None:
@@ -148,7 +151,8 @@ def snac_decode(cfg: SnacConfig, params, codes: list, key=None):
         groups = out_dim if cfg.depthwise else 1
         sub = None if key is None else jax.random.fold_in(key, i)
         x = decoder_block(p[f"block{i}"], x, stride=rate, noise=cfg.noise,
-                          groups=groups, key=sub)
+                          groups=groups, key=sub,
+                          auto_output_padding=cfg.auto_output_padding)
     x = snake1d(x, p["out_snake"])
     x = conv1d(x, p["out_w"], p["out_b"], padding=3)
     return jnp.tanh(x)[:, 0]
