@@ -102,3 +102,50 @@ class OrpheusTTS(BaseLLM):
         wave = self.decode_codec_tokens(out)
         pcm16 = np.clip(wave * 32767.0, -32768, 32767).astype(np.int16)
         return pcm16, self.snac_cfg.sampling_rate, 1
+
+
+@register_model(ModelType.MAYA1)
+class Maya1(OrpheusTTS):
+    """Maya1 voice-design TTS (reference /root/reference/models/maya.cpp):
+    Orpheus arch + SNAC with a `<description="...">` prompt; codec ids are
+    reduced mod codebook_size instead of the per-slot offset subtraction."""
+
+    DEFAULT_VOICE = ("Realistic male voice in the 30s age with american "
+                     "accent. Normal pitch, warm timbre, conversational "
+                     "pacing.")
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        self = super().load(gf, rt)
+        self.voice = ""
+        return self
+
+    def encode_tts_prompt(self, text: str) -> list[int]:
+        tok = self.tokenizer
+        desc = self.voice or self.DEFAULT_VOICE
+        ids = [128259, tok.bos_token_id]
+        ids.extend(tok.encode(f'<description="{desc}"> {text}'))
+        ids.extend([128009, 128260, 128261, 128257])
+        return ids
+
+    def decode_codec_tokens(self, llm_tokens: list[int]) -> np.ndarray:
+        cfg = self.snac_cfg
+        fs = cfg.frame_tokens
+        ids = [(t - CUSTOM_TOKEN_START) % cfg.codebook_size
+               for t in llm_tokens
+               if CUSTOM_TOKEN_START <= t <= CUSTOM_TOKEN_END]
+        pcm = []
+        for count in range(fs, len(ids) + 1, fs):
+            if count < 28:
+                continue
+            window = ids[count - 28: count]
+            codes = [[] for _ in cfg.vq_strides]
+            for f in range(len(window) // fs):
+                i = f * fs
+                for level in self._pyramid:
+                    codes[level].append(window[i])
+                    i += 1
+            wave = np.asarray(snac_decode(cfg, self.snac_params, codes))
+            if len(wave) == 8192:
+                pcm.append(wave[2048:4096])
+        return np.concatenate(pcm) if pcm else np.zeros((0,), np.float32)

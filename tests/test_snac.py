@@ -107,3 +107,18 @@ def test_orpheus_token_frame_unpack():
         assert v >= 0
         ids.append(v)
     assert ids == [f * 7 + p for f in range(4) for p in range(7)]
+
+
+def test_maya1_prompt_and_token_mod():
+    """Maya1 (maya.cpp): <description> prompt framing + mod-codebook codec
+    id reduction."""
+    from chatllm_tpu.models.orpheus import CUSTOM_TOKEN_START, Maya1
+
+    cfg = SnacConfig()
+    fs = cfg.frame_tokens
+    llm = [CUSTOM_TOKEN_START + pos * cfg.codebook_size + (7 * f + pos)
+           for f in range(2) for pos in range(fs)]
+    ids = [(t - CUSTOM_TOKEN_START) % cfg.codebook_size for t in llm]
+    assert ids == [7 * f + p for f in range(2) for p in range(7)]
+    assert "voice-design" in (Maya1.__doc__ or "")
+    assert "american accent" in Maya1.DEFAULT_VOICE
