@@ -159,7 +159,15 @@ class DeepSeekV2(BaseLLM):
         from ..ops.rope import ROPE_NORMAL, RopeConfig
         from .base import load_moe_experts
 
-        light = gf.model_type == ModelType.DEEPSEEK_V2_LIGHT
+        # "light" configs (no q_lora_rank/topk_group trailing fields):
+        # V2-Lite, and every v3_light-derived arch — the V3 converter emits
+        # the two extra ints only when q_lora_rank is set
+        # (convert.py:8188-8194; deepseek.h:513 v3_light::Config =
+        # v2_light::Config, moonshot.h/moonshot.cpp:524 reuse it)
+        light = gf.model_type in (int(ModelType.DEEPSEEK_V2_LIGHT),
+                                  int(ModelType.DEEPSEEK_V3_LIGHT),
+                                  int(ModelType.MOONLIGHT),
+                                  int(ModelType.KIMI_VL))
         fmt = cls.EXTRA_FMT + ("" if light else "2i")
         base, extra = BaseConfig.parse(gf, fmt)
         (n_kv, first_k_dense, kv_lora_rank, moe_inter, moe_freq, n_group,

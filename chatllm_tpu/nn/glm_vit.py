@@ -104,19 +104,25 @@ def _bicubic_axis(n_src: int, n_dst: int):
     return idx, w.astype(np.float32)
 
 
+def bicubic_resize_2d(t2, grid_h: int, grid_w: int):
+    """Separable bicubic resize of a [H, W, C] table to [grid_h, grid_w, C]
+    (torch grid_sample(bicubic, border, align_corners=False) semantics)."""
+    t2 = t2.astype(jnp.float32)
+    ih, wh = _bicubic_axis(t2.shape[0], grid_h)
+    iw, ww = _bicubic_axis(t2.shape[1], grid_w)
+    # along w: [H, grid_w, C]
+    tw = jnp.einsum("wk,nwkc->nwc", jnp.asarray(ww), t2[:, jnp.asarray(iw)])
+    # along h: [grid_h, grid_w, C]
+    return jnp.einsum("hk,hkwc->hwc", jnp.asarray(wh), tw[jnp.asarray(ih)])
+
+
 def bicubic_pos_embed(table, n_side: int, grid_h: int, grid_w: int):
     """Interpolate the [n², hidden] learned pos table onto (grid_h, grid_w)
     raster order — HF Glm4vVisionEmbeddings.forward grid_sample(bicubic,
     border, align_corners=False); the reference uses ggml::interpolate
     Bicubic (glm_vl.cpp:247)."""
-    t2 = table.reshape(n_side, n_side, table.shape[-1]).astype(jnp.float32)
-    ih, wh = _bicubic_axis(n_side, grid_h)
-    iw, ww = _bicubic_axis(n_side, grid_w)
-    # along w: [n_side, grid_w, C]
-    tw = jnp.einsum("wk,nwkc->nwc", jnp.asarray(ww), t2[:, jnp.asarray(iw)])
-    # along h: [grid_h, grid_w, C]
-    out = jnp.einsum("hk,hkwc->hwc", jnp.asarray(wh), tw[jnp.asarray(ih)])
-    return out.reshape(grid_h * grid_w, -1)
+    t2 = table.reshape(n_side, n_side, table.shape[-1])
+    return bicubic_resize_2d(t2, grid_h, grid_w).reshape(grid_h * grid_w, -1)
 
 
 def _attention(cfg: GlmViTConfig, p, x, cos, sin):
