@@ -48,6 +48,10 @@ class QwenViTConfig:
     is_v2: bool = False                     # Qwen2-VL (LN + quick-GELU, full attn)
     is_v3: bool = False                     # Qwen3-VL (LN + GELU-tanh, learned
     #                                         pos-embed, deepstack taps)
+    is_youtu: bool = False                  # Youtu-VL (SigLIP2 tower: linear
+    #                                         patch embed, LN + exact-GELU
+    #                                         blocks, windowed attention,
+    #                                         post-LN; hunyuan.cpp:1068)
     num_position_embeddings: int = 0        # v3 learned pos table size (n²)
     deepstack_visual_indexes: tuple = ()    # v3 block indices tapped for deepstack
     norm_eps: float = 1e-6
@@ -127,6 +131,10 @@ def _vit_attention(cfg: QwenViTConfig, p, x, cos, sin, mask):
 
 
 def _vit_mlp(cfg: QwenViTConfig, p, x):
+    if cfg.is_youtu:
+        h = matmul(x, p["fc0"]).astype(jnp.float32)
+        h = jax.nn.gelu(h, approximate=False)
+        return matmul(h.astype(x.dtype), p["fc1"])
     if cfg.is_v3:
         h = matmul(x, p["fc0"]).astype(jnp.float32)
         h = jax.nn.gelu(h, approximate=True)        # gelu_pytorch_tanh
@@ -141,7 +149,7 @@ def _vit_mlp(cfg: QwenViTConfig, p, x):
 
 
 def _vnorm(cfg: QwenViTConfig, x, p):
-    if cfg.is_v2 or cfg.is_v3:
+    if cfg.is_v2 or cfg.is_v3 or cfg.is_youtu:
         return layer_norm(x, p["w"], p.get("b"), eps=cfg.norm_eps)
     return rms_norm(x, p["w"], eps=cfg.norm_eps)
 
@@ -340,5 +348,196 @@ def load_qwen_vit_params(pb, cfg: QwenViTConfig, prefix: str = "visual.") -> dic
                          "up": pb.linear(f"{pfx}.mlp.up_proj", bias=True),
                          "down": pb.linear(f"{pfx}.mlp.down_proj", bias=True)}
         params["layers"].append(lp)
+    params["layers"] = tuple(params["layers"])
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Youtu-VL tower (reference models/hunyuan.cpp chatllm::hunyuan::youtu::vit
+# :1068 — SigLIP2-style: LINEAR patch embedding, LayerNorm + exact-GELU
+# blocks, qwen windowed 2-D-rope attention, post-LN, RMS ln_q merger)
+# ---------------------------------------------------------------------------
+
+def youtu_vit_forward(cfg: QwenViTConfig, params, patches,
+                      layout: GridLayout, grid_h: int, grid_w: int):
+    """patches: [grid_h*grid_w, p²·3] flattened normalized patch pixels
+    (HWC inside each patch) → merged embeddings [n/m², lm_hidden]."""
+    x = matmul(patches, params["embed"]["proj"])
+    x = x[jnp.asarray(layout.perm)]
+
+    cos, sin = vision_rope_cos_sin(jnp.asarray(layout.pos_h),
+                                   jnp.asarray(layout.pos_w), cfg.head_dim)
+    seg = jnp.asarray(layout.seg_ids)
+    window_mask = seg[:, None] == seg[None, :]
+    n_windows = int(layout.seg_ids.max()) + 1
+
+    for i, lp in enumerate(params["layers"]):
+        full = (i in cfg.fullatt_block_indices) or n_windows == 1
+        mask = None if full else window_mask
+        x = x + _vit_attention(cfg, lp["attn"], _vnorm(cfg, x, lp["norm1"]),
+                               cos, sin, mask)
+        x = x + _vit_mlp(cfg, lp["mlp"], _vnorm(cfg, x, lp["norm2"]))
+
+    x = layer_norm(x, params["post_norm"]["w"], params["post_norm"].get("b"),
+                   eps=cfg.norm_eps)
+    mg = params["merger"]
+    x = rms_norm(x, mg["ln_q"]["w"], eps=cfg.norm_eps)
+    m2 = cfg.spatial_merge_size ** 2
+    x = x.reshape(x.shape[0] // m2, m2 * cfg.hidden_size)
+    x = matmul(x, mg["fc0"]).astype(jnp.float32)
+    x = jax.nn.gelu(x, approximate=False)
+    x = matmul(x, mg["fc1"])
+    return x[jnp.asarray(layout.reverse)]
+
+
+def load_youtu_vit_params(pb, cfg: QwenViTConfig,
+                          prefix: str = "visual.") -> dict:
+    """Weight names per YoutuVLConverter (convert.py:10046: siglip2
+    encoder → visual.layers.*, fc1/fc2 → fc0/fc1, out_proj → o_proj)."""
+    params = {
+        "embed": {"proj": pb.linear(f"{prefix}embeddings.patch_embedding",
+                                    bias=True)},
+        "post_norm": pb.norm(f"{prefix}post_layernorm"),
+        "merger": {
+            "ln_q": pb.norm("merger.ln_q"),
+            "fc0": pb.linear("merger.mlp.0", bias=True),
+            "fc1": pb.linear("merger.mlp.2", bias=True),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pfx = f"{prefix}layers.{i}"
+        params["layers"].append({
+            "norm1": pb.norm(f"{pfx}.layer_norm1", bias=True),
+            "norm2": pb.norm(f"{pfx}.layer_norm2", bias=True),
+            "attn": {n: pb.linear(f"{pfx}.self_attn.{n}_proj", bias=True)
+                     for n in ("q", "k", "v", "o")},
+            "mlp": {"fc0": pb.linear(f"{pfx}.mlp.fc0", bias=True),
+                    "fc1": pb.linear(f"{pfx}.mlp.fc1", bias=True)},
+        })
+    params["layers"] = tuple(params["layers"])
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Penguin-VL tower (reference models/hunyuan.cpp
+# chatllm::hunyuan::penguin::vit :1591 — conv patch embed, RMSNorm blocks,
+# GQA attention with per-head qk RMS-norm and the model's own "wrong" 2-D
+# rope: pairs j<d/4 take the h angle, j≥d/4 the w angle, frequencies
+# continuing across the boundary; per-patch GELU readout, NO merging)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PenguinViTConfig:
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    intermediate_size: int
+    head_dim: int
+    out_hidden_size: int
+    patch_size: int = 16
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+
+
+def penguin_2d_rope_cos_sin(grid_h: int, grid_w: int, head_dim: int,
+                            freq_base: float):
+    """[S, d/2] tables in ROPE_NORMAL pair layout: pair j < d/4 rotates by
+    pos_h·f_j, pair j ≥ d/4 by pos_w·f_j with f_j = base^(-2j/d) NOT
+    restarting at the boundary (hunyuan.cpp:1690 'wrong implementation'
+    reproduced deliberately — concat of half of rope(pos_h) with half of
+    rope(pos_w))."""
+    half = head_dim // 2
+    inv = np.power(freq_base, -2.0 * np.arange(half) / head_dim)
+    hh, ww = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
+    pos_h = hh.reshape(-1, 1).astype(np.float64)
+    pos_w = ww.reshape(-1, 1).astype(np.float64)
+    q = half // 2
+    theta = np.concatenate([pos_h * inv[None, :q], pos_w * inv[None, q:]],
+                           axis=-1)
+    return jnp.cos(jnp.asarray(theta, jnp.float32)), \
+        jnp.sin(jnp.asarray(theta, jnp.float32))
+
+
+def penguin_vit_forward(cfg: PenguinViTConfig, params, image, grid_h: int,
+                        grid_w: int):
+    """image: [grid_h*patch, grid_w*patch, 3] normalized pixels →
+    per-patch features [grid_h*grid_w, out_hidden] (no merge —
+    hunyuan.cpp:1862 'merge by interpolation TODO')."""
+    from ..ops.rope import ROPE_NORMAL
+
+    p = cfg.patch_size
+    k = jnp.transpose(jnp.asarray(params["embed"]["w"]), (2, 3, 1, 0))
+    x = jax.lax.conv_general_dilated(
+        image[None].astype(jnp.float32), k.astype(jnp.float32),
+        window_strides=(p, p), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    x = x.reshape(grid_h * grid_w, -1) + params["embed"]["b"][None, :]
+
+    cos, sin = penguin_2d_rope_cos_sin(grid_h, grid_w, cfg.head_dim,
+                                       cfg.rope_theta)
+    S = x.shape[0]
+    H, KV, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                cfg.head_dim)
+    for lp in params["layers"]:
+        h = rms_norm(x, lp["norm1"]["w"], eps=cfg.norm_eps)
+        q = matmul(h, lp["attn"]["q"]).reshape(S, H, D)
+        kk = matmul(h, lp["attn"]["k"]).reshape(S, KV, D)
+        v = matmul(h, lp["attn"]["v"]).reshape(S, KV, D)
+        q = rms_norm(q, lp["attn"]["q_norm"], eps=cfg.norm_eps)
+        kk = rms_norm(kk, lp["attn"]["k_norm"], eps=cfg.norm_eps)
+        q = apply_rope(q[None], cos[None], sin[None], layout=ROPE_NORMAL)[0]
+        kk = apply_rope(kk[None], cos[None], sin[None], layout=ROPE_NORMAL)[0]
+        rep = H // KV
+        kk = jnp.repeat(kk, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+        scores = jnp.einsum("shd,thd->hst", q.astype(jnp.float32),
+                            kk.astype(jnp.float32)) * (D ** -0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("hst,thd->shd", probs.astype(v.dtype), v)
+        x = x + matmul(out.reshape(S, H * D), lp["attn"]["o"])
+        h = rms_norm(x, lp["norm2"]["w"], eps=cfg.norm_eps)
+        g = matmul(h, lp["mlp"]["gate"]).astype(jnp.float32)
+        u = matmul(h, lp["mlp"]["up"]).astype(jnp.float32)
+        x = x + matmul((jax.nn.silu(g) * u).astype(x.dtype),
+                       lp["mlp"]["down"])
+
+    x = rms_norm(x, params["post_norm"]["w"], eps=cfg.norm_eps)
+    x = matmul(x, params["readout"]["fc0"]).astype(jnp.float32)
+    x = jax.nn.gelu(x, approximate=False)
+    return matmul(x.astype(jnp.float32), params["readout"]["fc1"])
+
+
+def load_penguin_vit_params(pb, cfg: PenguinViTConfig,
+                            prefix: str = "visual.") -> dict:
+    """Weight names per PenguinVLConverter (convert.py:10115)."""
+    params = {
+        "embed": {"w": pb.raw_f32(f"{prefix}embeddings.patch_embedding.weight"),
+                  "b": pb.array(f"{prefix}embeddings.patch_embedding.bias")},
+        "post_norm": pb.norm(f"{prefix}norm"),
+        "readout": {
+            "fc0": pb.linear("vision_projector.readout.0", bias=True),
+            "fc1": pb.linear("vision_projector.readout.2", bias=True),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pfx = f"{prefix}layers.{i}"
+        params["layers"].append({
+            "norm1": pb.norm(f"{pfx}.input_layernorm"),
+            "norm2": pb.norm(f"{pfx}.post_attention_layernorm"),
+            "attn": {
+                "q": pb.linear(f"{pfx}.self_attn.q_proj", bias=False),
+                "k": pb.linear(f"{pfx}.self_attn.k_proj", bias=False),
+                "v": pb.linear(f"{pfx}.self_attn.v_proj", bias=False),
+                "o": pb.linear(f"{pfx}.self_attn.o_proj", bias=False),
+                "q_norm": pb.array(f"{pfx}.self_attn.q_norm.weight"),
+                "k_norm": pb.array(f"{pfx}.self_attn.k_norm.weight"),
+            },
+            "mlp": {"gate": pb.linear(f"{pfx}.mlp.gate_proj", bias=False),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj", bias=False),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj", bias=False)},
+        })
     params["layers"] = tuple(params["layers"])
     return params
