@@ -110,6 +110,129 @@ def vit_forward(cfg: ViTConfig, params, pixels):
     return x
 
 
+# ---------------------------------------------------------------------------
+# PaddleOCR-VL tower (reference models/ernie.cpp chatllm::paddle::ocr::vit
+# :306 — NaViT-style: conv patch embed + bias, bilinear-interpolated learned
+# pos-embed, pre-LN LayerNorm blocks with biased attention carrying the qwen
+# 2-D vision rope (qwen.h:484 apply_2d_rope), GELU MLP, post-LN, then a 2×2
+# merge projector `mlp_AR` (pre_norm LN → raster concat → fc GELU fc).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PaddleViTConfig:
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    intermediate_size: int
+    lm_hidden_size: int
+    patch_size: int = 14
+    spatial_merge_size: int = 2
+    posemb_grid_size: int = 27          # image_size / patch_size
+    norm_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def _paddle_pos_embed(table, n_side: int, grid_h: int, grid_w: int):
+    """Bilinear interpolation of the [n_side², hidden] learned pos table onto
+    (grid_h, grid_w) raster — ggml::interpolate Bilinear at ernie.cpp:417."""
+    from .qwen_vit import _bilinear_pos_embed
+
+    return _bilinear_pos_embed(table, n_side, grid_h, grid_w)
+
+
+def paddle_vit_forward(cfg: PaddleViTConfig, params, pixels,
+                       grid_h: int, grid_w: int):
+    """pixels [grid_h*patch, grid_w*patch, 3] normalized → merged embeddings
+    [grid_h*grid_w/m², lm_hidden] in merge-block raster order
+    (VisionTransformer::forward ernie.cpp:510-531)."""
+    from ..ops.rope import apply_rope, vision_rope_cos_sin
+    from .qwen_vit import _vit_attention
+
+    p = cfg.patch_size
+    emb = params["embed"]
+    k = jnp.transpose(jnp.asarray(emb["proj_w"]), (2, 3, 1, 0))   # HWIO
+    x = jax.lax.conv_general_dilated(
+        pixels[None].astype(jnp.float32), k.astype(jnp.float32),
+        window_strides=(p, p), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    x = x.reshape(grid_h * grid_w, -1) + emb["proj_b"][None, :]
+    x = x + _paddle_pos_embed(emb["pos"], cfg.posemb_grid_size, grid_h, grid_w)
+
+    # raster 2-D rope coordinates (TensorPosHelper::prepare_v2 with
+    # spatial_merge_size=1, qwen.cpp:975; merging is done by the projector)
+    ph = jnp.repeat(jnp.arange(grid_h, dtype=jnp.int32), grid_w)
+    pw = jnp.tile(jnp.arange(grid_w, dtype=jnp.int32), grid_h)
+    cos, sin = vision_rope_cos_sin(ph, pw, cfg.head_dim)
+
+    class _A:  # adapter so qwen_vit's attention helper sees our head count
+        num_attention_heads = cfg.num_attention_heads
+        head_dim = cfg.head_dim
+
+    for lp in params["layers"]:
+        h = layer_norm(x, lp["norm1"]["w"], lp["norm1"].get("b"),
+                       eps=cfg.norm_eps)
+        x = x + _vit_attention(_A, lp["attn"], h, cos, sin, None)
+        h = layer_norm(x, lp["norm2"]["w"], lp["norm2"].get("b"),
+                       eps=cfg.norm_eps)
+        h = jax.nn.gelu(matmul(h, lp["mlp"]["fc0"]).astype(jnp.float32),
+                        approximate=True).astype(x.dtype)   # ggml ActFunc::GELU
+        x = x + matmul(h, lp["mlp"]["fc1"])
+    x = layer_norm(x, params["post_norm"]["w"], params["post_norm"].get("b"),
+                   eps=cfg.norm_eps)
+
+    # mlp_AR projector (ernie.cpp:352-363): LN, 2×2 raster concat, GELU MLP
+    pj = params["projector"]
+    x = layer_norm(x, pj["pre_norm"]["w"], pj["pre_norm"].get("b"),
+                   eps=cfg.norm_eps)
+    m = cfg.spatial_merge_size
+    H = cfg.hidden_size
+    x = x.reshape(grid_h // m, m, grid_w // m, m, H)
+    x = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(-1, m * m * H)
+    x = jax.nn.gelu(matmul(x, pj["fc0"]).astype(jnp.float32),
+                    approximate=True).astype(x.dtype)
+    return matmul(x, pj["fc1"])
+
+
+def load_paddle_vit_params(pb, cfg: PaddleViTConfig,
+                           prefix: str = "visual.") -> dict:
+    """Weight names per PaddleOCRVLConverter (convert.py:10315-10407; the
+    unused `visual.head.*` attention-pool tensors are skipped — the runtime
+    never forwards them, ernie.cpp:504)."""
+    params = {
+        "embed": {
+            "proj_w": pb.raw_f32(f"{prefix}embeddings.patch_embedding.weight"),
+            "proj_b": pb.array(f"{prefix}embeddings.patch_embedding.bias"),
+            "pos": pb.array(f"{prefix}embeddings.position_embedding.weight"),
+        },
+        "post_norm": pb.norm(f"{prefix}post_layernorm", bias=True),
+        "projector": {
+            "pre_norm": pb.norm("mlp_AR.pre_norm", bias=True),
+            "fc0": pb.linear("mlp_AR.linear_1", bias=True),
+            "fc1": pb.linear("mlp_AR.linear_2", bias=True),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pfx = f"{prefix}layers.{i}"
+        params["layers"].append({
+            "norm1": pb.norm(f"{pfx}.layer_norm1", bias=True),
+            "norm2": pb.norm(f"{pfx}.layer_norm2", bias=True),
+            "attn": {
+                "q": pb.linear(f"{pfx}.self_attn.q_proj", bias=True),
+                "k": pb.linear(f"{pfx}.self_attn.k_proj", bias=True),
+                "v": pb.linear(f"{pfx}.self_attn.v_proj", bias=True),
+                "o": pb.linear(f"{pfx}.self_attn.out_proj", bias=True),
+            },
+            "mlp": {"fc0": pb.linear(f"{pfx}.mlp.fc1", bias=True),
+                    "fc1": pb.linear(f"{pfx}.mlp.fc2", bias=True)},
+        })
+    params["layers"] = tuple(params["layers"])
+    return params
+
+
 def pixel_shuffle(x, grid_h: int, grid_w: int, scale: float):
     """InternVL pixel-shuffle downsample: [B, gh*gw, H] →
     [B, (gh*s)*(gw*s), H/s²] with s = downsample_ratio (0.5)."""
