@@ -233,6 +233,140 @@ def load_paddle_vit_params(pb, cfg: PaddleViTConfig,
     return params
 
 
+# ---------------------------------------------------------------------------
+# dots.ocr tower (reference models/dots.cpp chatllm::dots::vit — NaViT-style:
+# conv patch embed + RMSNorm (PatchEmbedding :24), pre-RMSNorm blocks with
+# unbiased attention carrying the qwen 2-D vision rope (apply_2d_rope :157,
+# sections [d/4, d/4]) and a SiLU-gated MLP (LMBlock1<RMSNorm, ViTSelfAttention,
+# RMSNorm, SiLUMLP> :191), post_trunk_norm, then the qwen merge projector
+# GenMultiModalProjector<LayerNorm, MLP> (ln_q → m²-concat → fc0 GELU fc1).
+# Patch sequence order is merge-block raster (TensorPosHelper::prepare :85),
+# so consecutive m² rows of the trunk output form one merged output token.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DotsViTConfig:
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    intermediate_size: int
+    lm_hidden_size: int
+    patch_size: int = 14
+    spatial_merge_size: int = 2
+    norm_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def _merge_block_order(grid_h: int, grid_w: int, m: int):
+    """Raster patch index + (h, w) rope coords per sequence slot, blocks of
+    m×m in raster order (dots.cpp TensorPosHelper::prepare:85-113)."""
+    import numpy as np
+
+    perm, pos_h, pos_w = [], [], []
+    for bi in range(grid_h // m):
+        for bj in range(grid_w // m):
+            for i0 in range(m):
+                for j0 in range(m):
+                    y, x = bi * m + i0, bj * m + j0
+                    perm.append(y * grid_w + x)
+                    pos_h.append(y)
+                    pos_w.append(x)
+    return (np.asarray(perm, np.int32), np.asarray(pos_h, np.int32),
+            np.asarray(pos_w, np.int32))
+
+
+def dots_vit_forward(cfg: DotsViTConfig, params, pixels,
+                     grid_h: int, grid_w: int):
+    """pixels [grid_h*patch, grid_w*patch, 3] normalized → merged embeddings
+    [grid_h*grid_w/m², lm_hidden] in merged-grid raster order."""
+    import numpy as np
+
+    from ..ops.norm import rms_norm
+    from ..ops.rope import apply_rope, vision_rope_cos_sin
+    from .qwen_vit import _vit_attention
+
+    p = cfg.patch_size
+    emb = params["embed"]
+    k = jnp.transpose(jnp.asarray(emb["proj_w"]), (2, 3, 1, 0))   # HWIO
+    x = jax.lax.conv_general_dilated(
+        pixels[None].astype(jnp.float32), k.astype(jnp.float32),
+        window_strides=(p, p), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    x = x.reshape(grid_h * grid_w, -1) + emb["proj_b"][None, :]
+    x = rms_norm(x, emb["norm"]["w"], eps=cfg.norm_eps)
+
+    perm, ph, pw = _merge_block_order(grid_h, grid_w, cfg.spatial_merge_size)
+    x = x[jnp.asarray(perm)]
+    cos, sin = vision_rope_cos_sin(jnp.asarray(ph), jnp.asarray(pw),
+                                   cfg.head_dim)
+
+    class _A:  # adapter for qwen_vit's attention helper
+        num_attention_heads = cfg.num_attention_heads
+        head_dim = cfg.head_dim
+
+    for lp in params["layers"]:
+        h = rms_norm(x, lp["norm1"]["w"], eps=cfg.norm_eps)
+        x = x + _vit_attention(_A, lp["attn"], h, cos, sin, None)
+        h = rms_norm(x, lp["norm2"]["w"], eps=cfg.norm_eps)
+        g = matmul(h, lp["mlp"]["gate"]).astype(jnp.float32)
+        u = matmul(h, lp["mlp"]["up"]).astype(jnp.float32)
+        x = x + matmul((jax.nn.silu(g) * u).astype(x.dtype),
+                       lp["mlp"]["down"])
+    x = rms_norm(x, params["post_norm"]["w"], eps=cfg.norm_eps)
+
+    # merger (qwen.h GenMultiModalProjector:538): ln_q → concat m² consecutive
+    # patches (sequence is already merge-ordered) → fc0 GELU fc1 (exact GELU —
+    # HF dots.ocr nn.GELU default is the numeric oracle)
+    pj = params["projector"]
+    x = layer_norm(x, pj["pre_norm"]["w"], pj["pre_norm"].get("b"),
+                   eps=cfg.norm_eps)
+    m2 = cfg.spatial_merge_size ** 2
+    x = x.reshape(-1, m2 * cfg.hidden_size)
+    x = jax.nn.gelu(matmul(x, pj["fc0"]).astype(jnp.float32),
+                    approximate=False).astype(x.dtype)
+    return matmul(x, pj["fc1"])
+
+
+def load_dots_vit_params(pb, cfg: DotsViTConfig,
+                         prefix: str = "vision_model.") -> dict:
+    """On-disk names per DotsOCRConverter (/root/reference/convert.py:9627-9715
+    — attention/MLP weights are unbiased, merger mlp is biased)."""
+    params = {
+        "embed": {
+            "proj_w": pb.raw_f32(f"{prefix}patch_embed.proj.weight"),
+            "proj_b": pb.array(f"{prefix}patch_embed.proj.bias"),
+            "norm": pb.norm(f"{prefix}patch_embed.norm"),
+        },
+        "post_norm": pb.norm(f"{prefix}post_trunk_norm"),
+        "projector": {
+            "pre_norm": pb.norm(f"{prefix}merger.ln_q", bias=True),
+            "fc0": pb.linear(f"{prefix}merger.mlp.fc0", bias=True),
+            "fc1": pb.linear(f"{prefix}merger.mlp.fc1", bias=True),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pfx = f"{prefix}layers.{i}"
+        params["layers"].append({
+            "norm1": pb.norm(f"{pfx}.norm1"),
+            "norm2": pb.norm(f"{pfx}.norm2"),
+            "attn": {
+                "q": pb.linear(f"{pfx}.attn.q_proj", bias=False),
+                "k": pb.linear(f"{pfx}.attn.k_proj", bias=False),
+                "v": pb.linear(f"{pfx}.attn.v_proj", bias=False),
+                "o": pb.linear(f"{pfx}.attn.o_proj", bias=False),
+            },
+            "mlp": {"gate": pb.linear(f"{pfx}.mlp.gate_proj", bias=False),
+                    "up": pb.linear(f"{pfx}.mlp.up_proj", bias=False),
+                    "down": pb.linear(f"{pfx}.mlp.down_proj", bias=False)},
+        })
+    params["layers"] = tuple(params["layers"])
+    return params
+
+
 def pixel_shuffle(x, grid_h: int, grid_w: int, scale: float):
     """InternVL pixel-shuffle downsample: [B, gh*gw, H] →
     [B, (gh*s)*(gw*s), H/s²] with s = downsample_ratio (0.5)."""
