@@ -45,6 +45,7 @@ from . import kimi_vl    # noqa: F401
 from . import hunyuan_vl  # noqa: F401
 from . import paddle_vl   # noqa: F401
 from . import dots        # noqa: F401
+from . import step        # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

@@ -367,6 +367,136 @@ def load_dots_vit_params(pb, cfg: DotsViTConfig,
     return params
 
 
+# ---------------------------------------------------------------------------
+# Step-VL tower (reference models/step.cpp chatllm::step::vit — CLIP-style:
+# unbiased conv patch embed + bilinear-interpolated learned pos-embed + ln_pre
+# (PatchEmbedding :23), pre-LN blocks with biased attention carrying a 2-D
+# vision rope whose FIRST frequency section is the column (w) coordinate
+# (TensorPosHelper::prepare :208 fills p_w before p_h), layer-scale ls_1/ls_2
+# (EncoderLayerScale :157), quick-GELU MLP c_fc/c_proj (VitSiLUMLP :143 —
+# despite the name, ActFunc::GELU_QUICK).  No post-trunk norm.  Projector:
+# two 3×3 stride-2 convs (hidden→2h→4h) then an unbiased linear
+# (MultiModalProjector :94).  The converter NeoX-permutes vision q/k
+# (permute_pair, convert.py:9927), so apply_rope's half-split layout is the
+# on-disk layout.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class StepViTConfig:
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    intermediate_size: int
+    lm_hidden_size: int
+    patch_size: int = 14
+    image_size: int = 728
+    norm_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def posemb_grid(self) -> int:
+        return self.image_size // self.patch_size
+
+
+def step_vit_forward(cfg: StepViTConfig, params, pixels,
+                     grid_h: int, grid_w: int):
+    """pixels [grid_h*patch, grid_w*patch, 3] normalized → projected
+    embeddings [(grid_h//2//2)*(grid_w//2//2), lm_hidden] raster order."""
+    from ..ops.rope import apply_rope, vision_rope_cos_sin
+    from .qwen_vit import _bilinear_pos_embed, _vit_attention
+
+    p = cfg.patch_size
+    emb = params["embed"]
+    k = jnp.transpose(jnp.asarray(emb["proj_w"]), (2, 3, 1, 0))   # HWIO
+    x = jax.lax.conv_general_dilated(
+        pixels[None].astype(jnp.float32), k.astype(jnp.float32),
+        window_strides=(p, p), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    x = x.reshape(grid_h * grid_w, -1)
+    if grid_h == cfg.posemb_grid and grid_w == cfg.posemb_grid:
+        x = x + emb["pos"]
+    else:
+        x = x + _bilinear_pos_embed(emb["pos"], cfg.posemb_grid,
+                                    grid_h, grid_w)
+    x = layer_norm(x, emb["ln_pre"]["w"], emb["ln_pre"].get("b"),
+                   eps=cfg.norm_eps)
+
+    # raster coords; w drives the FIRST rope section (step.cpp:208-218)
+    ph = jnp.repeat(jnp.arange(grid_h, dtype=jnp.int32), grid_w)
+    pw = jnp.tile(jnp.arange(grid_w, dtype=jnp.int32), grid_h)
+    cos, sin = vision_rope_cos_sin(pw, ph, cfg.head_dim)
+
+    class _A:
+        num_attention_heads = cfg.num_attention_heads
+        head_dim = cfg.head_dim
+
+    for lp in params["layers"]:
+        h = layer_norm(x, lp["norm1"]["w"], lp["norm1"].get("b"),
+                       eps=cfg.norm_eps)
+        x = x + _vit_attention(_A, lp["attn"], h, cos, sin, None) * lp["ls1"]
+        h = layer_norm(x, lp["norm2"]["w"], lp["norm2"].get("b"),
+                       eps=cfg.norm_eps)
+        h = matmul(h, lp["mlp"]["fc0"]).astype(jnp.float32)
+        h = h * jax.nn.sigmoid(1.702 * h)                 # GELU_QUICK
+        x = x + matmul(h.astype(x.dtype), lp["mlp"]["fc1"]) * lp["ls2"]
+
+    # downsample projector (step.cpp MultiModalProjector::forward:105-118)
+    pj = params["projector"]
+    H = cfg.hidden_size
+    y = x.reshape(1, grid_h, grid_w, H).astype(jnp.float32)
+    for conv in ("down1", "down2"):
+        kk = jnp.transpose(jnp.asarray(pj[conv]["w"]), (2, 3, 1, 0))
+        y = jax.lax.conv_general_dilated(
+            y, kk.astype(jnp.float32), window_strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + pj[conv]["b"]
+    _, oh, ow, oc = y.shape
+    y = y.reshape(oh * ow, oc)
+    return matmul(y, pj["proj"])
+
+
+def load_step_vit_params(pb, cfg: StepViTConfig,
+                         prefix: str = "visual.") -> dict:
+    """On-disk names per StepVLConverter (convert.py:9911-9990)."""
+    params = {
+        "embed": {
+            "proj_w": pb.raw_f32(f"{prefix}conv1.weight"),
+            "pos": pb.array(f"{prefix}positional_embedding"),
+            "ln_pre": pb.norm(f"{prefix}ln_pre", bias=True),
+        },
+        "projector": {
+            "down1": {"w": pb.raw_f32(f"{prefix}vit_downsampler1.weight"),
+                      "b": pb.array(f"{prefix}vit_downsampler1.bias")},
+            "down2": {"w": pb.raw_f32(f"{prefix}vit_downsampler2.weight"),
+                      "b": pb.array(f"{prefix}vit_downsampler2.bias")},
+            "proj": pb.linear(f"{prefix}vit_large_projector", bias=False),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_hidden_layers):
+        pfx = f"{prefix}blocks.{i}"
+        params["layers"].append({
+            "norm1": pb.norm(f"{pfx}.ln_1", bias=True),
+            "norm2": pb.norm(f"{pfx}.ln_2", bias=True),
+            "ls1": pb.array(f"{pfx}.ls_1.gamma"),
+            "ls2": pb.array(f"{pfx}.ls_2.gamma"),
+            "attn": {
+                "q": pb.linear(f"{pfx}.attn.q_proj", bias=True),
+                "k": pb.linear(f"{pfx}.attn.k_proj", bias=True),
+                "v": pb.linear(f"{pfx}.attn.v_proj", bias=True),
+                "o": pb.linear(f"{pfx}.attn.o_proj", bias=True),
+            },
+            "mlp": {"fc0": pb.linear(f"{pfx}.mlp.c_fc", bias=True),
+                    "fc1": pb.linear(f"{pfx}.mlp.c_proj", bias=True)},
+        })
+    params["layers"] = tuple(params["layers"])
+    return params
+
+
 def pixel_shuffle(x, grid_h: int, grid_w: int, scale: float):
     """InternVL pixel-shuffle downsample: [B, gh*gw, H] →
     [B, (gh*s)*(gw*s), H/s²] with s = downsample_ratio (0.5)."""

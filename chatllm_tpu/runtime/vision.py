@@ -150,3 +150,71 @@ def extract_video_frames(path: str, max_frames: int = 8, fps: float = 1.0):
         e = starts[j + 1] if j + 1 < len(starts) else len(data)
         frames.append(Image.open(io.BytesIO(data[s:e])).convert("RGB"))
     return frames
+
+
+def step_pan_and_scan(img, *, image_size: int, crop_size: int = 504,
+                      max_image_size: int = 3024):
+    """Step-VL pan-and-scan (reference src/vision_process.cpp:451-620,
+    image_load_pan_and_scan(fn, crops, image_size, crop_size, crops_per_row)).
+
+    Returns (crops, crops_per_row) where crops[0] is the whole view resized
+    to image_size², followed by raster-order crop_size² sliding windows
+    (empty beyond [0] when no window size activates).  All crops are PIL
+    images.
+    """
+    from PIL import Image
+
+    w, h = img.size
+
+    # extreme thin strips get black-padded square (get_image_size_for_padding)
+    ratio = w / h
+    if min(w, h) < 32 and (ratio > 4.0 or ratio < 0.25):
+        side = max(w, h)
+        canvas = Image.new("RGB", (side, side))
+        canvas.paste(img.convert("RGB"), (0, 0))
+        img = canvas
+        w = h = side
+
+    # clamp the long side (get_image_size_for_preprocess)
+    if max(w, h) > max_image_size:
+        s = max_image_size / max(w, h)
+        w, h = int(w * s), int(h * s)
+        img = img.resize((w, h))
+
+    long_side, short_side = max(w, h), min(w, h)
+    if long_side <= 728:
+        window = short_side if long_side / short_side > 1.5 else 0
+    else:
+        window = min(short_side, 504) if long_side / short_side > 4 else 504
+
+    whole = img.resize((image_size, image_size))
+    crops = [whole]
+    crops_per_row = 0
+    if window <= 1:
+        return crops, crops_per_row
+
+    # snap dims to window multiples (get_image_size_for_crop: round up when
+    # the fractional overhang exceeds 0.2 windows)
+    def snap(n):
+        r = n / window
+        if r >= 1:
+            frac = r - n // window
+            r = int(r) + 1 if frac > 0.2 else int(r)
+            return window * r
+        return n
+
+    nw, nh = snap(w), snap(h)
+    if (nw, nh) != (w, h):
+        img = img.resize((nw, nh))
+        w, h = nw, nh
+
+    # non-overlapping crop_size sliding windows (slide_window, step==size)
+    crops_per_row = 1 if w <= crop_size else -(-(w - crop_size) // crop_size) + 1
+    n_rows = 1 if h <= crop_size else -(-(h - crop_size) // crop_size) + 1
+    for j in range(n_rows):
+        y0 = min(crop_size * j, h - crop_size) if h > crop_size else 0
+        for i in range(crops_per_row):
+            x0 = min(crop_size * i, w - crop_size) if w > crop_size else 0
+            box = (x0, y0, min(x0 + crop_size, w), min(y0 + crop_size, h))
+            crops.append(img.crop(box).resize((crop_size, crop_size)))
+    return crops, crops_per_row
