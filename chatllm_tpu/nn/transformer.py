@@ -41,6 +41,9 @@ class LayerSpec:
     num_kv_heads: int = 0          # per-layer GQA override (DeciLM); 0 = cfg
     no_attn: bool = False          # attention-free layer (DeciNoAttnBlock,
     #                                models/decilm.cpp:20)
+    linear_attn: bool = False      # Gated-DeltaNet linear-attention layer
+    #                                (Qwen3.5/Qwen3-Next QwenGatedDeltaNet,
+    #                                models/qwen3_5.cpp:198-485)
 
 
 @dataclass(frozen=True)
@@ -52,6 +55,29 @@ class MLAConfig:
     qk_nope_head_dim: int = 128
     qk_rope_head_dim: int = 64
     v_head_dim: int = 128
+
+
+@dataclass(frozen=True)
+class GDNConfig:
+    """Gated-DeltaNet dims (Qwen3.5 Config linear_* fields,
+    models/qwen3_5.cpp:14-21; HF oracle Qwen3NextGatedDeltaNet)."""
+    conv_kernel: int = 4
+    num_k_heads: int = 16
+    num_v_heads: int = 32
+    k_head_dim: int = 128
+    v_head_dim: int = 128
+
+    @property
+    def key_dim(self) -> int:
+        return self.k_head_dim * self.num_k_heads
+
+    @property
+    def value_dim(self) -> int:
+        return self.v_head_dim * self.num_v_heads
+
+    @property
+    def conv_dim(self) -> int:
+        return 2 * self.key_dim + self.value_dim
 
 
 @dataclass(frozen=True)
@@ -129,6 +155,11 @@ class TransformerConfig:
     #   [c_kv | k_pe] per token (reference forward_memory, deepseek.cpp:406)
     #   with the up-projections absorbed into q / output — MQA-shaped attention
     rope_local: Optional[RopeConfig] = None  # second rope table (Gemma3)
+    gdn: Optional[GDNConfig] = None  # Gated-DeltaNet dims for linear_attn
+    #   layers (Qwen3.5)
+    attn_out_gate: bool = False     # sigmoid(gate_proj(x)) on the merged
+    #   attention output before o_proj (QwenGatedAttention,
+    #   models/qwen3_5.cpp:246-263)
     cache_dtype: str = "bfloat16"
 
     def resolved_head_dim(self) -> int:
@@ -196,6 +227,21 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
         if spec.no_attn:
             ks.append(jnp.zeros((batch, 1, 1, 1), dtype))
             vs.append(jnp.zeros((batch, 1, 1, 1), dtype))
+            if quantized:
+                kss.append(jnp.zeros((batch, 1, 1), jnp.float32))
+                vss.append(jnp.zeros((batch, 1, 1), jnp.float32))
+            continue
+        if spec.linear_attn:
+            # DeltaNet state instead of KV: the "k" slot holds the causal-
+            # conv history [B, K-1, 1, conv_dim] and the "v" slot the
+            # recurrent state S [B, n_v_heads, dk, dv], both f32 (reference
+            # CausalConv1D::state + QwenGatedDeltaNet::state,
+            # models/qwen3_5.cpp:151-485)
+            g = cfg.gdn
+            ks.append(jnp.zeros((batch, g.conv_kernel - 1, 1, g.conv_dim),
+                                jnp.float32))
+            vs.append(jnp.zeros((batch, g.num_v_heads, g.k_head_dim,
+                                 g.v_head_dim), jnp.float32))
             if quantized:
                 kss.append(jnp.zeros((batch, 1, 1), jnp.float32))
                 vss.append(jnp.zeros((batch, 1, 1), jnp.float32))
@@ -525,6 +571,11 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
             k_scale=k_scale, v_scale=v_scale,
         )
     out = out.reshape(B, T, hq * d)
+    if cfg.attn_out_gate and "gate" in p:
+        # sigmoid output gate on the merged attention output before o_proj
+        # (QwenGatedAttention::forward, models/qwen3_5.cpp:246-263)
+        gate = jax.nn.sigmoid(matmul(x, p["gate"]).astype(jnp.float32))
+        out = (out.astype(jnp.float32) * gate).astype(out.dtype)
     return matmul(out, p["o"], shard="in").astype(x.dtype), k_cache, v_cache, k_scale, v_scale
 
 
@@ -686,10 +737,92 @@ def _mla_compressed_block(cfg, spec, p, x, cos, sin, k_cache, v_cache,
     return matmul(out, p["o"]).astype(x.dtype), k_cache, v_cache, None, None
 
 
+def gated_deltanet_block(cfg: TransformerConfig, p, x, conv_state, S0,
+                         valid=None):
+    """Qwen3.5 / Qwen3-Next Gated DeltaNet linear attention (reference
+    QwenGatedDeltaNet, models/qwen3_5.cpp:198-485; numeric oracle HF
+    torch_recurrent_gated_delta_rule + torch_causal_conv1d_update).
+
+    conv_state: [B, K-1, 1, conv_dim] f32 causal-conv history.
+    S0: [B, n_v_heads, dk, dv] f32 recurrent state.
+    Returns (out [B, T, hidden], new_conv_state, new_S).
+    """
+    g = cfg.gdn
+    B, T, _ = x.shape
+    nk, nv, dk, dv = g.num_k_heads, g.num_v_heads, g.k_head_dim, g.v_head_dim
+
+    mixed = matmul(x, p["qkv"]).astype(jnp.float32)       # [B,T,conv_dim]
+    if valid is not None:
+        # zero padded positions so they can't pollute the conv window or
+        # the recurrent state (HF apply_mask_to_padding_states; prefill
+        # buckets pad T beyond the real token count)
+        mixed = mixed * valid[..., None]
+    seq = jnp.concatenate([conv_state[:, :, 0, :], mixed], axis=1)
+    if valid is not None:
+        # keep the conv history pinned to the last VALID tokens: roll the
+        # padded tail out of the window
+        n_pad = x.shape[1] - jnp.sum(valid[0]).astype(jnp.int32)
+        rolled = jnp.roll(seq, n_pad, axis=1)
+        new_conv_state = jax.lax.dynamic_slice_in_dim(
+            rolled, seq.shape[1] - (g.conv_kernel - 1), g.conv_kernel - 1,
+            axis=1)[:, :, None, :]
+    else:
+        new_conv_state = seq[:, -(g.conv_kernel - 1):, :][:, :, None, :]
+    # depthwise causal conv along T + SiLU (CausalConv1D::forward)
+    w = jnp.transpose(p["conv_w"].astype(jnp.float32), (2, 1, 0))  # [K,1,C]
+    conv = jax.lax.conv_general_dilated(
+        seq, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=g.conv_dim)
+    mixed = jax.nn.silu(conv)                              # [B,T,conv_dim]
+
+    kd = g.key_dim
+    q = mixed[..., :kd].reshape(B, T, nk, dk)
+    k = mixed[..., kd:2 * kd].reshape(B, T, nk, dk)
+    v = mixed[..., 2 * kd:].reshape(B, T, nv, dv)
+    # fla l2norm (eps inside the sqrt), GQA repeat, 1/sqrt(dk) scale
+    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-6)
+    k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-6)
+    rep = nv // nk
+    q = jnp.repeat(q, rep, axis=2) * (dk ** -0.5)
+    k = jnp.repeat(k, rep, axis=2)
+
+    beta = jax.nn.sigmoid(matmul(x, p["b"]).astype(jnp.float32))   # [B,T,nv]
+    glog = -jnp.exp(p["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        matmul(x, p["a"]).astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
+    if valid is not None:
+        # padded steps become identity updates: beta=0 → delta=0,
+        # g=0 → exp(0)=1 → S unchanged
+        beta = beta * valid[..., None]
+        glog = glog * valid[..., None]
+
+    def step(S, inp):
+        q_t, k_t, v_t, g_t, b_t = inp
+        S = S * jnp.exp(g_t)[..., None, None]
+        kv = jnp.einsum("bhk,bhkv->bhv", k_t, S)
+        delta = (v_t - kv) * b_t[..., None]
+        S = S + k_t[..., :, None] * delta[..., None, :]
+        return S, jnp.einsum("bhk,bhkv->bhv", q_t, S)
+
+    xs = (jnp.moveaxis(q, 1, 0), jnp.moveaxis(k, 1, 0),
+          jnp.moveaxis(v.astype(jnp.float32), 1, 0),
+          jnp.moveaxis(glog, 1, 0), jnp.moveaxis(beta, 1, 0))
+    S, outs = jax.lax.scan(step, S0, xs)
+    out = jnp.moveaxis(outs, 0, 1)                         # [B,T,nv,dv]
+
+    # gated RMS norm over dv then out_proj (RMSNormGated,
+    # models/qwen3_5.cpp:236-244; HF Qwen3NextRMSNormGated: norm before gate)
+    z = matmul(x, p["z"]).astype(jnp.float32).reshape(B, T, nv, dv)
+    out = rms_norm(out, p["norm_w"], eps=cfg.norm_eps)
+    out = out * jax.nn.silu(z)
+    out = out.reshape(B, T, nv * dv).astype(x.dtype)
+    return matmul(out, p["o"], shard="in").astype(x.dtype), new_conv_state, S
+
+
 def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
                   cos, sin, k_cache, v_cache, n_past,
                   k_scale=None, v_scale=None, q_mult=None,
-                  mask_extra=None):
+                  mask_extra=None, valid=None):
     """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
     (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
     if spec.no_attn:
@@ -698,7 +831,10 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
         x = x + mlp_dispatch(cfg, spec, p["mlp"], h)
         return x, k_cache, v_cache, k_scale, v_scale
     h = _norm(cfg, x, p["attn_norm"]) if cfg.pre_norm else x
-    if cfg.mla is not None:
+    if spec.linear_attn:
+        attn_out, k_cache, v_cache = gated_deltanet_block(
+            cfg, p["attn"], h, k_cache, v_cache, valid)
+    elif cfg.mla is not None:
         attn_out, k_cache, v_cache, k_scale, v_scale = mla_attention_block(
             cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past,
             k_scale, v_scale)
@@ -759,7 +895,7 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
                         n_past, *, last_only: bool = False,
                         positions=None, input_embeds=None,
                         return_hidden: bool = False, mask_extra=None,
-                        extra_residuals=None):
+                        extra_residuals=None, n_valid=None):
     """ids: [B, T] int32 → (logits [B, T|1, V] f32, new cache).
 
     `input_embeds` [B, T, H] overrides token embedding lookup (multimodal
@@ -815,6 +951,10 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
         q_mult = 1.0 + cfg.attn_scale_beta * jnp.log(
             1.0 + jnp.floor(pos1.astype(jnp.float32) / cfg.attn_scale_orig))
 
+    valid = None
+    if n_valid is not None:
+        valid = (jnp.arange(T)[None, :] < n_valid).astype(jnp.float32)
+
     ks, vs = list(cache.k), list(cache.v)
     quant = cache.k_scale is not None
     kss = list(cache.k_scale) if quant else [None] * len(cache.k)
@@ -839,7 +979,7 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
             c, s_ = (cos_l, sin_l) if (spec.local_rope and cos_l is not None) else (cos, sin)
             x, ks[ci], vs[ci], kss[ci], vss[ci] = decoder_layer(
                 cfg, spec, params["layers"][i], x, c, s_, ks[ci], vs[ci],
-                n_past, kss[ci], vss[ci], q_mult, mask_extra)
+                n_past, kss[ci], vss[ci], q_mult, mask_extra, valid)
             if extra_residuals is not None and i < extra_residuals.shape[0]:
                 # DeepStack visual features added to the first few layers'
                 # hidden states (HF Qwen3VLTextModel._deepstack_process;

@@ -164,8 +164,8 @@ class InferenceEngine:
         sizes = []
         for i in range(cfg.num_hidden_layers):
             spec = cfg.layer_spec(i)
-            if spec.no_attn:
-                continue
+            if spec.no_attn or spec.linear_attn:
+                continue                     # stateful, not slot-written
             S = cache.k[i].shape[1]
             if spec.sliding_window > 0 and S < cfg.max_length:
                 continue                     # ring-written, wraps
@@ -193,7 +193,8 @@ class InferenceEngine:
             else:
                 pos = jnp.broadcast_to((n_past + pos_delta) + jnp.arange(T)[None, :], (B, T))
             logits, cache = transformer_forward(cfg, params, ids, cache, n_past,
-                                                positions=pos)
+                                                positions=pos,
+                                                n_valid=n_tokens)
             last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
             return last[:, 0, :], cache
 
@@ -380,7 +381,7 @@ class InferenceEngine:
             def prefill_e(params, cache, embeds, n_past, n_tokens, pos, er):
                 logits, cache = transformer_forward(
                     cfg, params, None, cache, n_past, input_embeds=embeds,
-                    positions=pos, extra_residuals=er)
+                    positions=pos, extra_residuals=er, n_valid=n_tokens)
                 last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
                 return last[:, 0, :], cache
 
