@@ -47,6 +47,7 @@ from . import paddle_vl   # noqa: F401
 from . import dots        # noqa: F401
 from . import step        # noqa: F401
 from . import qwen3_5     # noqa: F401
+from . import neochat     # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

@@ -504,6 +504,19 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
         # reference PersimmonSelfAttention src/layers.h:3184)
         q = layer_norm(q, p["q_norm"]["w"], p["q_norm"].get("b"), eps=cfg.norm_eps)
         k = layer_norm(k, p["k_norm"]["w"], p["k_norm"].get("b"), eps=cfg.norm_eps)
+    elif cfg.qk_norm == "rmsnorm_halves":
+        # NeoChat: separate per-head RMS norms on the t-half and hw-half of
+        # head_dim (q_norm/q_norm_hw each over d/2 dims,
+        # models/neochat.cpp BaseNeoAttention ctor :447-460)
+        dh = d // 2
+        q = jnp.concatenate(
+            [rms_norm(q[..., :dh], p["q_norm"]["w"], eps=cfg.norm_eps),
+             rms_norm(q[..., dh:], p["q_norm_hw"]["w"], eps=cfg.norm_eps)],
+            axis=-1)
+        k = jnp.concatenate(
+            [rms_norm(k[..., :dh], p["k_norm"]["w"], eps=cfg.norm_eps),
+             rms_norm(k[..., dh:], p["k_norm_hw"]["w"], eps=cfg.norm_eps)],
+            axis=-1)
     elif cfg.qk_norm not in ("none", "rmsnorm_post", "l2norm_post"):
         # per-head RMS norm over head_dim (reference QKNormedAttention
         # src/layers.h:3073)
@@ -511,8 +524,22 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
         k = rms_norm(k, p["k_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
 
     if spec.use_rope:
-        q = apply_rope(q, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
-        k = apply_rope(k, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
+        if cfg.rope.layout == "neo3d":
+            # head split [t: d/2, h: d/4, w: d/4], each NeoX-rotated with
+            # its own table (models/neochat.cpp split_norm_rope)
+            dh, dq = d // 2, d // 4
+
+            def _neo(v):
+                return jnp.concatenate(
+                    [apply_rope(v[..., :dh], cos[0], sin[0], layout="neox"),
+                     apply_rope(v[..., dh:dh + dq], cos[1], sin[1], layout="neox"),
+                     apply_rope(v[..., dh + dq:], cos[2], sin[2], layout="neox")],
+                    axis=-1)
+            q = _neo(q)
+            k = _neo(k)
+        else:
+            q = apply_rope(q, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
+            k = apply_rope(k, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
 
     if cfg.qk_norm == "rmsnorm_post":
         # per-head norm AFTER rope (QKNormedAttention post_norm,
@@ -919,7 +946,17 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
         else:
             positions = n_past + jnp.arange(T)[None, :]        # [1,T]
             positions = jnp.broadcast_to(positions, (B, T))
-    if positions.ndim == 3 and cfg.rope is not None and cfg.rope.layout == "glm1":
+    if cfg.rope is not None and cfg.rope.layout == "neo3d":
+        # NeoChat 3-D rope: 1-D positions mean text-only (h = w = 0)
+        from ..ops.rope import neo3d_rope_cos_sin
+        if positions.ndim == 3:
+            pos3 = positions
+        else:
+            z = jnp.zeros_like(positions)
+            pos3 = jnp.stack([positions, z, z])
+        cos, sin = neo3d_rope_cos_sin(pos3, cfg.resolved_head_dim(),
+                                      cfg.rope.freq_base, cfg.rope.freq_base_2)
+    elif positions.ndim == 3 and cfg.rope is not None and cfg.rope.layout == "glm1":
         # ChatGLM1 2D rope: stream 0 = clamped position, stream 1 = block
         # position; frequency tables restart per half (vision-rope shape)
         from ..ops.rope import vision_rope_cos_sin

@@ -30,6 +30,11 @@ ROPE_GLM1 = "glm1"        # ChatGLM-6B 2D rope: two head halves, each
 #                           NeoX-rotated with its own position channel
 #                           (src/custom_ops.cpp ggml_compute_forward_
 #                           chatglm1_rope:383-534)
+ROPE_NEO3D = "neo3d"      # NeoChat 3-D rope: head split [t: d/2, h: d/4,
+#                           w: d/4], each part NeoX-rotated with its own
+#                           position stream; t uses freq_base, h/w use
+#                           freq_base_2 (models/neochat.cpp
+#                           BaseNeoAttention::split_norm_rope:635-679)
 
 
 @dataclass(frozen=True)
@@ -58,6 +63,7 @@ class RopeConfig:
     # base_p = freq_base * alpha^(rot/(rot-2))
     # (custom_ops.cpp ggml_compute_forward_ntk_dynamic_rope:79)
     ntk_dynamic: bool = False
+    freq_base_2: float = 10000.0         # second base (neo3d h/w sections)
 
     def resolved_rot_dim(self) -> int:
         return self.head_dim if self.rot_dim <= 0 else self.rot_dim
@@ -218,3 +224,25 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
     if rot < d:
         out = jnp.concatenate([out, xp], axis=-1)
     return out
+
+
+def neo3d_rope_cos_sin(positions: jax.Array, head_dim: int,
+                       freq_base: float, freq_base_hw: float):
+    """NeoChat 3-D rope tables (models/neochat.cpp split_norm_rope:635-679).
+
+    positions: [3, B, T] streams (t, h, w).  Returns ((cos_t, cos_h, cos_w),
+    (sin_t, sin_h, sin_w)) where the t tables are [B, T, d/4] (NeoX pairs of
+    the d/2 t-section) and h/w tables are [B, T, d/8].  Apply each with
+    `apply_rope(slice, ..., layout=ROPE_NEOX)` on the matching head slice.
+    """
+    def tab(pos, dims, base):
+        half = dims // 2
+        inv = jnp.power(jnp.float32(base),
+                        -2.0 * jnp.arange(half, dtype=jnp.float32) / dims)
+        th = pos.astype(jnp.float32)[..., None] * inv
+        return jnp.cos(th), jnp.sin(th)
+
+    ct, st = tab(positions[0], head_dim // 2, freq_base)
+    ch, sh = tab(positions[1], head_dim // 4, freq_base_hw)
+    cw, sw = tab(positions[2], head_dim // 4, freq_base_hw)
+    return (ct, ch, cw), (st, sh, sw)
