@@ -13,6 +13,7 @@ from . import llama      # noqa: F401
 from . import qwen       # noqa: F401
 from . import mistral    # noqa: F401
 from . import gemma      # noqa: F401
+from . import gemma4     # noqa: F401
 from . import yi         # noqa: F401
 from . import deepseek   # noqa: F401
 from . import bce        # noqa: F401

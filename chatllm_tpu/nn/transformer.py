@@ -44,6 +44,15 @@ class LayerSpec:
     linear_attn: bool = False      # Gated-DeltaNet linear-attention layer
     #                                (Qwen3.5/Qwen3-Next QwenGatedDeltaNet,
     #                                models/qwen3_5.cpp:198-485)
+    head_dim: int = 0              # per-layer head-dim override (Gemma4
+    #                                full-attn global_head_dim,
+    #                                models/gemma4.cpp:2317)
+    v_from_k: bool = False         # v = k-projection output, no v_proj
+    #                                (Gemma4 attention_k_eq_v / use_k_as_v,
+    #                                models/gemma4.cpp:1775)
+    shared_kv_from: int = -1       # reuse layer i's KV cache; no own k/v
+    #                                projections (Gemma4 num_kv_shared_layers,
+    #                                models/gemma4.cpp shared_attn :1822-1830)
 
 
 @dataclass(frozen=True)
@@ -160,6 +169,14 @@ class TransformerConfig:
     attn_out_gate: bool = False     # sigmoid(gate_proj(x)) on the merged
     #   attention output before o_proj (QwenGatedAttention,
     #   models/qwen3_5.cpp:246-263)
+    v_norm: bool = False            # weightless RMSNorm(1e-6) on the v heads
+    #   (Gemma4Attention::forward, models/gemma4.cpp:1777)
+    cascaded_moe: bool = False      # Gemma4 CascadedMLP: dense MLP + a
+    #   residual-fed MoE branch with its own sandwich norms
+    #   (models/gemma4.cpp CascadedMLP::forward :1990-2001)
+    ple_dim: int = 0                # per-layer-embedding dim (Gemma4
+    #   hidden_size_per_layer_input; PerLayerEmbedding,
+    #   models/gemma4.cpp:1598-1690)
     cache_dtype: str = "bfloat16"
 
     def resolved_head_dim(self) -> int:
@@ -224,7 +241,9 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
         spec = cfg.layer_spec(i)
         s = max_len if spec.sliding_window <= 0 else min(
             max_len, spec.sliding_window + SWA_EXTRA)
-        if spec.no_attn:
+        if spec.no_attn or spec.shared_kv_from >= 0:
+            # shared-kv layers read the source layer's cache and write
+            # nothing of their own (Gemma4 num_kv_shared_layers)
             ks.append(jnp.zeros((batch, 1, 1, 1), dtype))
             vs.append(jnp.zeros((batch, 1, 1, 1), dtype))
             if quantized:
@@ -247,8 +266,10 @@ def init_cache(cfg: TransformerConfig, batch: int, max_len: int | None = None,
                 vss.append(jnp.zeros((batch, 1, 1), jnp.float32))
             continue
         n_kv_l = spec.num_kv_heads or n_kv
-        ks.append(jnp.zeros((batch, s, n_kv_l, dk), dtype))
-        vs.append(jnp.zeros((batch, s, n_kv_l, dv), dtype))
+        dk_l = spec.head_dim or dk
+        dv_l = spec.head_dim or dv
+        ks.append(jnp.zeros((batch, s, n_kv_l, dk_l), dtype))
+        vs.append(jnp.zeros((batch, s, n_kv_l, dv_l), dtype))
         if quantized:
             # scales must track the per-layer head count (DeciLM-style
             # heterogeneous GQA), not the global n_kv
@@ -471,16 +492,28 @@ def _moe_combine(cfg: TransformerConfig, p, xt, topi, topv, x):
     return y.reshape(B, T, H).astype(x.dtype)
 
 
+def _weightless_rms(t, eps=1e-6):
+    tf = t.astype(jnp.float32)
+    return (tf * jax.lax.rsqrt(
+        jnp.mean(tf * tf, axis=-1, keepdims=True) + eps)).astype(t.dtype)
+
+
 def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
                     cos, sin, k_cache, v_cache, n_past,
                     k_scale=None, v_scale=None, q_mult=None,
-                    mask_extra=None):
+                    mask_extra=None, rope_cfg=None):
     B, T, H = x.shape
-    d = cfg.resolved_head_dim()
+    d = spec.head_dim or cfg.resolved_head_dim()
     hq = cfg.num_attention_heads
     hkv = spec.num_kv_heads or cfg.num_key_value_heads
+    rc = rope_cfg or cfg.rope
+    shared = spec.shared_kv_from >= 0      # read another layer's cache
+    #                                        (Gemma4 KV-shared layers)
 
-    if "qkv" in p:
+    if shared:
+        q = matmul(x, p["q"], shard="out").reshape(B, T, hq, d)
+        k = v = None
+    elif "qkv" in p:
         # consolidated projection (BaseConsolidatedQKVAttention,
         # src/layers.h:1773): rows ordered [q | k | v]
         fused = matmul(x, p["qkv"])
@@ -491,19 +524,30 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
     else:
         q = matmul(x, p["q"], shard="out").reshape(B, T, hq, d)
         k = matmul(x, p["k"], shard="out").reshape(B, T, hkv, d)
-        v = matmul(x, p["v"], shard="out").reshape(B, T, hkv, d)
+        if spec.v_from_k:
+            # v is the raw k-projection output (Gemma4 use_k_as_v,
+            # models/gemma4.cpp:1775; k continues through k_norm+rope below)
+            v = k
+        else:
+            v = matmul(x, p["v"], shard="out").reshape(B, T, hkv, d)
+    if cfg.v_norm and v is not None:
+        # weightless per-head RMS norm on v (ggml::rms_norm(v, 1e-6),
+        # models/gemma4.cpp:1777)
+        v = _weightless_rms(v)
 
     if cfg.qk_norm == "rmsnorm_full":
         # RMS norm over the whole projection (OLMo2-style)
         q = rms_norm(q.reshape(B, T, hq * d), p["q_norm"]["w"],
                      eps=cfg.norm_eps).reshape(B, T, hq, d)
-        k = rms_norm(k.reshape(B, T, hkv * d), p["k_norm"]["w"],
-                     eps=cfg.norm_eps).reshape(B, T, hkv, d)
+        if k is not None:
+            k = rms_norm(k.reshape(B, T, hkv * d), p["k_norm"]["w"],
+                         eps=cfg.norm_eps).reshape(B, T, hkv, d)
     elif cfg.qk_norm == "layernorm":
         # per-head LayerNorm with bias (Persimmon qk_layernorm,
         # reference PersimmonSelfAttention src/layers.h:3184)
         q = layer_norm(q, p["q_norm"]["w"], p["q_norm"].get("b"), eps=cfg.norm_eps)
-        k = layer_norm(k, p["k_norm"]["w"], p["k_norm"].get("b"), eps=cfg.norm_eps)
+        if k is not None:
+            k = layer_norm(k, p["k_norm"]["w"], p["k_norm"].get("b"), eps=cfg.norm_eps)
     elif cfg.qk_norm == "rmsnorm_halves":
         # NeoChat: separate per-head RMS norms on the t-half and hw-half of
         # head_dim (q_norm/q_norm_hw each over d/2 dims,
@@ -513,15 +557,17 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
             [rms_norm(q[..., :dh], p["q_norm"]["w"], eps=cfg.norm_eps),
              rms_norm(q[..., dh:], p["q_norm_hw"]["w"], eps=cfg.norm_eps)],
             axis=-1)
-        k = jnp.concatenate(
-            [rms_norm(k[..., :dh], p["k_norm"]["w"], eps=cfg.norm_eps),
-             rms_norm(k[..., dh:], p["k_norm_hw"]["w"], eps=cfg.norm_eps)],
-            axis=-1)
+        if k is not None:
+            k = jnp.concatenate(
+                [rms_norm(k[..., :dh], p["k_norm"]["w"], eps=cfg.norm_eps),
+                 rms_norm(k[..., dh:], p["k_norm_hw"]["w"], eps=cfg.norm_eps)],
+                axis=-1)
     elif cfg.qk_norm not in ("none", "rmsnorm_post", "l2norm_post"):
         # per-head RMS norm over head_dim (reference QKNormedAttention
         # src/layers.h:3073)
         q = rms_norm(q, p["q_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
-        k = rms_norm(k, p["k_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
+        if k is not None:
+            k = rms_norm(k, p["k_norm"]["w"], eps=cfg.norm_eps, offset=cfg.rms_norm_offset)
 
     if spec.use_rope:
         if cfg.rope.layout == "neo3d":
@@ -538,8 +584,9 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
             q = _neo(q)
             k = _neo(k)
         else:
-            q = apply_rope(q, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
-            k = apply_rope(k, cos, sin, layout=cfg.rope.layout, rot_dim=cfg.rope.resolved_rot_dim())
+            q = apply_rope(q, cos, sin, layout=rc.layout, rot_dim=rc.resolved_rot_dim())
+            if k is not None:
+                k = apply_rope(k, cos, sin, layout=rc.layout, rot_dim=rc.resolved_rot_dim())
 
     if cfg.qk_norm == "rmsnorm_post":
         # per-head norm AFTER rope (QKNormedAttention post_norm,
@@ -569,23 +616,25 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
             "SWA ring cache; allocate full-length caches for serving")
         from ..ops.attention import quantize_kv
 
-        S = k_cache.shape[1]
-        pos = jnp.mod(n_past + jnp.arange(T), S)
-        if k_scale is not None:
-            kq, ks = quantize_kv(k)
-            vq, vs = quantize_kv(v)
-            k_cache = k_cache.at[:, pos].set(kq)
-            v_cache = v_cache.at[:, pos].set(vq)
-            k_scale = k_scale.at[:, pos].set(ks)
-            v_scale = v_scale.at[:, pos].set(vs)
-        else:
-            k_cache = k_cache.at[:, pos].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[:, pos].set(v.astype(v_cache.dtype))
+        if not shared:
+            S = k_cache.shape[1]
+            pos = jnp.mod(n_past + jnp.arange(T), S)
+            if k_scale is not None:
+                kq, ks = quantize_kv(k)
+                vq, vs = quantize_kv(v)
+                k_cache = k_cache.at[:, pos].set(kq)
+                v_cache = v_cache.at[:, pos].set(vq)
+                k_scale = k_scale.at[:, pos].set(ks)
+                v_scale = v_scale.at[:, pos].set(vs)
+            else:
+                k_cache = k_cache.at[:, pos].set(k.astype(k_cache.dtype))
+                v_cache = v_cache.at[:, pos].set(v.astype(v_cache.dtype))
         out = _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T,
                               k_scale, v_scale, sinks=p.get("sinks"))
     else:
-        k_cache, v_cache, k_scale, v_scale = update_kv_cache(
-            k_cache, v_cache, k, v, n_past, k_scale, v_scale)
+        if not shared:
+            k_cache, v_cache, k_scale, v_scale = update_kv_cache(
+                k_cache, v_cache, k, v, n_past, k_scale, v_scale)
         scale = cfg.attention_scale if cfg.attention_scale > 0 else d ** -0.5
         out = attention_with_cache(
             q, k_cache, v_cache, n_past, T,
@@ -846,10 +895,33 @@ def gated_deltanet_block(cfg: TransformerConfig, p, x, conv_state, S0,
     return matmul(out, p["o"], shard="in").astype(x.dtype), new_conv_state, S
 
 
+def gemma4_cascade_moe(cfg: TransformerConfig, m, x):
+    """Gemma4 residual-fed MoE branch (Gemma4MoE::forward +
+    Gemma4TextRouter::forward2, models/gemma4.cpp:1834-1960): router =
+    softmax(proj(rmsnorm(x))) with the norm weight pre-scaled by
+    1/sqrt(hidden) at load, top-k renormalized and multiplied by a learned
+    per-expert scale; experts consume pre_ffn_norm_2(x); output gets
+    post_ffn_norm_2."""
+    B, T, H = x.shape
+    xt = x.reshape(B * T, H)
+    rn = rms_norm(xt, m["router_norm"]["w"], eps=cfg.norm_eps)
+    logits = matmul(rn, m["router_proj"]).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.moe_top_k)
+    topv = topv / (jnp.sum(topv, axis=-1, keepdims=True) + 1e-20)
+    topv = topv * m["per_expert_scale"].astype(jnp.float32)[topi]
+    h2 = rms_norm(xt, m["pre2"]["w"], eps=cfg.norm_eps)
+    y = _experts_out(cfg, m["experts"], h2.astype(x.dtype), topi, topv,
+                     cfg.moe_num_experts)
+    y = rms_norm(y, m["post2"]["w"], eps=cfg.norm_eps)
+    return y.reshape(B, T, H).astype(x.dtype)
+
+
 def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
                   cos, sin, k_cache, v_cache, n_past,
                   k_scale=None, v_scale=None, q_mult=None,
-                  mask_extra=None, valid=None):
+                  mask_extra=None, valid=None, rope_cfg=None,
+                  layer_emb=None):
     """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
     (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
     if spec.no_attn:
@@ -868,7 +940,7 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
     else:
         attn_out, k_cache, v_cache, k_scale, v_scale = attention_block(
             cfg, spec, p["attn"], h, cos, sin, k_cache, v_cache, n_past,
-            k_scale, v_scale, q_mult, mask_extra)
+            k_scale, v_scale, q_mult, mask_extra, rope_cfg)
     if cfg.post_norms:
         attn_out = _norm(cfg, attn_out, p["post_attn_norm"])
     rs = cfg.residual_scale
@@ -887,10 +959,30 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
     else:
         x = x + rs * attn_out if rs != 1.0 else x + attn_out
         h = _norm(cfg, x, p["ffn_norm"]) if cfg.pre_norm else x
-        mlp_out = mlp_dispatch(cfg, spec, p["mlp"], h)
+        if cfg.cascaded_moe and "moe" in p:
+            # CascadedMLP (models/gemma4.cpp:1990-2001): dense MLP output
+            # normed by post_ffn_norm_1 PLUS the MoE branch fed the
+            # pre-MLP residual x; the outer post_ffn_norm wraps the sum
+            dense = gated_mlp(cfg, p["mlp"], h)
+            mlp_out = (rms_norm(dense, p["moe"]["post1"]["w"], eps=cfg.norm_eps)
+                       + gemma4_cascade_moe(cfg, p["moe"], x))
+        else:
+            mlp_out = mlp_dispatch(cfg, spec, p["mlp"], h)
         if cfg.post_norms:
             mlp_out = _norm(cfg, mlp_out, p["post_ffn_norm"])
         x = x + rs * mlp_out if rs != 1.0 else x + mlp_out
+    if layer_emb is not None and "ple_gate" in p:
+        # PerLayerEmbeddingBlock (models/gemma4.cpp:1703-1727): gated mix of
+        # the layer's per-layer embedding back into the stream
+        resid = x
+        g = _act(cfg.act)(matmul(x, p["ple_gate"]))
+        hp = matmul((g * layer_emb.astype(g.dtype)), p["ple_proj"])
+        hp = rms_norm(hp, p["ple_norm"]["w"], eps=cfg.norm_eps)
+        x = resid + hp.astype(x.dtype)
+    if "layer_scalar" in p:
+        # learned whole-block output scale (Gemma4 BlockForward,
+        # models/gemma4.cpp:2104)
+        x = (x.astype(jnp.float32) * p["layer_scalar"]).astype(x.dtype)
     return x, k_cache, v_cache, k_scale, v_scale
 
 
@@ -922,7 +1014,7 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
                         n_past, *, last_only: bool = False,
                         positions=None, input_embeds=None,
                         return_hidden: bool = False, mask_extra=None,
-                        extra_residuals=None, n_valid=None):
+                        extra_residuals=None, n_valid=None, ple_ids=None):
     """ids: [B, T] int32 → (logits [B, T|1, V] f32, new cache).
 
     `input_embeds` [B, T, H] overrides token embedding lookup (multimodal
@@ -992,6 +1084,25 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
     if n_valid is not None:
         valid = (jnp.arange(T)[None, :] < n_valid).astype(jnp.float32)
 
+    ple_embs = None
+    if cfg.ple_dim > 0 and "ple" in params:
+        # Gemma4 per-layer embeddings (PerLayerEmbedding::forward,
+        # models/gemma4.cpp:1656-1676): table lookup (pre-scaled sqrt(dpl)
+        # on disk) + projected-and-normed input embeddings, × sqrt(0.5).
+        # ple_ids default to the token ids; multimodal callers pass media
+        # ids clamped to pad (reference run_model ids_for_layer).
+        pl = params["ple"]
+        pids = ids if ple_ids is None else ple_ids
+        assert pids is not None, (
+            "per-layer embeddings need token ids: pass ple_ids alongside "
+            "input_embeds")
+        Lp, dpl = cfg.num_hidden_layers, cfg.ple_dim
+        pe = jnp.take(pl["embed"], pids, axis=0).reshape(B, T, Lp, dpl)
+        proj = matmul(x, pl["proj"]).astype(jnp.float32)
+        proj = proj.reshape(B, T, Lp, dpl) * (cfg.hidden_size ** -0.5)
+        proj = rms_norm(proj, pl["norm"]["w"], eps=cfg.norm_eps)
+        ple_embs = ((pe.astype(jnp.float32) + proj) * (0.5 ** 0.5)).astype(x.dtype)
+
     ks, vs = list(cache.k), list(cache.v)
     quant = cache.k_scale is not None
     kss = list(cache.k_scale) if quant else [None] * len(cache.k)
@@ -1013,10 +1124,23 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
                 t = cfg.layer_fwd_alpha
                 x = (t * fwd_saved.pop(i).astype(jnp.float32)
                      + (1.0 - t) * x.astype(jnp.float32)).astype(x.dtype)
-            c, s_ = (cos_l, sin_l) if (spec.local_rope and cos_l is not None) else (cos, sin)
-            x, ks[ci], vs[ci], kss[ci], vss[ci] = decoder_layer(
-                cfg, spec, params["layers"][i], x, c, s_, ks[ci], vs[ci],
-                n_past, kss[ci], vss[ci], q_mult, mask_extra, valid)
+            use_local = spec.local_rope and cos_l is not None
+            c, s_ = (cos_l, sin_l) if use_local else (cos, sin)
+            rcfg = cfg.rope_local if use_local else cfg.rope
+            lemb = ple_embs[:, :, i, :] if ple_embs is not None else None
+            if spec.shared_kv_from >= 0:
+                # read the source layer's cache (already updated this step —
+                # shared layers come after their source); discard writes
+                cj = loop * L + spec.shared_kv_from
+                x, _, _, _, _ = decoder_layer(
+                    cfg, spec, params["layers"][i], x, c, s_, ks[cj], vs[cj],
+                    n_past, kss[cj], vss[cj], q_mult, mask_extra, valid,
+                    rcfg, lemb)
+            else:
+                x, ks[ci], vs[ci], kss[ci], vss[ci] = decoder_layer(
+                    cfg, spec, params["layers"][i], x, c, s_, ks[ci], vs[ci],
+                    n_past, kss[ci], vss[ci], q_mult, mask_extra, valid,
+                    rcfg, lemb)
             if extra_residuals is not None and i < extra_residuals.shape[0]:
                 # DeepStack visual features added to the first few layers'
                 # hidden states (HF Qwen3VLTextModel._deepstack_process;

@@ -110,3 +110,54 @@ def log_mel_spectrogram(samples: np.ndarray, *, n_mels: int = 128,
     log_spec = log_spec[:, :-1]
     log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
     return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+def load_pcm(path: str, sample_rate: int = 16000) -> np.ndarray:
+    """Alias for load_audio (raw mono PCM f32)."""
+    return load_audio(path, sample_rate)
+
+
+def htk_mel_filterbank(n_mels: int, n_fft: int, sample_rate: int,
+                       f_min: float = 0.0, f_max: float = -1.0) -> np.ndarray:
+    """HTK-formula triangular mel filterbank WITHOUT slaney normalization
+    [n_mels, n_fft//2+1] (reference build_mel_filter_bank(..., htk=true),
+    audio_process.cpp:149-186, as called by mel_spectrogram_gemma_4:651)."""
+    if f_max <= f_min:
+        f_max = sample_rate / 2.0
+    hz2mel = lambda f: 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+    mel2hz = lambda m: 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+    mel_f = mel2hz(np.linspace(hz2mel(f_min), hz2mel(f_max), n_mels + 2))
+    # n_fft here is the FULL fft length; reference sums over all n_fft bins
+    # of the (symmetric) power spectrum, with bin freqs k*sr/n_fft — only
+    # bins strictly inside (mel_f[i], mel_f[i+2]) get weights, so in
+    # practice only the first half contributes
+    bins = np.arange(n_fft) * (sample_rate / float(n_fft))
+    fb = np.zeros((n_mels, n_fft), np.float64)
+    for i in range(n_mels):
+        inside = (bins > mel_f[i]) & (bins < mel_f[i + 2])
+        lower = (bins - mel_f[i]) / (mel_f[i + 1] - mel_f[i])
+        upper = 1.0 - (bins - mel_f[i + 1]) / (mel_f[i + 2] - mel_f[i + 1])
+        fb[i] = np.where(inside, np.minimum(lower, upper), 0.0)
+    return fb.astype(np.float32)
+
+
+def log_mel_gemma4(samples: np.ndarray, cfg) -> np.ndarray:
+    """Gemma-4 mel features [frames, feature_size] (reference
+    mel_spectrogram_gemma_4, audio_process.cpp:639-686): left-pad
+    frame_length/2 zeros, periodic-hann(frame_length) windowed frames every
+    hop, zero-padded FFT of fft_length, MAGNITUDE spectrum (sqrt of power),
+    HTK mel filters, log(sum + mel_floor); frames = n_samples // hop."""
+    x = np.asarray(samples, np.float32)
+    n_frames = len(x) // cfg.hop_length
+    x = np.pad(x, (cfg.frame_length // 2, cfg.frame_length))
+    window = (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(cfg.frame_length)
+                                  / cfg.frame_length))).astype(np.float32)
+    idx = (np.arange(cfg.frame_length)[None, :]
+           + cfg.hop_length * np.arange(n_frames)[:, None])
+    frames = x[idx] * window[None, :]
+    frames = np.pad(frames, ((0, 0), (0, cfg.fft_length - cfg.frame_length)))
+    mag = np.abs(np.fft.fft(frames, axis=1))              # full symmetric fft
+    fb = htk_mel_filterbank(cfg.feature_size, cfg.fft_length,
+                            cfg.sampling_rate)
+    mel = mag @ fb.T                                      # [frames, n_mels]
+    return np.log(mel + cfg.mel_floor).astype(np.float32)

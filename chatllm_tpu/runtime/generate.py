@@ -328,14 +328,16 @@ class InferenceEngine:
         return logits, cache, n_past
 
     def prefill_embeds(self, embeds, cache: KVCache, n_past: int,
-                       positions=None, extra_residuals=None):
+                       positions=None, extra_residuals=None, ple_ids=None):
         """Prefill from pre-computed input embeddings [1, T, H] (multimodal
         prompts with spliced media embeddings).
 
         `positions` (optional): explicit rope positions — [T] 1-D, or [A, T]
         M-RoPE axis streams (t, h, w[, e]) for Qwen-VL-style models.
         `extra_residuals` (optional): [n_ds, B, T, H] DeepStack features
-        added to the hidden states after layers 0..n_ds-1 (Qwen3-VL)."""
+        added to the hidden states after layers 0..n_ds-1 (Qwen3-VL).
+        `ple_ids` (optional): [1, T] per-layer-embedding token ids with media
+        positions clamped to pad (Gemma4 run_model ids_for_layer)."""
         cfg = self.cfg
         T = embeds.shape[1]
         room = max(1, self._write_capacity(cache) - n_past)
@@ -353,9 +355,10 @@ class InferenceEngine:
                     p = p[0]
                 er = None if extra_residuals is None else \
                     extra_residuals[:, :, done:done + n]
+                pi = None if ple_ids is None else ple_ids[:, done:done + n]
                 logits, cache, n_past = self.prefill_embeds(
                     embeds[:, done:done + n], cache, n_past, positions=p,
-                    extra_residuals=er)
+                    extra_residuals=er, ple_ids=pi)
                 done += n
             return logits, cache, n_past
         tpad = _fit_bucket(T, room, hi=max(16, self.max_length))
@@ -364,6 +367,9 @@ class InferenceEngine:
             if extra_residuals is not None:
                 extra_residuals = jnp.pad(
                     extra_residuals, ((0, 0), (0, 0), (0, tpad - T), (0, 0)))
+        if ple_ids is not None and ple_ids.shape[1] != tpad:
+            ple_ids = jnp.pad(ple_ids,
+                              ((0, 0), (0, tpad - ple_ids.shape[1])))
         if positions is not None:
             positions = jnp.asarray(np.atleast_2d(np.asarray(positions, np.int32)))
             if positions.shape[-1] != tpad:
@@ -375,20 +381,23 @@ class InferenceEngine:
 
         key_s = ("embeds", tpad, positions is not None,
                  None if positions is None else positions.shape[0],
-                 None if extra_residuals is None else extra_residuals.shape[0])
+                 None if extra_residuals is None else extra_residuals.shape[0],
+                 ple_ids is not None)
         if key_s not in self._prefill_cache:
             @partial(jax.jit, donate_argnums=(1,))
-            def prefill_e(params, cache, embeds, n_past, n_tokens, pos, er):
+            def prefill_e(params, cache, embeds, n_past, n_tokens, pos, er,
+                          pids):
                 logits, cache = transformer_forward(
                     cfg, params, None, cache, n_past, input_embeds=embeds,
-                    positions=pos, extra_residuals=er, n_valid=n_tokens)
+                    positions=pos, extra_residuals=er, n_valid=n_tokens,
+                    ple_ids=pids)
                 last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
                 return last[:, 0, :], cache
 
             self._prefill_cache[key_s] = prefill_e
         fn = self._prefill_cache[key_s]
         logits, cache = fn(self.params, cache, embeds, jnp.int32(n_past),
-                           jnp.int32(T), positions, extra_residuals)
+                           jnp.int32(T), positions, extra_residuals, ple_ids)
         return logits, cache, n_past + T
 
     def generate_from_logits(self, logits, cache, n_past, gen_cfg,
