@@ -11,6 +11,7 @@ from .model_types import ModelType
 # import for registration side-effects
 from . import llama      # noqa: F401
 from . import qwen       # noqa: F401
+from . import qwen_tts   # noqa: F401
 from . import mistral    # noqa: F401
 from . import gemma      # noqa: F401
 from . import gemma4     # noqa: F401

@@ -161,3 +161,25 @@ def log_mel_gemma4(samples: np.ndarray, cfg) -> np.ndarray:
                             cfg.sampling_rate)
     mel = mag @ fb.T                                      # [frames, n_mels]
     return np.log(mel + cfg.mel_floor).astype(np.float32)
+
+
+def log_mel_dual_reflect(samples: np.ndarray, *, n_mels: int = 128,
+                         n_fft: int = 1024, hop_length: int = 256,
+                         sample_rate: int = 24000) -> np.ndarray:
+    """Qwen3-TTS speaker-encoder mel [frames, n_mels] (reference
+    mel_spectrogram_dual_pad_reflect, audio_process.cpp:592-637):
+    reflect-pad (n_fft - hop)/2 both sides, periodic hann, MAGNITUDE
+    spectrum, slaney filterbank, log(max(1e-5, x))."""
+    x = np.asarray(samples, np.float32)
+    half = (n_fft - hop_length) // 2
+    x = np.pad(x, (half, half), mode="reflect")
+    window = (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft)
+                                  / n_fft))).astype(np.float32)
+    n_frames = 1 + (len(x) - n_fft) // hop_length
+    idx = (np.arange(n_fft)[None, :]
+           + hop_length * np.arange(n_frames)[:, None])
+    frames = x[idx] * window[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))             # [frames, bins]
+    fb = mel_filterbank(n_mels, n_fft, sample_rate)
+    mel = mag @ fb.T
+    return np.log(np.maximum(mel, 1e-5)).astype(np.float32)
