@@ -127,6 +127,16 @@ class ChatLLM:
         """chatllm_ai_continue (libchatllm.h:305)."""
         return self.pipeline.chat_continue(self.streamer)
 
+    def tool_completion(self, content: str) -> str:
+        """chatllm_tool_completion (libchatllm.h:305): append `content` to
+        the last AI message (e.g. a code-interpreter's captured output) and
+        continue generation from there."""
+        p = self.pipeline
+        assert len(p.history) > 0 and \
+            p.history[len(p.history) - 1].role == MsgRole.ASSISTANT
+        p.history.items[-1].content += content
+        return p.chat_continue(self.streamer)
+
     def abort_generation(self):
         """chatllm_abort_generation (libchatllm.h:361)."""
         if self.pipeline:

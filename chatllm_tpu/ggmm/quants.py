@@ -222,6 +222,36 @@ def _deq_q2_k(raw: np.ndarray) -> np.ndarray:
     return y.reshape(nb, QK_K)
 
 
+def _deq_q3_k(raw: np.ndarray) -> np.ndarray:
+    """block_q3_K: hmask[32] | qs[64] | scales[12] | d:f16
+    (dequantize_row_q3_K, ggml/src/ggml-quants.c:1128-1175)."""
+    nb = raw.shape[0]
+    hm = raw[:, 0:32]
+    qs = raw[:, 32:96].reshape(nb, 2, 32)         # two 128-value halves
+    d = _f16(raw[:, 108:110])                     # [nb,1]
+    aux = np.ascontiguousarray(raw[:, 96:108]).view(np.uint32)  # [nb,3]
+    a0, a1, tmp = (aux[:, 0].astype(np.uint32), aux[:, 1].astype(np.uint32),
+                   aux[:, 2].astype(np.uint32))
+    k1, k2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    n0 = (a0 & k2) | (((tmp >> 0) & k1) << 4)
+    n1 = (a1 & k2) | (((tmp >> 2) & k1) << 4)
+    n2 = ((a0 >> 4) & k2) | (((tmp >> 4) & k1) << 4)
+    n3 = ((a1 >> 4) & k2) | (((tmp >> 6) & k1) << 4)
+    sc = np.ascontiguousarray(
+        np.stack([n0, n1, n2, n3], axis=1)).view(np.uint8)      # [nb,16]
+    sc = sc.astype(np.float32) - 32.0
+    shifts = np.arange(4, dtype=np.uint8)
+    q = (qs[:, :, None, :] >> (2 * shifts)[None, None, :, None]) & 3
+    hbit_idx = (4 * np.arange(2)[:, None] + shifts[None, :]).astype(np.uint8)
+    hb = (hm[:, None, None, :] >> hbit_idx[None, :, :, None]) & 1
+    vals = q.astype(np.float32) + 4.0 * hb.astype(np.float32) - 4.0
+    # scale group g = 8*half + 2*shift + (lane >= 16)
+    vals = vals.reshape(nb, 2, 4, 2, 16)
+    scg = sc.reshape(nb, 2, 4, 2)
+    y = d[:, 0][:, None, None, None, None] * scg[..., None] * vals
+    return y.reshape(nb, QK_K)
+
+
 _DEQ = {
     GGMLType.Q4_0: _deq_q4_0,
     GGMLType.Q4_1: _deq_q4_1,
@@ -232,6 +262,7 @@ _DEQ = {
     GGMLType.Q5_K: _deq_q5_k,
     GGMLType.Q6_K: _deq_q6_k,
     GGMLType.Q2_K: _deq_q2_k,
+    GGMLType.Q3_K: _deq_q3_k,
 }
 
 

@@ -174,8 +174,10 @@ class Gemma2(BaseLLM):
         (n_kv, head_dim, query_pre_attn_scalar, sliding_window,
          rope_theta, final_softcap, attn_softcap) = extra
         n_layers = base.num_hidden_layers
-        # odd layers use SWA (models/gemma.h:123 `layer_id % 2`)
-        specs = tuple(LayerSpec(sliding_window=sliding_window if (i % 2) else 0)
+        # EVEN layers use SWA (HF Gemma2Config.layer_types: sliding at
+        # layer_idx % 2 == 0 — the reference's is_sliding `layer_id % 2`,
+        # models/gemma.h:123, has the parity inverted; HF is ground truth)
+        specs = tuple(LayerSpec(sliding_window=sliding_window if (i % 2 == 0) else 0)
                       for i in range(n_layers))
         cfg = TransformerConfig(
             vocab_size=base.vocab_size, hidden_size=base.hidden_size,

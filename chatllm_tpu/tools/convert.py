@@ -406,6 +406,303 @@ def convert_gpt_oss(w, f, cfg, sd, dtype):
     emit("lm_head.weight", sd["lm_head.weight"])
 
 
+def _gemma_fold(sd: dict, hidden: int, fold_qk_norm=False) -> dict:
+    """Gemma-family weight folds (reference GemmaConverter.pp,
+    convert.py:6501): embeddings ×sqrt(hidden), RMSNorm weights stored 1+w."""
+    out = {}
+    for n, a in sd.items():
+        if n == "model.embed_tokens.weight":
+            a = a * np.float32(hidden ** 0.5)
+        elif n.endswith("norm.weight") or n.endswith("layernorm.weight"):
+            if fold_qk_norm or not n.endswith(("q_norm.weight", "k_norm.weight")):
+                a = 1.0 + a
+        out[n] = a
+    return out
+
+
+def convert_gemma(w, f, cfg, sd, dtype):
+    """GemmaForCausalLM → GEMMA (models/gemma.h:9-14): interleaved rope →
+    q/k permuted; tied head."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    hd = cfg.get("head_dim", cfg["hidden_size"] // heads)
+    w.write_config(_base_vals(cfg, dtype) + [kv, hd], fmt="13i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.GEMMA))
+    sd = _gemma_fold(sd, cfg["hidden_size"])
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=True):
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_gemma2(w, f, cfg, sd, dtype):
+    """Gemma2ForCausalLM → GEMMA2 (models/gemma.h:59-69): sandwich norms,
+    odd-layer SWA, softcaps; interleaved rope → q/k permuted."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    hd = cfg.get("head_dim", cfg["hidden_size"] // heads)
+    w.write_config(
+        _base_vals(cfg, dtype)
+        + [kv, hd, int(cfg.get("query_pre_attn_scalar", hd)),
+           int(cfg.get("sliding_window", 4096))], fmt="15i")
+    f.write(struct.pack("<3f", float(cfg.get("rope_theta", 10000.0)),
+                        float(cfg.get("final_logit_softcapping", 30.0)),
+                        float(cfg.get("attn_logit_softcapping", 50.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.GEMMA2))
+    sd = _gemma_fold(sd, cfg["hidden_size"])
+    names = _llama_like_names(cfg["num_hidden_layers"], tie=True)
+    for i in range(cfg["num_hidden_layers"]):
+        names += [f"model.layers.{i}.post_feedforward_layernorm.weight",
+                  f"model.layers.{i}.pre_feedforward_layernorm.weight"]
+    for n in names:
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_gemma3(w, f, cfg, sd, dtype):
+    """Gemma3ForCausalLM (text) → GEMMA3 (models/gemma.h:255-266): 5:1 SWA
+    pattern w/ dual rope bases, qk norms (stored 1+w), NEOX rope — no
+    permutation."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    hd = cfg.get("head_dim", cfg["hidden_size"] // heads)
+    scaling = cfg.get("rope_scaling") or {}
+    w.write_config(
+        _base_vals(cfg, dtype)
+        + [kv, hd, int(cfg.get("query_pre_attn_scalar", hd)),
+           int(cfg.get("sliding_window", 1024)),
+           int(cfg.get("sliding_window_pattern", 6))], fmt="16i")
+    f.write(struct.pack("<3f",
+                        float(cfg.get("rope_local_base_freq", 10000.0)),
+                        float(cfg.get("rope_theta", 1000000.0)),
+                        float(scaling.get("factor", 1.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.GEMMA3))
+    sd = _gemma_fold(sd, cfg["hidden_size"], fold_qk_norm=True)
+    names = _llama_like_names(cfg["num_hidden_layers"], tie=True, qk_norm=True)
+    for i in range(cfg["num_hidden_layers"]):
+        names += [f"model.layers.{i}.post_feedforward_layernorm.weight",
+                  f"model.layers.{i}.pre_feedforward_layernorm.weight"]
+    for n in names:
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
+def convert_glm4_0414(w, f, cfg, sd, dtype):
+    """Glm4ForCausalLM → GLM4_0414 (reference GLM4Converter,
+    convert.py:4083): gate_up split, partial interleaved rotary as-is."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    hd = cfg.get("head_dim", cfg["hidden_size"] // heads)
+    rope_dim = int(hd * cfg.get("partial_rotary_factor", 0.5))
+    w.write_config(_base_vals(cfg, dtype)
+                   + [kv, int(bool(cfg.get("attention_bias", False))), rope_dim],
+                   fmt="14i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.GLM4_0414))
+    L = cfg["num_hidden_layers"]
+    names = ["model.embed_tokens.weight"]
+    for i in range(L):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.mlp.down_proj.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.post_mlp_layernorm.weight",
+                  f"{pfx}.post_self_attn_layernorm.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight"]
+    names += ["model.norm.weight", "lm_head.weight"]
+    for n in names:
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+    for i in range(L):
+        gu = sd[f"model.layers.{i}.mlp.gate_up_proj.weight"]
+        F2 = gu.shape[0] // 2
+        w.write_tensor(f"model.layers.{i}.mlp.gate_proj.weight", gu[:F2], dtype)
+        w.write_tensor(f"model.layers.{i}.mlp.up_proj.weight", gu[F2:], dtype)
+
+
+def convert_olmo2(w, f, cfg, sd, dtype):
+    """Olmo2ForCausalLM → OLMo2 (models/allenai.h): post-norm blocks,
+    full-projection qk-norm, NEOX rope — tensors pass through."""
+    kv = cfg.get("num_key_value_heads", cfg["num_attention_heads"])
+    w.write_config(_base_vals(cfg, dtype) + [kv], fmt="12i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 500000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.OLMo2))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.post_feedforward_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.self_attn.q_norm.weight",
+                  f"{pfx}.self_attn.k_norm.weight",
+                  f"{pfx}.mlp.gate_proj.weight",
+                  f"{pfx}.mlp.up_proj.weight",
+                  f"{pfx}.mlp.down_proj.weight"]
+    names += ["model.norm.weight", "lm_head.weight"]
+    for n in names:
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
+def convert_starcoder2(w, f, cfg, sd, dtype):
+    """Starcoder2ForCausalLM → STARCODER2 (models/starcoder.cpp): LayerNorm
+    + biases, c_fc/c_proj GELU MLP, NEOX rope."""
+    kv = cfg.get("num_key_value_heads", cfg["num_attention_heads"])
+    tie = bool(cfg.get("tie_word_embeddings", True))
+    w.write_config(_base_vals(cfg, dtype)
+                   + [kv, int(cfg.get("sliding_window") or -1)], fmt="13i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 100000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.STARCODER2))
+    names = ["model.embed_tokens.weight", "model.norm.weight",
+             "model.norm.bias"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight", f"{pfx}.input_layernorm.bias",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.bias"]
+        for p in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            names += [f"{pfx}.self_attn.{p}.weight", f"{pfx}.self_attn.{p}.bias"]
+        names += [f"{pfx}.mlp.c_fc.weight", f"{pfx}.mlp.c_fc.bias",
+                  f"{pfx}.mlp.c_proj.weight", f"{pfx}.mlp.c_proj.bias"]
+    if not tie:
+        names.append("lm_head.weight")
+    for n in names:
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
+def convert_cohere(w, f, cfg, sd, dtype):
+    """CohereForCausalLM → COHERE_COMMAND_R (models/cohere.cpp): parallel
+    residual, bias-free LayerNorm, interleaved rope → q/k permuted, tied."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    w.write_config(_base_vals(cfg, dtype) + [kv], fmt="12i")
+    f.write(struct.pack("<ff", float(cfg.get("rope_theta", 8000000.0)),
+                        float(cfg.get("logit_scale", 0.0625))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.COHERE_COMMAND_R))
+    names = ["model.embed_tokens.weight", "model.norm.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.mlp.gate_proj.weight", f"{pfx}.mlp.up_proj.weight",
+                  f"{pfx}.mlp.down_proj.weight"]
+    for n in names:
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_granite(w, f, cfg, sd, dtype):
+    """GraniteForCausalLM → GRANITE (models/granite.cpp:277-290): attention/
+    residual/logit multipliers stored raw; interleaved rope → q/k permuted."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    w.write_config(_base_vals(cfg, dtype) + [kv, int(tie)], fmt="13i")
+    f.write(struct.pack("<4f",
+                        float(cfg.get("attention_multiplier", 1.0)),
+                        float(cfg.get("logits_scaling", 1.0)),
+                        float(cfg.get("residual_multiplier", 1.0)),
+                        float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.GRANITE))
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=tie):
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_phi3(w, f, cfg, sd, dtype):
+    """Phi3ForCausalLM → PHI3 (reference Phi3Converter, convert.py:4479):
+    fused qkv_proj / gate_up_proj split, q/k permuted."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    assert not cfg.get("rope_scaling"), \
+        "Phi3 LongRoPE (su) checkpoints not supported yet"
+    w.write_config(
+        _base_vals(cfg, dtype)
+        + [kv, int(cfg.get("original_max_position_embeddings",
+                           cfg["max_position_embeddings"])),
+           int(cfg.get("sliding_window") or -1)], fmt="14i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.PHI3))
+    H = cfg["hidden_size"]
+    kv_size = H // heads * kv
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        qkv = sd.pop(f"{pfx}.self_attn.qkv_proj.weight")
+        sd[f"{pfx}.self_attn.q_proj.weight"] = permute_rope(qkv[:H], heads)
+        sd[f"{pfx}.self_attn.k_proj.weight"] = permute_rope(
+            qkv[H:H + kv_size], kv)
+        sd[f"{pfx}.self_attn.v_proj.weight"] = qkv[H + kv_size:]
+        gu = sd.pop(f"{pfx}.mlp.gate_up_proj.weight")
+        F2 = gu.shape[0] // 2
+        sd[f"{pfx}.mlp.gate_proj.weight"] = gu[:F2]
+        sd[f"{pfx}.mlp.up_proj.weight"] = gu[F2:]
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=False):
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
+def convert_olmoe(w, f, cfg, sd, dtype):
+    """OlmoeForCausalLM → OLMoE (models/allenai.h:7-14): full-projection
+    qk-norm MoE, NEOX rope — tensors pass through."""
+    kv = cfg.get("num_key_value_heads", cfg["num_attention_heads"])
+    n_exp = cfg["num_experts"]
+    w.write_config(_base_vals(cfg, dtype)
+                   + [kv, cfg["num_experts_per_tok"], n_exp,
+                      int(bool(cfg.get("norm_topk_prob", False)))], fmt="15i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.OLMoE))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.self_attn.q_norm.weight",
+                  f"{pfx}.self_attn.k_norm.weight",
+                  f"{pfx}.mlp.gate.weight"]
+        for j in range(n_exp):
+            names += [f"{pfx}.mlp.experts.{j}.gate_proj.weight",
+                      f"{pfx}.mlp.experts.{j}.up_proj.weight",
+                      f"{pfx}.mlp.experts.{j}.down_proj.weight"]
+    names += ["model.norm.weight", "lm_head.weight"]
+    for n in names:
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
 ARCH_CONVERTERS = {
     "GptOssForCausalLM": convert_gpt_oss,
     "LlamaForCausalLM": convert_llama,
@@ -413,6 +710,16 @@ ARCH_CONVERTERS = {
     "Qwen3ForCausalLM": convert_qwen3,
     "MistralForCausalLM": convert_mistral,
     "HunYuanDenseV1ForCausalLM": convert_hunyuan,
+    "GemmaForCausalLM": convert_gemma,
+    "Gemma2ForCausalLM": convert_gemma2,
+    "Gemma3ForCausalLM": convert_gemma3,
+    "Glm4ForCausalLM": convert_glm4_0414,
+    "Olmo2ForCausalLM": convert_olmo2,
+    "Starcoder2ForCausalLM": convert_starcoder2,
+    "CohereForCausalLM": convert_cohere,
+    "GraniteForCausalLM": convert_granite,
+    "Phi3ForCausalLM": convert_phi3,
+    "OlmoeForCausalLM": convert_olmoe,
 }
 
 

@@ -148,3 +148,84 @@ def test_model_downloader_resolution(tmp_path, monkeypatch):
     monkeypatch.setattr(md, "load_catalog", lambda: catalog)
     out = md.preprocess_args(["-m", ":tiny", "-i"], str(tmp_path))
     assert out[1].endswith("tiny-1b.bin")
+
+
+def test_tool_family_prompts_and_detectors():
+    """Round-2 family breadth (reference scripts/tool_*.py): prompt builders
+    emit the family's format markers; family detectors parse the family's
+    reply shapes."""
+    from chatllm_tpu.tools.toolcall import (
+        FAMILY_PROMPTS, FAMILY_DETECT, ToolRegistry, mistral_tool_prefix,
+        _detect_glm_block_call, _detect_plugin_call, _detect_pythonic_call,
+        _detect_json_array_call)
+
+    reg = ToolRegistry()
+
+    @reg.register(description="Get current weather")
+    def get_weather(city: str, unit: str = "c"):
+        return {"t": 20}
+
+    schemas = reg.schemas()
+    # every family builds a prompt mentioning the tool
+    for fam, fn in FAMILY_PROMPTS.items():
+        p = fn(schemas)
+        assert "get_weather" in p, fam
+    assert "[AVAILABLE_TOOLS]" in mistral_tool_prefix(schemas)
+    # marker spot-checks
+    assert "### Name" in FAMILY_PROMPTS["codegeex4"](schemas)
+    assert "DeepSeek Coder" in FAMILY_PROMPTS["deepseekcoder"](schemas)
+    assert "func_name1(params_name1" in FAMILY_PROMPTS["watt"](schemas)
+    assert "<tools>" in FAMILY_PROMPTS["groq"](schemas)
+    assert "params" in FAMILY_PROMPTS["glm3"](schemas)
+
+    # glm3: tool_name + ```python tool_call(...)```
+    assert _detect_glm_block_call(
+        'get_weather\n```python\ntool_call(city="Paris", unit="f")\n```'
+    ) == ("get_weather", {"city": "Paris", "unit": "f"})
+    # deepseekcoder: tool_name + ```json {...}```
+    assert _detect_glm_block_call(
+        'get_weather\n```json\n{"city": "Oslo"}\n```'
+    ) == ("get_weather", {"city": "Oslo"})
+    # internlm: <|plugin|>{json}
+    assert _detect_plugin_call(
+        '<|plugin|>{"name": "get_weather", "parameters": {"city": "Rome"}}'
+    ) == ("get_weather", {"city": "Rome"})
+    # watt: [func(a=1)]
+    assert _detect_pythonic_call(
+        "[get_weather(city='NYC', unit='f')]"
+    ) == ("get_weather", {"city": "NYC", "unit": "f"})
+    # mistral: JSON array of calls
+    assert _detect_json_array_call(
+        '[{"name": "get_weather", "arguments": {"city": "Lima"}}]'
+    ) == ("get_weather", {"city": "Lima"})
+    assert _detect_json_array_call("hello [world]") is None
+    for det in FAMILY_DETECT.values():
+        assert det("a plain prose answer") is None
+
+
+def test_code_interpreter_session():
+    """NuminaMath code-interpreter loop (scripts/tool_numinamath.py): a
+    reply ending with ```output triggers exec of the last python block and
+    a tool_completion continuation."""
+    from chatllm_tpu.tools.toolcall import CodeInterpreterSession
+
+    class FakeLLM:
+        def __init__(self):
+            self.completions = []
+
+        def chat(self, s):
+            return ("Let me compute.\n```python\nprint(6*7)\n```\n```output")
+
+        def tool_completion(self, s):
+            self.completions.append(s)
+            return "The answer is 42."
+
+    llm = FakeLLM()
+    sess = CodeInterpreterSession(llm, allow_exec=True)
+    out = sess.chat("what is 6*7?")
+    assert out == "The answer is 42."
+    assert llm.completions == ["\n42\n```"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        CodeInterpreterSession(llm)          # exec must be opted into

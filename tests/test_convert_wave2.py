@@ -1,0 +1,193 @@
+"""Converter wave 2 (VERDICT item 8): 10 more HF families end-to-end —
+random-init HF checkpoint → tools/convert.py → load_model → logits match the
+HF model exactly."""
+import json
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from chatllm_tpu.models import RuntimeConfig, load_model
+from chatllm_tpu.tools.convert import convert
+from test_convert import _save_hf_dir
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+RT32 = dict(weight_dtype="float32", compute_dtype="float32",
+            cache_dtype="float32")
+V = 260
+
+
+def _unigram_json(specials=()):
+    pieces = [[f"<s{i}>", -float(i)] for i in range(V - len(specials))]
+    pieces += [[s, -1000.0] for s in specials]
+    return {"model": {"type": "Unigram", "vocab": pieces}}
+
+
+def _save_dir(tmp_path, hf, cfg, arch, specials, unigram=False):
+    d = _save_hf_dir(tmp_path, hf, {**cfg.to_dict(), "architectures": [arch]},
+                     [] if unigram else specials)
+    if unigram:
+        (tmp_path / "hf" / "tokenizer.json").write_text(
+            json.dumps(_unigram_json(specials)))
+    return d
+
+
+def _check(tmp_path, hf, cfg, arch, specials=(), unigram=False, atol=3e-3,
+           ids=(7, 30, 102, 89, 5, 41, 77, 150)):
+    d = _save_dir(tmp_path, hf, cfg, arch, list(specials), unigram)
+    out = str(tmp_path / "m.bin")
+    convert(d, out, "f32")
+    model = load_model(out, RuntimeConfig(**RT32))
+    a = np.array([list(ids)], dtype=np.int32)
+    logits, _ = model.forward_logits(a)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(a.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=atol,
+                               rtol=3e-3)
+    return model
+
+
+def test_convert_gemma(tmp_path):
+    torch.manual_seed(20)
+    cfg = transformers.GemmaConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-6, hidden_activation="gelu_pytorch_tanh",
+        pad_token_id=0, eos_token_id=1, bos_token_id=2)
+    hf = transformers.GemmaForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "GemmaForCausalLM",
+           ["<pad>", "<start_of_turn>", "<end_of_turn>"], unigram=True)
+
+
+def test_convert_gemma2(tmp_path):
+    torch.manual_seed(21)
+    cfg = transformers.Gemma2Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=4, intermediate_size=96,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        query_pre_attn_scalar=16, sliding_window=4,
+        final_logit_softcapping=30.0, attn_logit_softcapping=50.0,
+        rms_norm_eps=1e-6, pad_token_id=0, eos_token_id=1, bos_token_id=2)
+    hf = transformers.Gemma2ForCausalLM(cfg).eval()
+    # seq len (8) > sliding_window (4) so the even-layer SWA pattern is live
+    _check(tmp_path, hf, cfg, "Gemma2ForCausalLM",
+           ["<pad>", "<start_of_turn>", "<end_of_turn>"], unigram=True)
+
+
+def test_convert_gemma3(tmp_path):
+    if not hasattr(transformers, "Gemma3ForCausalLM"):
+        pytest.skip("no Gemma3")
+    torch.manual_seed(22)
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=6, intermediate_size=96,
+        head_dim=16, max_position_embeddings=128, rope_theta=1000000.0,
+        rope_local_base_freq=10000.0, sliding_window=4,
+        sliding_window_pattern=3, query_pre_attn_scalar=16,
+        rms_norm_eps=1e-6, tie_word_embeddings=True, attention_bias=False,
+        rope_scaling=None, pad_token_id=0, eos_token_id=1, bos_token_id=2)
+    hf = transformers.Gemma3ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Gemma3ForCausalLM",
+           ["<pad>", "<start_of_turn>", "<end_of_turn>"], unigram=True,
+           atol=4e-3)
+
+
+def test_convert_glm4_0414(tmp_path):
+    torch.manual_seed(23)
+    cfg = transformers.Glm4Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        partial_rotary_factor=0.5, head_dim=16, attention_bias=False,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
+        bos_token_id=None)
+    hf = transformers.Glm4ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Glm4ForCausalLM",
+           ["<|user|>", "<|assistant|>", "<|system|>", "<|observation|>"])
+
+
+def test_convert_olmo2(tmp_path):
+    torch.manual_seed(24)
+    cfg = transformers.Olmo2Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=500000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1)
+    hf = transformers.Olmo2ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Olmo2ForCausalLM",
+           ["<|endoftext|>", "<|user|>", "<|assistant|>"])
+
+
+def test_convert_starcoder2(tmp_path):
+    torch.manual_seed(25)
+    cfg = transformers.Starcoder2Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=100000.0,
+        norm_epsilon=1e-5, sliding_window=4, use_bias=True,
+        tie_word_embeddings=True, pad_token_id=0, eos_token_id=1,
+        bos_token_id=2)
+    hf = transformers.Starcoder2ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Starcoder2ForCausalLM", ["<|endoftext|>"])
+
+
+def test_convert_cohere(tmp_path):
+    torch.manual_seed(26)
+    cfg = transformers.CohereConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=8000000.0,
+        layer_norm_eps=1e-5, logit_scale=0.0625, use_qk_norm=False,
+        tie_word_embeddings=True, pad_token_id=0, eos_token_id=1,
+        bos_token_id=2)
+    hf = transformers.CohereForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "CohereForCausalLM",
+           ["<|START_OF_TURN_TOKEN|>", "<|END_OF_TURN_TOKEN|>",
+            "<|USER_TOKEN|>", "<|CHATBOT_TOKEN|>", "<|SYSTEM_TOKEN|>"])
+
+
+def test_convert_granite(tmp_path):
+    torch.manual_seed(27)
+    cfg = transformers.GraniteConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+        attention_multiplier=0.015625, logits_scaling=8.0,
+        residual_multiplier=0.22, embedding_multiplier=1.0,
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
+        bos_token_id=2)
+    hf = transformers.GraniteForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "GraniteForCausalLM", ["<|endoftext|>"])
+
+
+def test_convert_phi3(tmp_path):
+    torch.manual_seed(28)
+    cfg = transformers.Phi3Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128,
+        original_max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, sliding_window=None, rope_scaling=None,
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
+        bos_token_id=2)
+    hf = transformers.Phi3ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Phi3ForCausalLM",
+           ["<|system|>", "<|user|>", "<|assistant|>", "<|end|>"],
+           unigram=True)
+
+
+def test_convert_olmoe(tmp_path):
+    torch.manual_seed(29)
+    cfg = transformers.OlmoeConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=48,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1)
+    hf = transformers.OlmoeForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "OlmoeForCausalLM",
+           ["<|endoftext|>", "<|im_start|>", "<|im_end|>"])

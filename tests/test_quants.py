@@ -81,3 +81,54 @@ def test_decode_5bit_6bit_shapes():
     y = dequantize(raw.tobytes(), GGMLType.Q6_K, (1, 256))
     assert y.shape == (1, 256)
     assert np.allclose(y, 0.0)  # scales all zero
+
+
+def test_q3_k_dequant_oracle():
+    """_deq_q3_k vs a direct transcription of the reference C loop
+    (dequantize_row_q3_K, ggml/src/ggml-quants.c:1128-1175) on random
+    block bytes."""
+    import numpy as np
+    from chatllm_tpu.ggmm.quants import GGMLType, dequantize
+
+    rng = np.random.RandomState(11)
+    nb = 5
+    raw = rng.randint(0, 256, (nb, 110), dtype=np.uint8)
+    # keep d sane: set the f16 exponent to something small
+    d_f16 = np.float16(rng.randn(nb) * 0.01)
+    raw[:, 108:110] = np.frombuffer(d_f16.tobytes(), np.uint8).reshape(nb, 2)
+
+    got = dequantize(raw.tobytes(), GGMLType.Q3_K, (nb, 256))
+
+    want = np.zeros((nb, 256), np.float32)
+    for i in range(nb):
+        hm = raw[i, 0:32]
+        qs = raw[i, 32:96]
+        aux = list(np.frombuffer(raw[i, 96:108].tobytes(), np.uint32))
+        tmp = int(aux[2])
+        k1, k2 = 0x03030303, 0x0F0F0F0F
+        a = [0] * 4
+        a[2] = ((int(aux[0]) >> 4) & k2) | (((tmp >> 4) & k1) << 4)
+        a[3] = ((int(aux[1]) >> 4) & k2) | (((tmp >> 6) & k1) << 4)
+        a[0] = (int(aux[0]) & k2) | (((tmp >> 0) & k1) << 4)
+        a[1] = (int(aux[1]) & k2) | (((tmp >> 2) & k1) << 4)
+        scales = np.frombuffer(np.asarray(a, np.uint32).tobytes(), np.int8)
+        d_all = float(d_f16[i])
+        y = []
+        isx = 0
+        qoff = 0
+        m = 1
+        for n in range(0, 256, 128):
+            shift = 0
+            for j in range(4):
+                for half in range(2):
+                    dl = d_all * (int(scales[isx]) - 32)
+                    isx += 1
+                    for l in range(16):
+                        qv = (int(qs[qoff + l + 16 * half]) >> shift) & 3
+                        hbit = int(hm[l + 16 * half]) & m
+                        y.append(dl * (qv - (0 if hbit else 4)))
+                shift += 2
+                m <<= 1
+            qoff += 32
+        want[i] = np.asarray(y, np.float32)
+    np.testing.assert_allclose(got.reshape(nb, 256), want, atol=1e-5)
