@@ -143,3 +143,39 @@ def test_beam_search(tiny_model):
 
     reply = pipe.chat("hello")
     assert isinstance(reply, str)
+
+
+def test_beam_search_pos_delta(tiny_model):
+    """VL pos_delta threading (VERDICT weak 7): beams decode with the
+    engine's rope offset — a nonzero pos_delta must change the scores (rope
+    positions shifted), and an embeds prefill must reproduce the ids
+    prefill when fed the same token embeddings."""
+    import jax.numpy as jnp
+    import numpy as np
+    from chatllm_tpu.nn.transformer import embed_tokens
+    from chatllm_tpu.runtime.beam import BeamSearchPipeline
+
+    pipe = BeamSearchPipeline(tiny_model, beam_size=2)
+    eng = tiny_model.engine
+    ids = [3, 17, 42, 9]
+
+    base = pipe._decode_beams_host(ids, 4)
+    # a uniform shift of prefill+decode positions is a no-op for rope
+    # (relative geometry unchanged) — pos_delta bites when the DECODE rope
+    # position is offset relative to already-cached keys, the VL situation
+    # (media tokens occupy KV slots but compress rope positions)
+    emb = embed_tokens(tiny_model.cfg, tiny_model.params,
+                       jnp.asarray(np.asarray([ids], np.int32)))
+    # embeds path with explicit positions == ids path
+    via_embeds = pipe._decode_beams_host(None, 4, embeds=emb,
+                                         positions=np.arange(4))
+    assert [t for _, t in via_embeds] == [t for _, t in base]
+    assert abs(via_embeds[0][0] - base[0][0]) < 1e-4
+
+    eng.pos_delta = -2          # decode rope runs 2 behind the KV index
+    try:
+        shifted = pipe._decode_beams_host(None, 4, embeds=emb,
+                                          positions=np.arange(4))
+    finally:
+        eng.pos_delta = 0
+    assert abs(base[0][0] - shifted[0][0]) > 1e-6  # offset is live
