@@ -153,7 +153,7 @@ def main():
 
         r = stream(probe); _ = np.asarray(r[0, 0, :8])
         best = float("inf")
-        for _i in range(3):          # best-of-3: single shots through the
+        for _i in range(6):          # best-of-6: single shots through the
             t0 = time.perf_counter()  # axon relay are noisy (±2x)
             r = stream(probe); _ = np.asarray(r[0, 0, :8])
             best = min(best, time.perf_counter() - t0)
@@ -162,7 +162,13 @@ def main():
         bw_meas = -1.0
     embed_bytes = params["embed"].nbytes
     read_bytes = pbytes - embed_bytes
-    attainable = bw_meas / read_bytes if bw_meas > 0 else -1.0
+    # the decode loop itself demonstrates a streaming rate (read_bytes ×
+    # tok/s) — a LOWER bound on this chip's attainable bandwidth; use it to
+    # floor the probe (the relay sometimes throttles the probe to <half of
+    # what the decode loop sustains in the same process)
+    achieved_bw = read_bytes * tok_s
+    bw_attain = max(bw_meas, achieved_bw)
+    attainable = bw_attain / read_bytes if bw_attain > 0 else -1.0
 
     print(json.dumps({
         "metric": "llama3_8b_q4_decode",
@@ -176,6 +182,7 @@ def main():
         "param_bytes_actual": pbytes,
         "read_bytes_per_token": read_bytes,
         "bw_measured_gb_s": round(bw_meas / 1e9, 1),
+        "bw_achieved_gb_s": round(achieved_bw / 1e9, 1),
         "attainable_tok_s": round(attainable, 1),
         "vs_attainable": round(tok_s / attainable, 4) if attainable > 0 else -1.0,
         "roofline_tok_s": round(roofline, 1),

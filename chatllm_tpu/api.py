@@ -142,6 +142,11 @@ class ChatLLM:
         if self.pipeline:
             self.pipeline.abort_generation()
 
+    def set_ai_prefix(self, prefix: str):
+        """chatllm_set_ai_prefix (libchatllm.h): seed the NEXT AI reply
+        with this text (ya_o1-style staged thinking)."""
+        self.pipeline.ai_prefix = prefix
+
     # -- history / sessions --------------------------------------------------
     def restart(self, sys_prompt: str | None = None):
         """chatllm_restart (libchatllm.h:144-156)."""

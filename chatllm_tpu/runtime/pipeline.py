@@ -52,6 +52,12 @@ class Pipeline:
         self.aborted = False
         eng = self.model.engine
         max_len = eng.max_length
+        prefix = getattr(self, "ai_prefix", "") if getattr(
+            self, "_inject_ai_prefix", False) else ""
+        self._inject_ai_prefix = False
+        if prefix:
+            # seed the AI turn with the prefix tokens (chatllm_set_ai_prefix)
+            ids = list(ids) + list(self.tokenizer.encode(prefix))
 
         def on_token(t):
             if streamer is not None:
@@ -80,6 +86,7 @@ class Pipeline:
         if streamer is not None:
             streamer.tokenizer = self.tokenizer
         gen_config = gen_config or self.gen_config
+        self._inject_ai_prefix = True
 
         if self.extending == ExtendingMethod.NONE:
             out_ids = self._chat_without_extending(streamer, gen_config)
@@ -89,6 +96,11 @@ class Pipeline:
             out_ids = self._chat_with_restart(streamer, gen_config)
 
         text = self.tokenizer.decode(out_ids)
+        prefix = getattr(self, "ai_prefix", "")
+        if prefix:
+            # chatllm_set_ai_prefix (libchatllm.h): the AI reply was seeded
+            # with this text (injected in _gen) — it is part of the message
+            text = prefix + text
         self.history.push_back(MsgRole.ASSISTANT, text)
         if streamer is not None:
             streamer.end()

@@ -229,3 +229,81 @@ def test_code_interpreter_session():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         CodeInterpreterSession(llm)          # exec must be opted into
+
+
+def test_agents_orchestration():
+    """Agent ports (reference scripts/translation_agent.py, ya_o1.py,
+    crosstask.py, threecobblers.py) driven with scripted fake LLMs."""
+    from chatllm_tpu.tools.agents import (CrossTalk, MixtureOfExperts,
+                                          ThoughtAgent, TranslationAgent)
+
+    class Fake:
+        def __init__(self, replies):
+            self.replies = list(replies)
+            self.prompts = []
+            self.prefix = ""
+
+        def restart(self, sys_prompt=None):
+            pass
+
+        def set_ai_prefix(self, p):
+            self.prefix = p
+
+        def chat(self, s):
+            self.prompts.append(s)
+            return self.replies.pop(0) if self.replies else "ok"
+
+    # translation: 3 calls — translate, reflect, improve
+    ta = TranslationAgent(Fake(["T1", "suggestions", "T2"]),
+                          "English", "French", country="France")
+    out = ta.translate("hello")
+    assert out == "T2"
+    assert "SOURCE_TEXT" in ta.llm.prompts[1]
+    assert "EXPERT_SUGGESTIONS" in ta.llm.prompts[2]
+    assert "France" in ta.llm.prompts[1]
+
+    # thought agent: 3 staged chats with ai prefixes
+    f = Fake(["a", "b", "c"])
+    th = ThoughtAgent(f)
+    r = th.think("what is 2+2?")
+    assert r == "a\nb\nc"
+    assert f.prompts == ["what is 2+2?", "think again", "check your answer"]
+
+    # crosstalk: replies feed each other
+    a, b = Fake(["a1", "a2"]), Fake(["b1", "b2"])
+    tr = CrossTalk(a, b).run("hi", rounds=2)
+    assert [t for _, t in tr] == ["hi", "b1", "a1", "b2", "a2"]
+    assert b.prompts == ["hi", "a1"]
+
+    # mixture of experts: classifier routes to the named expert
+    cls = Fake(["Maths is the right class"])
+    math_x, other_x = Fake(["42"]), Fake(["?"])
+    moe = MixtureOfExperts(cls, {"Maths": math_x, "Others": other_x})
+    assert moe.chat("1+1?") == "42"
+    assert math_x.prompts == ["1+1?"]
+
+
+def test_set_ai_prefix(tmp_path):
+    """chatllm_set_ai_prefix: the next AI reply is seeded with the prefix
+    text (both in the generation input and the recorded message)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_model_forward import make_tiny_qwen2
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.runtime.pipeline import Pipeline
+    from chatllm_tpu.runtime.generate import GenerationConfig
+
+    p = str(tmp_path / "m.bin")
+    make_tiny_qwen2(p)
+    m = load_model(p, RuntimeConfig(weight_dtype="float32",
+                                    compute_dtype="float32",
+                                    cache_dtype="float32"))
+    pipe = Pipeline(m)
+    pipe.gen_config = GenerationConfig(do_sample=False, max_new_tokens=4)
+    pipe.ai_prefix = "Let me think."
+    out = pipe.chat("hello")
+    assert out.startswith("Let me think.")
+    assert pipe.history[len(pipe.history) - 1].content.startswith("Let me think.")
+
+
+import os  # noqa: E402
