@@ -31,6 +31,7 @@ class Args:
     interactive: bool = False
     show: bool = False
     show_devices: bool = False
+    show_kernel_dispatch: bool = False
     top_k: int = 20
     top_p: float = 0.7
     temp: float = 0.7
@@ -147,6 +148,8 @@ def parse_args(argv: list[str]) -> Args:
             a.show = True
         elif arg == "--show_devices":
             a.show_devices = True
+        elif arg == "--show_kernel_dispatch":
+            a.show_kernel_dispatch = True
         elif arg == "--detect_thoughts":
             a.detect_thoughts = True
         elif arg == "--single_turn":
@@ -358,6 +361,14 @@ def main(argv=None) -> int:
 
     if a.save_session:
         pipe.save_session(a.save_session)
+    if a.show_kernel_dispatch:
+        # which quantized-matmul call sites took the Pallas kernels vs the
+        # XLA dequant fallback, and why (VERDICT round-1 weak #6 telemetry)
+        from .ops.qmm import kernel_dispatch_stats
+
+        print("kernel dispatch (per traced call site):")
+        for k, v in sorted(kernel_dispatch_stats().items()):
+            print(f"  {k:28s} {v}")
     return 0
 
 
