@@ -8,8 +8,12 @@ Routes (parity with /root/reference/bindings/server.nim:849-870):
   GET  /props  /slots  /health (llama.cpp)
   GET  /api/tags /api/version /api/ps ; POST /api/show /api/chat /api/generate (ollama)
 
-Generation is serialized with a lock (single slot, like the reference's
-one-slot server); streaming uses SSE chunks in the OpenAI format.
+With `max_slots > 1` requests interleave through the continuous-batching
+scheduler (runtime/batching.py); at 1 slot generation serializes behind a
+lock like the reference's one-slot server.  Streaming uses SSE chunks in the
+OpenAI format.  Multi-model serving (`---chat m1 ---emb m2 ---rerank m3`
+sections, reference server.nim:849-866) via `python -m
+chatllm_tpu.serve.server`.
 """
 from __future__ import annotations
 
@@ -53,11 +57,13 @@ class _QueueStreamer(BaseStreamer):
 
 class ApiServer:
     def __init__(self, model, *, model_name: str = "default",
-                 emb_model=None, gen_config: GenerationConfig | None = None,
+                 emb_model=None, rerank_model=None,
+                 gen_config: GenerationConfig | None = None,
                  max_slots: int = 1):
         self.model = model
         self.model_name = model_name
         self.emb_model = emb_model
+        self.rerank_model = rerank_model
         self.gen_config = gen_config or GenerationConfig()
         self.lock = threading.Lock()
         self.busy = False
@@ -215,6 +221,13 @@ class ApiServer:
         assert hasattr(model, "embed"), "no embedding model loaded"
         return [model.embed(t).tolist() for t in texts]
 
+    def rerank(self, query: str, documents: list[str]):
+        """Jina-style rerank scores (reference server.nim ---rerank model;
+        qa_rank through the reranker head)."""
+        model = self.rerank_model or self.model
+        assert hasattr(model, "qa_rank"), "no reranker model loaded"
+        return [float(model.qa_rank(query, d)) for d in documents]
+
 
 def _make_handler(api: ApiServer):
     class Handler(BaseHTTPRequestHandler):
@@ -324,6 +337,14 @@ def _make_handler(api: ApiServer):
                             "data": [{"object": "embedding", "index": i,
                                       "embedding": e} for i, e in enumerate(embs)],
                             "usage": {"prompt_tokens": 0, "total_tokens": 0}})
+            elif path == "/v1/rerank":
+                docs = body.get("documents", [])
+                scores = api.rerank(body.get("query", ""), docs)
+                order = sorted(range(len(docs)), key=lambda i: -scores[i])
+                top_n = int(body.get("top_n", len(docs)))
+                self._json({"model": api.model_name, "results": [
+                    {"index": i, "relevance_score": scores[i],
+                     "document": {"text": docs[i]}} for i in order[:top_n]]})
             elif path == "/api/chat":
                 self._ollama_chat(body)
             elif path == "/api/generate":
@@ -418,3 +439,69 @@ def serve(model, host: str = "127.0.0.1", port: int = 11434, **kw):
     httpd = ThreadingHTTPServer((host, port), _make_handler(api))
     print(f"chatllm_tpu serving on http://{host}:{port}")
     httpd.serve_forever()
+
+
+def split_model_sections(argv: list[str]) -> tuple[dict, list[str]]:
+    """Split `---chat ... ---emb ... ---rerank ...` sections (reference
+    server.nim multi-model syntax).  Args before the first `---` marker are
+    server-level; each section's args configure that model's loader."""
+    sections: dict[str, list[str]] = {}
+    server_args: list[str] = []
+    cur = None
+    for a in argv:
+        if a.startswith("---"):
+            cur = a[3:]
+            sections[cur] = []
+        elif cur is None:
+            server_args.append(a)
+        else:
+            sections[cur].append(a)
+    return sections, server_args
+
+
+def main(argv=None):
+    import sys
+
+    from ..models import RuntimeConfig, load_model
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    sections, server_args = split_model_sections(argv)
+
+    host, port, slots = "127.0.0.1", 11434, 1
+    i = 0
+    model_path = ""
+    while i < len(server_args):
+        a = server_args[i]
+        if a == "--host":
+            i += 1; host = server_args[i]
+        elif a == "--port":
+            i += 1; port = int(server_args[i])
+        elif a in ("--slots", "--max_slots"):
+            i += 1; slots = int(server_args[i])
+        elif a == "-m":
+            i += 1; model_path = server_args[i]
+        i += 1
+
+    def load_section(name):
+        args = sections.get(name)
+        if not args:
+            return None
+        path = args[args.index("-m") + 1] if "-m" in args else args[0]
+        return load_model(path, RuntimeConfig())
+
+    chat = load_section("chat")
+    if chat is None and model_path:
+        chat = load_model(model_path, RuntimeConfig())
+    if chat is None:
+        print("usage: python -m chatllm_tpu.serve.server [-m model.bin] "
+              "[--host H] [--port P] [--slots N] "
+              "[---chat -m m1.bin] [---emb -m m2.bin] [---rerank -m m3.bin]")
+        return 1
+    serve(chat, host=host, port=port, max_slots=slots,
+          emb_model=load_section("emb"),
+          rerank_model=load_section("rerank"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,3 +81,30 @@ def test_completions(server):
     out = json.loads(_post(server + "/v1/completions", {
         "model": "x", "prompt": "abc"}))
     assert out["object"] == "text_completion"
+
+
+def test_rerank_route_and_sections(tmp_path):
+    """/v1/rerank (reference server.nim ---rerank) + multi-model section
+    splitting."""
+    import json as _json
+    from chatllm_tpu.serve.server import ApiServer, split_model_sections
+
+    secs, srv = split_model_sections(
+        ["--port", "9999", "---chat", "-m", "a.bin", "---emb", "-m",
+         "b.bin", "---rerank", "-m", "c.bin"])
+    assert srv == ["--port", "9999"]
+    assert secs == {"chat": ["-m", "a.bin"], "emb": ["-m", "b.bin"],
+                    "rerank": ["-m", "c.bin"]}
+
+    class FakeRanker:
+        def qa_rank(self, q, d):
+            return float(len(d))
+
+    path = str(tmp_path / "tiny.bin")
+    make_tiny_qwen2(path)
+    model = load_model(path, RuntimeConfig(weight_dtype="float32",
+                                           compute_dtype="float32",
+                                           cache_dtype="float32"))
+    api = ApiServer(model, rerank_model=FakeRanker())
+    scores = api.rerank("q", ["aa", "aaaa", "a"])
+    assert scores == [2.0, 4.0, 1.0]
