@@ -274,6 +274,8 @@ def main(argv=None) -> int:
     model = load_model(a.model_path, rt)
     pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
     pipe.gen_config = build_gen_config(a)
+    if getattr(a, "ai_prefix", ""):
+        pipe.ai_prefix = a.ai_prefix
     if a.system is not None:
         model.tokenizer.sys_prompt = a.system
     for k, v in a.additional.items():

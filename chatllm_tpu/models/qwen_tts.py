@@ -301,16 +301,34 @@ class Qwen3TTS(BaseLLM):
             self.spk_cfg, self.spk_params, jnp.asarray(mel)))
 
     # ------------------------------------------------------------------
+    @property
+    def _embed_host(self) -> np.ndarray:
+        """Host copy of the talker embedding table (cached — the decode loop
+        reads individual rows every frame)."""
+        if getattr(self, "_embed_host_cache", None) is None:
+            self._embed_host_cache = np.asarray(self.params["embed"],
+                                                np.float32)
+        return self._embed_host_cache
+
+    @property
+    def _codec_emb_host(self) -> list:
+        if getattr(self, "_codec_emb_host_cache", None) is None:
+            self._codec_emb_host_cache = [
+                np.asarray(t, np.float32)
+                for t in self.cp_params["codec_embedding"]]
+        return self._codec_emb_host_cache
+
     def _emb_row(self, idx: int, proj_rows: np.ndarray) -> np.ndarray:
-        table = np.asarray(self.params["embed"], np.float32)
         if idx < self.talker_vocab:
-            return table[idx]
+            return self._embed_host[idx]
         return proj_rows[idx - self.talker_vocab]
 
     def _talker_step_fn(self, T: int):
         cfg = self.cfg
         if ("t", T) not in self._step_cache:
-            @jax.jit
+            from functools import partial
+
+            @partial(jax.jit, donate_argnums=(1,))
             def fn(params, cache, embeds, n_past, n_tok):
                 hidden, cache = transformer_forward(
                     cfg, params, None, cache, n_past, input_embeds=embeds,
@@ -325,7 +343,9 @@ class Qwen3TTS(BaseLLM):
     def _cp_step_fn(self, T: int):
         cfg = self.cp_cfg
         if ("c", T) not in self._step_cache:
-            @jax.jit
+            from functools import partial
+
+            @partial(jax.jit, donate_argnums=(1,))
             def fn(params, cache, embeds, n_past):
                 hidden, cache = transformer_forward(
                     cfg, params, None, cache, n_past, input_embeds=embeds,
@@ -346,13 +366,16 @@ class Qwen3TTS(BaseLLM):
         h, cache = self._cp_step_fn(2)(cp, cache, jnp.asarray(x), 0)
         seq = []
         n_past = 2
+        if getattr(self, "_lm_head_host", None) is None:
+            self._lm_head_host = [np.asarray(t, np.float32)
+                                  for t in cp["lm_head"]]
         for step in range(CODE_BLOCK - 1):
-            logits = np.asarray(h @ np.asarray(cp["lm_head"][step]).T)
+            logits = np.asarray(h, np.float32) @ self._lm_head_host[step].T
             tid = _sample(logits, gen_config, rng)
             seq.append(tid)
             if step == CODE_BLOCK - 2:
                 break
-            e = np.asarray(cp["codec_embedding"][step])[tid][None, None]
+            e = self._codec_emb_host[step][tid][None, None]
             if "proj" in cp:
                 e = np.asarray(matmul(jnp.asarray(e), cp["proj"]))
             h, cache = self._cp_step_fn(1)(cp, cache, jnp.asarray(e), n_past)
@@ -365,6 +388,10 @@ class Qwen3TTS(BaseLLM):
         (speech_synthesis, qwen_tts.cpp:2150-2220)."""
         from ..runtime.generate import GenerationConfig
 
+        assert self.cp_cfg is not None, \
+            "code predictor weights missing from this checkpoint"
+        assert self.codec_params is not None, \
+            "speech tokenizer decoder weights missing from this checkpoint"
         gen_config = gen_config or GenerationConfig(
             do_sample=True, temperature=0.9, top_k=50,
             max_new_tokens=2048)
@@ -475,8 +502,7 @@ class Qwen3TTS(BaseLLM):
                 trailing_next += 1
             e = emb_of(block[0]).copy()
             for i in range(1, CODE_BLOCK):
-                e += np.asarray(self.cp_params["codec_embedding"][i - 1]
-                                )[block[i]]
+                e += self._codec_emb_host[i - 1][block[i]]
             e += emb_of(added)
             logits, last_h, cache = self._talker_step_fn(1)(
                 self.params, cache, jnp.asarray(e[None, None]), n_past, 1)

@@ -29,10 +29,7 @@ from ..ops.qmm import matmul
 from ..ops.rope import apply_rope
 
 
-def _wrms(t, eps=1e-6):
-    tf = t.astype(jnp.float32)
-    return (tf * jax.lax.rsqrt(
-        jnp.mean(tf * tf, axis=-1, keepdims=True) + eps)).astype(t.dtype)
+from ..ops.norm import weightless_rms as _wrms
 
 
 def _gelu_tanh(x):
@@ -461,27 +458,46 @@ class Gemma4Vision:
 
     def encode_image(self, image):
         """image → [n_soft_tokens, lm_hidden].  The tower consumes raw [0,1]
-        pixels (no mean/std — scaling happens in-model)."""
+        pixels (no mean/std — scaling happens in-model).
+
+        Matches vision::image_load(PaddingMode::Black) + MaxPatchNum
+        (gemma4.cpp:2710-2721): the image is downscaled (aspect preserved)
+        only as needed to fit the position-embedding grid and the patch
+        budget, then BLACK-PADDED out to the patch×pool multiple — never
+        stretched."""
         from ..runtime.vision import load_image
 
         img = load_image(image)
         p = self.cfg.patch_size
         k = self.cfg.pooling_kernel_size
-        # pad to patch*pool multiple with black, cap at max_patches
-        # (vision::image_load + MaxPatchNum, gemma4.cpp:2710-2721)
-        w, h = img.size
         step = p * k
-        gw = max(1, min((w + step - 1) // step * k,
-                        self.cfg.position_embedding_size))
-        gh = max(1, min((h + step - 1) // step * k,
-                        self.cfg.position_embedding_size))
-        while gw * gh > self.cfg.max_patches:
-            if gw >= gh:
-                gw -= k
-            else:
-                gh -= k
-        img = img.resize((gw * p, gh * p))
-        px = np.asarray(img, np.float32) / 255.0            # [H, W, 3]
+        pe = self.cfg.position_embedding_size
+        w0, h0 = img.size
+
+        def grid(w, h):
+            gw = max(k, min(-(-w // step) * k, pe))
+            gh = max(k, min(-(-h // step) * k, pe))
+            return gw, gh
+
+        # downscale (aspect-preserving) until the padded grid fits both the
+        # pos-embed table and the patch budget
+        scale = min(1.0, (pe * p) / w0, (pe * p) / h0)
+        gw, gh = grid(int(w0 * scale), int(h0 * scale))
+        if gw * gh > self.cfg.max_patches:
+            scale *= (self.cfg.max_patches / (gw * gh)) ** 0.5
+            gw, gh = grid(int(w0 * scale), int(h0 * scale))
+            while gw * gh > self.cfg.max_patches:
+                scale *= 0.95
+                gw, gh = grid(int(w0 * scale), int(h0 * scale))
+        if scale < 1.0:
+            img = img.resize((max(1, int(w0 * scale)),
+                              max(1, int(h0 * scale))))
+        # black-pad to the (gw*p, gh*p) canvas
+        px = np.zeros((gh * p, gw * p, 3), np.float32)
+        arr = np.asarray(img, np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        px[:arr.shape[0], :arr.shape[1], :] = arr[:gh * p, :gw * p, :3]
         patches = px.reshape(gh, p, gw, p, 3).transpose(0, 2, 1, 3, 4)
         patches = patches.reshape(gh * gw, p * p * 3)
         out = gemma4_vit_forward(self.cfg, self.params, jnp.asarray(patches),
@@ -528,7 +544,10 @@ def load_gemma4_vision(gf, rt, lm_hidden: int, meta: dict):
         pooling_kernel_size=pool,
         position_embedding_size=pe,
         rope_theta=float(vis.get("rope_parameters", {}).get("rope_theta", 1e4)),
-        max_patches=pe * pe)
+        # projected-token budget (VisualEmbeddingGeneration::load_more,
+        # gemma4.cpp:1419): min(max_projected_tokens · pool², pos_emb²);
+        # max_projected_tokens = 2048·10 (v4 Prelude PadEmbedding)
+        max_patches=min(20480 * pool * pool, pe * pe))
     pb = ParamBuilder(gf, rt)
     params = load_gemma4_vit_params(pb, cfg)
     pp = meta.get("processor_config.json", {}).get("video_processor", {})

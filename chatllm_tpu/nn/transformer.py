@@ -492,10 +492,7 @@ def _moe_combine(cfg: TransformerConfig, p, xt, topi, topv, x):
     return y.reshape(B, T, H).astype(x.dtype)
 
 
-def _weightless_rms(t, eps=1e-6):
-    tf = t.astype(jnp.float32)
-    return (tf * jax.lax.rsqrt(
-        jnp.mean(tf * tf, axis=-1, keepdims=True) + eps)).astype(t.dtype)
+from ..ops.norm import weightless_rms as _weightless_rms
 
 
 def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,

@@ -51,3 +51,12 @@ def group_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, n_groups: int,
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(*lead, c)
     return (y * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def weightless_rms(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """RMS normalization with no learned scale (ggml::rms_norm with a bare
+    eps — Gemma4 v-norm, MultimodalEmbedder pre-projection norm,
+    models/gemma4.cpp:1777 / :15-57)."""
+    xf = x.astype(jnp.float32)
+    return (xf * jax.lax.rsqrt(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)).astype(x.dtype)

@@ -57,7 +57,13 @@ class Pipeline:
         self._inject_ai_prefix = False
         if prefix:
             # seed the AI turn with the prefix tokens (chatllm_set_ai_prefix)
-            ids = list(ids) + list(self.tokenizer.encode(prefix))
+            # and stream them like generated text (reference chat.cpp:1970
+            # put_chunk's the prefix before generation starts)
+            pids = list(self.tokenizer.encode(prefix))
+            ids = list(ids) + pids
+            if streamer is not None:
+                streamer.tokenizer = self.tokenizer
+                streamer.put(pids)
 
         def on_token(t):
             if streamer is not None:

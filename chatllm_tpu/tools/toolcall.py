@@ -254,6 +254,8 @@ def _detect_glm_block_call(text: str):
                         args[k] = v
             return name, args
         obj = json.loads(code)
+        if not isinstance(obj, dict):
+            return None
         return name, obj.get("arguments", obj.get("parameters", obj))
     except (json.JSONDecodeError, ValueError):
         return None
