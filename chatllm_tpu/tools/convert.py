@@ -618,10 +618,23 @@ def convert_cohere(w, f, cfg, sd, dtype):
 
 def convert_granite(w, f, cfg, sd, dtype):
     """GraniteForCausalLM → GRANITE (models/granite.cpp:277-290): attention/
-    residual/logit multipliers stored raw; interleaved rope → q/k permuted."""
+    residual/logit multipliers stored raw, embedding_multiplier folded into
+    the embed table (GraniteConverter.pp, convert.py:3127); interleaved
+    rope → q/k permuted."""
     heads = cfg["num_attention_heads"]
     kv = cfg.get("num_key_value_heads", heads)
     tie = bool(cfg.get("tie_word_embeddings", False))
+    mult = float(cfg.get("embedding_multiplier", 1.0))
+    if tie and mult != 1.0:
+        # the tied unembedding must stay UNSCALED while the input embedding
+        # carries ×multiplier — untie on disk with an explicit lm_head
+        sd = dict(sd)
+        sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+        tie = False
+    if mult != 1.0:
+        sd = dict(sd)
+        sd["model.embed_tokens.weight"] = \
+            sd["model.embed_tokens.weight"] * np.float32(mult)
     w.write_config(_base_vals(cfg, dtype) + [kv, int(tie)], fmt="13i")
     f.write(struct.pack("<4f",
                         float(cfg.get("attention_multiplier", 1.0)),
@@ -703,6 +716,132 @@ def convert_olmoe(w, f, cfg, sd, dtype):
         w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
 
 
+def _permute_pair(w: np.ndarray, n_head: int) -> np.ndarray:
+    """Interleaved rope pairs → half-split, per head (convert.py:1365)."""
+    out = w.shape[0]
+    return (w.reshape(n_head, out // n_head // 2, 2, *w.shape[1:])
+             .swapaxes(1, 2).reshape(w.shape))
+
+
+def _permute_pair_rope_tail(w: np.ndarray, n_head: int, nope: int) -> np.ndarray:
+    """Rope TAIL of each head interleaved → half-split (convert.py:6236);
+    the nope head dims pass through."""
+    hidden = w.shape[0]
+    head_dim = hidden // n_head
+    r = w.reshape(n_head, head_dim, *w.shape[1:])
+    rot = r[:, nope:]
+    rope_dim = head_dim - nope
+    rot = (rot.reshape(n_head, rope_dim // 2, 2, *w.shape[1:])
+              .swapaxes(1, 2).reshape(rot.shape))
+    return np.concatenate([r[:, :nope], rot], axis=1).reshape(w.shape)
+
+
+def convert_deepseek_v2(w, f, cfg, sd, dtype, *, v3=False):
+    """DeepseekV2/V3ForCausalLM → DEEPSEEK_V2/V3(±_LIGHT) with the MLA
+    projections pre-split (reference DeepSeekV2Converter, convert.py:
+    7975-8260: kv_a → d_kv + rope-permuted k_pe; kv_b → u_k_nope + u_v;
+    q rope-tail permuted; q-LoRA variants carry d_q/q_norm/u_q)."""
+    heads = cfg["num_attention_heads"]
+    L = cfg["num_hidden_layers"]
+    nope, rope_d = cfg["qk_nope_head_dim"], cfg["qk_rope_head_dim"]
+    v_dim = cfg["v_head_dim"]
+    kv_rank = cfg["kv_lora_rank"]
+    q_lora = cfg.get("q_lora_rank") or 0
+    light = q_lora == 0
+    scaling = cfg.get("rope_scaling") or {}
+    vals = [heads, cfg.get("first_k_dense_replace", 0), kv_rank,
+            cfg.get("moe_intermediate_size", cfg["intermediate_size"]),
+            max(1, cfg.get("moe_layer_freq", 1)),
+            max(1, cfg.get("n_group") or 1),
+            cfg.get("n_routed_experts") or 0,
+            cfg.get("n_shared_experts") or 0,
+            int(bool(cfg.get("norm_topk_prob", False))),
+            cfg.get("num_experts_per_tok") or 0,
+            nope, rope_d,
+            int(scaling.get("original_max_position_embeddings",
+                            cfg["max_position_embeddings"])),
+            v_dim]
+    if light:
+        mtype = ModelType.DEEPSEEK_V3_LIGHT if v3 else ModelType.DEEPSEEK_V2_LIGHT
+    else:
+        mtype = ModelType.DEEPSEEK_V3 if v3 else ModelType.DEEPSEEK_V2
+        vals_tail = [q_lora, max(1, cfg.get("topk_group") or 1)]
+    w.write_config(_base_vals(cfg, dtype) + vals, fmt=f"{11 + len(vals)}i")
+    f.write(struct.pack(
+        "<7f", float(scaling.get("beta_fast", 32.0)),
+        float(scaling.get("beta_slow", 1.0)),
+        float(scaling.get("factor", 1.0)),
+        float(scaling.get("mscale", 1.0)),
+        float(scaling.get("mscale_all_dim", 1.0)),
+        float(cfg.get("rope_theta", 10000.0)),
+        float(cfg.get("routed_scaling_factor", 1.0))))
+    if not light:
+        f.write(struct.pack("<2i", *vals_tail))
+    w._patch_offset(12)
+    w.patch_model_type(int(mtype))
+
+    first_dense = cfg.get("first_k_dense_replace", 0)
+    freq = max(1, cfg.get("moe_layer_freq", 1))
+    n_routed = cfg.get("n_routed_experts") or 0
+
+    def is_moe(i):
+        return n_routed > 0 and i >= first_dense and i % freq == 0
+
+    out = {"model.embed_tokens.weight": sd["model.embed_tokens.weight"],
+           "model.norm.weight": sd["model.norm.weight"],
+           "lm_head.weight": sd["lm_head.weight"]}
+    for i in range(L):
+        pfx = f"model.layers.{i}"
+        kv_a = sd[f"{pfx}.self_attn.kv_a_proj_with_mqa.weight"]
+        out[f"{pfx}.self_attn.d_kv_proj.weight"] = kv_a[:kv_rank]
+        out[f"{pfx}.self_attn.k_pe_proj.weight"] = _permute_pair(kv_a[kv_rank:], 1)
+        out[f"{pfx}.self_attn.kv_norm.weight"] = \
+            sd[f"{pfx}.self_attn.kv_a_layernorm.weight"]
+        kv_b = sd[f"{pfx}.self_attn.kv_b_proj.weight"].reshape(
+            heads, nope + v_dim, kv_rank)
+        out[f"{pfx}.self_attn.u_k_nope_proj.weight"] = \
+            np.ascontiguousarray(kv_b[:, :nope].reshape(heads * nope, kv_rank))
+        out[f"{pfx}.self_attn.u_v_proj.weight"] = \
+            np.ascontiguousarray(kv_b[:, nope:].reshape(heads * v_dim, kv_rank))
+        if light:
+            out[f"{pfx}.self_attn.q_proj.weight"] = _permute_pair_rope_tail(
+                sd[f"{pfx}.self_attn.q_proj.weight"], heads, nope)
+        else:
+            out[f"{pfx}.self_attn.d_q_proj.weight"] = \
+                sd[f"{pfx}.self_attn.q_a_proj.weight"]
+            out[f"{pfx}.self_attn.q_norm.weight"] = \
+                sd[f"{pfx}.self_attn.q_a_layernorm.weight"]
+            out[f"{pfx}.self_attn.u_q_proj.weight"] = _permute_pair_rope_tail(
+                sd[f"{pfx}.self_attn.q_b_proj.weight"], heads, nope)
+        out[f"{pfx}.self_attn.o_proj.weight"] = \
+            sd[f"{pfx}.self_attn.o_proj.weight"]
+        out[f"{pfx}.input_layernorm.weight"] = \
+            sd[f"{pfx}.input_layernorm.weight"]
+        out[f"{pfx}.post_attention_layernorm.weight"] = \
+            sd[f"{pfx}.post_attention_layernorm.weight"]
+        if is_moe(i):
+            out[f"{pfx}.mlp.gate.weight"] = sd[f"{pfx}.mlp.gate.weight"]
+            if v3:
+                out[f"{pfx}.mlp.gate.e_score_correction_bias"] = \
+                    sd[f"{pfx}.mlp.gate.e_score_correction_bias"]
+            for j in range(n_routed):
+                for n in ("gate_proj", "up_proj", "down_proj"):
+                    out[f"{pfx}.mlp.experts.{j}.{n}.weight"] = \
+                        sd[f"{pfx}.mlp.experts.{j}.{n}.weight"]
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                out[f"{pfx}.mlp.shared_experts.{n}.weight"] = \
+                    sd[f"{pfx}.mlp.shared_experts.{n}.weight"]
+        else:
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                out[f"{pfx}.mlp.{n}.weight"] = sd[f"{pfx}.mlp.{n}.weight"]
+    for n, arr in out.items():
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_deepseek_v3(w, f, cfg, sd, dtype):
+    convert_deepseek_v2(w, f, cfg, sd, dtype, v3=True)
+
+
 ARCH_CONVERTERS = {
     "GptOssForCausalLM": convert_gpt_oss,
     "LlamaForCausalLM": convert_llama,
@@ -720,6 +859,8 @@ ARCH_CONVERTERS = {
     "GraniteForCausalLM": convert_granite,
     "Phi3ForCausalLM": convert_phi3,
     "OlmoeForCausalLM": convert_olmoe,
+    "DeepseekV2ForCausalLM": convert_deepseek_v2,
+    "DeepseekV3ForCausalLM": convert_deepseek_v3,
 }
 
 

@@ -157,8 +157,8 @@ def test_convert_granite(tmp_path):
         num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
         max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
         attention_multiplier=0.015625, logits_scaling=8.0,
-        residual_multiplier=0.22, embedding_multiplier=1.0,
-        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
+        residual_multiplier=0.22, embedding_multiplier=2.0,
+        tie_word_embeddings=True, pad_token_id=0, eos_token_id=1,
         bos_token_id=2)
     hf = transformers.GraniteForCausalLM(cfg).eval()
     _check(tmp_path, hf, cfg, "GraniteForCausalLM", ["<|endoftext|>"])
@@ -191,3 +191,33 @@ def test_convert_olmoe(tmp_path):
     hf = transformers.OlmoeForCausalLM(cfg).eval()
     _check(tmp_path, hf, cfg, "OlmoeForCausalLM",
            ["<|endoftext|>", "<|im_start|>", "<|im_end|>"])
+
+
+def test_convert_deepseek_v2_light(tmp_path):
+    """MLA pre-splitting through the converter (kv_a → d_kv + permuted k_pe,
+    kv_b → u_k_nope/u_v; reference convert.py:7975-8260)."""
+    torch.manual_seed(30)
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=4, num_hidden_layers=3, intermediate_size=96,
+        moe_intermediate_size=32, kv_lora_rank=32, q_lora_rank=None,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, moe_layer_freq=1, n_group=1, topk_group=1,
+        routed_scaling_factor=1.0, norm_topk_prob=False,
+        scoring_func="softmax", topk_method="greedy",
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attention_bias=False, rope_scaling=None,
+        aux_loss_alpha=0.0, seq_aux=False, attention_dropout=0.0)
+    hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
+    d = _save_dir(tmp_path, hf, cfg, "DeepseekV2ForCausalLM", [], unigram=True)
+    out = str(tmp_path / "ds2.bin")
+    convert(d, out, "f32")
+    model = load_model(out, RuntimeConfig(**RT32))
+    assert model.cfg.mla is not None
+    ids = np.array([[7, 30, 102, 89, 5, 41]], dtype=np.int32)
+    logits, _ = model.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
