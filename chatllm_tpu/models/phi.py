@@ -15,7 +15,7 @@ from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
 from .llama import build_dense_config
 from .model_types import ModelType
 
-MAX_FACTOR_LEN = 64  # models/phi.h
+MAX_FACTOR_LEN = 128  # models/phi.h:189
 
 
 class Phi3Encoder(HistoryEncoder):

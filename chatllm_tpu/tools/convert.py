@@ -497,6 +497,50 @@ def convert_gemma3(w, f, cfg, sd, dtype):
         w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
 
 
+def convert_gemma3_vis(w, f, cfg, sd, dtype):
+    """Gemma3ForConditionalGeneration → GEMMA3Vis (reference dispatches
+    Gemma3Converter with MODEL_TYPE=Gemma3Vis, convert.py:11061-11064):
+    text_config flattened into the top level, SigLIP tower renamed
+    (layer_norm1/2 → input/post_attention_layernorm, fc1/fc2 → fc0/fc1,
+    out_proj → o_proj), mm_input_projection_weight stored transposed,
+    mm_soft_emb_norm stored 1+w."""
+    tcfg = dict(cfg)
+    for k, v in (cfg.get("text_config") or {}).items():
+        tcfg[k] = v
+    # gemma3 composite configs omit defaults the text loader needs
+    tcfg.setdefault("vocab_size", 262208)
+    tcfg.setdefault("max_position_embeddings", 131072)
+    if isinstance(tcfg.get("eos_token_id"), list):
+        tcfg["eos_token_id"] = tcfg["eos_token_id"][0]
+    if tcfg.get("bos_token_id") is None:
+        tcfg["bos_token_id"] = 2
+
+    txt = {k: v for k, v in sd.items()
+           if k.startswith(("model.layers.", "model.embed_tokens.",
+                            "model.norm.", "lm_head."))}
+    txt.setdefault("lm_head.weight", txt.get("model.embed_tokens.weight"))
+    convert_gemma3(w, f, tcfg, txt, dtype)
+    if not cfg.get("vision_config"):
+        return
+    w.patch_model_type(int(ModelType.GEMMA3Vis))
+    for k, arr in sd.items():
+        if k.startswith("model.layers.") or k.startswith(("model.embed_tokens.",
+                                                          "model.norm.", "lm_head.")):
+            continue
+        kk = k.removeprefix("model.")
+        kk = kk.replace("vision_tower.", "")
+        kk = kk.replace("mm_input_projection_weight", "mm_input_projection.weight")
+        kk = kk.replace(".fc1.", ".fc0.").replace(".fc2.", ".fc1.")
+        kk = kk.replace(".out_proj.", ".o_proj.")
+        kk = kk.replace(".layer_norm1.", ".input_layernorm.")
+        kk = kk.replace(".layer_norm2.", ".post_attention_layernorm.")
+        if "mm_input_projection.weight" in kk:
+            arr = np.ascontiguousarray(arr)      # HF stores it [vis, lm]
+        elif "mm_soft_emb_norm" in kk:
+            arr = 1.0 + arr
+        w.write_tensor(kk, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
 def convert_glm4_0414(w, f, cfg, sd, dtype):
     """Glm4ForCausalLM → GLM4_0414 (reference GLM4Converter,
     convert.py:4083): gate_up split, partial interleaved rotary as-is."""
@@ -653,20 +697,47 @@ def convert_granite(w, f, cfg, sd, dtype):
 
 
 def convert_phi3(w, f, cfg, sd, dtype):
-    """Phi3ForCausalLM → PHI3 (reference Phi3Converter, convert.py:4479):
-    fused qkv_proj / gate_up_proj split, q/k permuted."""
+    """Phi3ForCausalLM → PHI3 / PHI3_SU2 / PHI3_SU3 (reference
+    Phi3Converter + Phi3SUConverter + Phi3SU3Converter, convert.py:
+    4479-4625): fused qkv_proj / gate_up_proj split, q/k permuted; LongRoPE
+    checkpoints carry 128+128 padded short/long factors (models/phi.h:189)
+    and, with mscales, the SU3 tail."""
     heads = cfg["num_attention_heads"]
     kv = cfg.get("num_key_value_heads", heads)
-    assert not cfg.get("rope_scaling"), \
-        "Phi3 LongRoPE (su) checkpoints not supported yet"
-    w.write_config(
-        _base_vals(cfg, dtype)
-        + [kv, int(cfg.get("original_max_position_embeddings",
+    scaling = cfg.get("rope_scaling") or {}
+    stype = scaling.get("type", scaling.get("rope_type"))
+    if not scaling:
+        w.write_config(
+            _base_vals(cfg, dtype)
+            + [kv, int(cfg.get("original_max_position_embeddings",
+                               cfg["max_position_embeddings"])),
+               int(cfg.get("sliding_window") or -1)], fmt="14i")
+        f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+        w._patch_offset(12)
+        w.patch_model_type(int(ModelType.PHI3))
+    else:
+        assert stype == "longrope", \
+            f"Phi3 rope_scaling type {stype} not supported"
+        MAXF = 128
+        sf = list(scaling["short_factor"])
+        lf = list(scaling["long_factor"])
+        sf += [0.0] * (MAXF - len(sf))
+        lf += [0.0] * (MAXF - len(lf))
+        su3 = "short_mscale" in scaling
+        w.write_config(
+            _base_vals(cfg, dtype)
+            + [cfg["max_position_embeddings"], kv,
+               int(cfg.get("original_max_position_embeddings",
                            cfg["max_position_embeddings"])),
-           int(cfg.get("sliding_window") or -1)], fmt="14i")
-    f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
-    w._patch_offset(12)
-    w.patch_model_type(int(ModelType.PHI3))
+               int(cfg.get("sliding_window") or -1), 1], fmt="16i")
+        f.write(struct.pack(f"<f{MAXF}f{MAXF}f",
+                            float(cfg.get("rope_theta", 10000.0)), *sf, *lf))
+        if su3:
+            f.write(struct.pack("<2f", float(scaling["short_mscale"]),
+                                float(scaling["long_mscale"])))
+        w._patch_offset(12)
+        w.patch_model_type(int(ModelType.PHI3_SU3 if su3
+                               else ModelType.PHI3_SU2))
     H = cfg["hidden_size"]
     kv_size = H // heads * kv
     for i in range(cfg["num_hidden_layers"]):
@@ -852,6 +923,7 @@ ARCH_CONVERTERS = {
     "GemmaForCausalLM": convert_gemma,
     "Gemma2ForCausalLM": convert_gemma2,
     "Gemma3ForCausalLM": convert_gemma3,
+    "Gemma3ForConditionalGeneration": convert_gemma3_vis,
     "Glm4ForCausalLM": convert_glm4_0414,
     "Olmo2ForCausalLM": convert_olmo2,
     "Starcoder2ForCausalLM": convert_starcoder2,
@@ -865,8 +937,9 @@ ARCH_CONVERTERS = {
 
 
 def _strip_prefixes(sd: dict) -> dict:
-    return {k.removeprefix("model.language_model.")
-             .replace("language_model.model.", "model."): v
+    return {k.replace("model.language_model.", "model.")
+             .replace("language_model.model.", "model.")
+             .replace("language_model.lm_head.", "lm_head."): v
             for k, v in sd.items()}
 
 
@@ -889,6 +962,16 @@ def convert(model_dir: str, out_path: str, quant: str = "q8_0",
     rules = [(pat, QUANT_MAP[t.lower()]) for pat, t in reversed(tensor_types)]
     meta = {"model_name": name or os.path.basename(os.path.abspath(model_dir)),
             "config.json": cfg}
+    # side configs some loaders need (vision preprocessing, added tokens…) —
+    # the reference bundles every *.json into the GGMM meta (load_some_info)
+    for side in ("preprocessor_config.json", "processor_config.json",
+                 "tokenizer_config.json", "generation_config.json"):
+        sp = os.path.join(model_dir, side)
+        if os.path.isfile(sp):
+            try:
+                meta[side] = json.load(open(sp, encoding="utf-8"))
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                pass
     with open(out_path, "wb") as f:
         w = GGMMWriter(f, 0, 1, meta=meta)   # model type patched per arch
         conv = ARCH_CONVERTERS[arch]

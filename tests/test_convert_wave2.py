@@ -221,3 +221,77 @@ def test_convert_deepseek_v2_light(tmp_path):
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
                                rtol=3e-3)
+
+
+def test_convert_gemma3_multimodal(tmp_path):
+    """Gemma3ForConditionalGeneration → GEMMA3Vis: text logits match HF AND
+    the SigLIP tower + projector load and reproduce HF get_image_features."""
+    if not hasattr(transformers, "Gemma3ForConditionalGeneration"):
+        pytest.skip("no Gemma3")
+    torch.manual_seed(31)
+    VH, VL, VHEADS, VINTER, PATCH, IMG, MM = 32, 2, 4, 64, 8, 32, 4
+    cfg = transformers.Gemma3Config(
+        text_config=dict(
+            vocab_size=V, hidden_size=64, num_attention_heads=4,
+            num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+            head_dim=16, max_position_embeddings=128, rope_theta=1000000.0,
+            rope_local_base_freq=10000.0, sliding_window=4,
+            sliding_window_pattern=3, query_pre_attn_scalar=16,
+            rms_norm_eps=1e-6, tie_word_embeddings=True,
+            attention_bias=False, rope_scaling=None),
+        vision_config=dict(
+            hidden_size=VH, num_hidden_layers=VL, num_attention_heads=VHEADS,
+            intermediate_size=VINTER, patch_size=PATCH, image_size=IMG,
+            num_channels=3, layer_norm_eps=1e-6),
+        mm_tokens_per_image=MM, image_token_index=V - 1,
+        boi_token_index=V - 3, eoi_token_index=V - 2,
+        pad_token_id=0, eos_token_id=1, bos_token_id=2)
+    hf = transformers.Gemma3ForConditionalGeneration(cfg).eval()
+    d = _save_dir(tmp_path, hf, cfg, "Gemma3ForConditionalGeneration",
+                  ["<pad>", "<start_of_turn>", "<end_of_turn>",
+                   "<start_of_image>", "<end_of_image>"], unigram=True)
+    (tmp_path / "hf" / "preprocessor_config.json").write_text(json.dumps(
+        {"image_mean": [0.5] * 3, "image_std": [0.5] * 3}))
+    out = str(tmp_path / "g3v.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.vis_params is not None and m.vis_cfg is not None
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=4e-3,
+                               rtol=4e-3)
+    # vision tower + projector vs HF
+    px = np.random.RandomState(0).rand(1, IMG, IMG, 3).astype(np.float32)
+    px = (px - 0.5) / 0.5
+    ours = np.asarray(m.encode_images(px))
+    with torch.no_grad():
+        want = hf.get_image_features(
+            torch.from_numpy(px.transpose(0, 3, 1, 2)))[0].numpy()
+    np.testing.assert_allclose(ours, want.reshape(ours.shape), atol=4e-3,
+                               rtol=4e-3)
+
+
+def test_convert_phi3_longrope(tmp_path):
+    """Phi3 LongRoPE (SU) checkpoint → PHI3_SU2 with 128-padded factor
+    arrays (models/phi.h:189 — the loader previously read 64, a silent
+    config-offset bug this roundtrip now guards)."""
+    torch.manual_seed(32)
+    half = 8      # head_dim 16 → rot/2 = 8 factors
+    cfg = transformers.Phi3Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=256,
+        original_max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, sliding_window=None,
+        rope_scaling={"type": "longrope",
+                      "short_factor": [1.0] * half,
+                      "long_factor": [float(1 + i / 8) for i in range(half)]},
+        tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
+        bos_token_id=2)
+    hf = transformers.Phi3ForCausalLM(cfg).eval()
+    m = _check(tmp_path, hf, cfg, "Phi3ForCausalLM",
+               ["<|system|>", "<|user|>", "<|assistant|>", "<|end|>"],
+               unigram=True, atol=4e-3)
+    assert m.cfg.rope.freq_factors is not None

@@ -98,7 +98,7 @@ def phimoe_pair(tmp_path_factory):
     hf = transformers.PhimoeForCausalLM(cfg).eval()
     sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
     path = str(tmp / "phimoe.bin")
-    F = 64
+    F = 128    # models/phi.h:189 MAX_FACTOR_LEN
     with open(path, "wb") as f:
         w = GGMMWriter(f, int(ModelType.PHI3_MOE), 1,
                        meta={"model_name": "tiny-phimoe"})
