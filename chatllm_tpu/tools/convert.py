@@ -913,6 +913,130 @@ def convert_deepseek_v3(w, f, cfg, sd, dtype):
     convert_deepseek_v2(w, f, cfg, sd, dtype, v3=True)
 
 
+def convert_qwen2_moe(w, f, cfg, sd, dtype):
+    """Qwen2MoeForCausalLM → QWEN2MoE (models/qwen.h:121-131): per-expert
+    FFNs + sigmoid-gated shared expert, NEOX rope (no permutation)."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    n_exp = cfg["num_experts"]
+    w.write_config(
+        _base_vals(cfg, dtype)
+        + [kv, cfg["moe_intermediate_size"],
+           cfg.get("shared_expert_intermediate_size",
+                   cfg["intermediate_size"]),
+           cfg.get("sliding_window") or 0,
+           cfg["num_experts_per_tok"], n_exp,
+           int(bool(cfg.get("norm_topk_prob", False)))], fmt="18i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.QWEN2MoE))
+    names = ["model.embed_tokens.weight", "model.norm.weight",
+             "lm_head.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.weight"]
+        for p in ("q_proj", "k_proj", "v_proj"):
+            names += [f"{pfx}.self_attn.{p}.weight",
+                      f"{pfx}.self_attn.{p}.bias"]
+        names += [f"{pfx}.self_attn.o_proj.weight", f"{pfx}.mlp.gate.weight"]
+        for j in range(n_exp):
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                names.append(f"{pfx}.mlp.experts.{j}.{n}.weight")
+        for n in ("gate_proj", "up_proj", "down_proj"):
+            names.append(f"{pfx}.mlp.shared_expert.{n}.weight")
+        names.append(f"{pfx}.mlp.shared_expert_gate.weight")
+    for n in names:
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
+def convert_qwen3_moe(w, f, cfg, sd, dtype):
+    """Qwen3MoeForCausalLM → QWEN3 (sparse layers via decoder_sparse_step /
+    mlp_only_layers — models/qwen.h:746 layer_is_sparse array)."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    head_dim = cfg.get("head_dim", cfg["hidden_size"] // heads)
+    n_exp = cfg["num_experts"]
+    L = cfg["num_hidden_layers"]
+    step = max(1, cfg.get("decoder_sparse_step", 1))
+    dense = set(cfg.get("mlp_only_layers") or [])
+    sparse = [1 if (n_exp > 0 and i not in dense and (i + 1) % step == 0)
+              else 0 for i in range(L)]
+    sparse += [0] * (128 - L)
+    w.write_config(_base_vals(cfg, dtype) + [kv, head_dim], fmt="13i")
+    f.write(struct.pack("<ff", float(cfg.get("rope_theta", 10000.0)), -1.0))
+    # {yarn_orig, decoder_sparse_step, moe_intermediate, n_active, n_experts,
+    # norm_topk} (models/qwen.h:746 order)
+    f.write(struct.pack("<6i", -1, step, cfg["moe_intermediate_size"],
+                        cfg["num_experts_per_tok"], n_exp,
+                        int(bool(cfg.get("norm_topk_prob", False)))))
+    f.write(struct.pack("<i", int(tie)))
+    f.write(struct.pack("<128i", *sparse))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.QWEN3))
+    names = ["model.embed_tokens.weight", "model.norm.weight"]
+    if not tie:
+        names.append("lm_head.weight")
+    for i in range(L):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.self_attn.q_norm.weight",
+                  f"{pfx}.self_attn.k_norm.weight"]
+        if sparse[i]:
+            names.append(f"{pfx}.mlp.gate.weight")
+            for j in range(n_exp):
+                for n in ("gate_proj", "up_proj", "down_proj"):
+                    names.append(f"{pfx}.mlp.experts.{j}.{n}.weight")
+        else:
+            names += [f"{pfx}.mlp.gate_proj.weight",
+                      f"{pfx}.mlp.up_proj.weight",
+                      f"{pfx}.mlp.down_proj.weight"]
+    for n in names:
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+
+def convert_mixtral(w, f, cfg, sd, dtype):
+    """MixtralForCausalLM → MIXTRAL (models/mistral.h:45-49): per-expert
+    w1/w2/w3, interleaved rope → q/k permuted."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    n_exp = cfg["num_local_experts"]
+    w.write_config(
+        _base_vals(cfg, dtype)
+        + [kv, cfg.get("sliding_window") or -1], fmt="13i")
+    f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+    f.write(struct.pack("<2i", cfg["num_experts_per_tok"], n_exp))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.MIXTRAL))
+    names = ["model.embed_tokens.weight", "model.norm.weight",
+             "lm_head.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.block_sparse_moe.gate.weight"]
+        for j in range(n_exp):
+            for n in ("w1", "w2", "w3"):
+                names.append(f"{pfx}.block_sparse_moe.experts.{j}.{n}.weight")
+    for n in names:
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
 ARCH_CONVERTERS = {
     "GptOssForCausalLM": convert_gpt_oss,
     "LlamaForCausalLM": convert_llama,
@@ -933,6 +1057,9 @@ ARCH_CONVERTERS = {
     "OlmoeForCausalLM": convert_olmoe,
     "DeepseekV2ForCausalLM": convert_deepseek_v2,
     "DeepseekV3ForCausalLM": convert_deepseek_v3,
+    "Qwen2MoeForCausalLM": convert_qwen2_moe,
+    "Qwen3MoeForCausalLM": convert_qwen3_moe,
+    "MixtralForCausalLM": convert_mixtral,
 }
 
 

@@ -295,3 +295,50 @@ def test_convert_phi3_longrope(tmp_path):
                ["<|system|>", "<|user|>", "<|assistant|>", "<|end|>"],
                unigram=True, atol=4e-3)
     assert m.cfg.rope.freq_factors is not None
+
+
+def test_convert_qwen2_moe(tmp_path):
+    torch.manual_seed(33)
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=V, hidden_size=48, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=64,
+        moe_intermediate_size=24, shared_expert_intermediate_size=48,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+        sliding_window=None, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1)
+    hf = transformers.Qwen2MoeForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Qwen2MoeForCausalLM",
+           ["<|endoftext|>", "<|im_start|>", "<|im_end|>"])
+
+
+def test_convert_qwen3_moe(tmp_path):
+    torch.manual_seed(34)
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=V, hidden_size=48, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=3, intermediate_size=64,
+        moe_intermediate_size=24, num_experts=4, num_experts_per_tok=2,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[1],
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1)
+    hf = transformers.Qwen3MoeForCausalLM(cfg).eval()
+    m = _check(tmp_path, hf, cfg, "Qwen3MoeForCausalLM",
+               ["<|endoftext|>", "<|im_start|>", "<|im_end|>"])
+    # mlp_only_layers honored: layer 1 dense, 0/2 sparse
+    assert [s.is_moe for s in m.cfg.layer_specs] == [True, False, True]
+
+
+def test_convert_mixtral(tmp_path):
+    torch.manual_seed(35)
+    cfg = transformers.MixtralConfig(
+        vocab_size=V, hidden_size=48, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=64,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+        sliding_window=None, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, bos_token_id=2)
+    hf = transformers.MixtralForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "MixtralForCausalLM",
+           ["<s>", "</s>", "[INST]", "[/INST]"], unigram=True)
