@@ -7,8 +7,11 @@ llama family, convert.py:1360 `permute`), exports the vocab in the reference's
 on-disk formats (SentencePiece pairs / BPE pieces+merges, convert.py:894-1121)
 and writes a GGMM file loadable by chatllm_tpu (and by the reference).
 
-Supported architectures (grow as needed): Llama-2/3 family, Qwen2/2.5, Qwen3,
-Mistral, Hunyuan-Dense.  Quantization: f32/f16/bf16/q8_0/q4_0/q4_1/q4_k
+Supported architectures: see ARCH_CONVERTERS at the bottom (llama 2/3.x,
+qwen2/3 ±MoE, mistral/mixtral, hunyuan, gpt-oss, gemma 1/2/3 ±vision,
+glm4-0414, olmo2/olmoe, starcoder2, cohere, granite, phi3 ±LongRoPE,
+deepseek V2/V3) — every family HF-golden roundtrip-tested in
+tests/test_convert*.py.  Quantization: f32/f16/bf16/q8_0/q4_0/q4_1/q4_k
 (same codecs as the reference, ggmm/quants.py is bit-exact vs ggml).
 
 Usage:  python -m chatllm_tpu.tools.convert -i <hf_dir> -o out.bin -t q4_k
@@ -1001,6 +1004,61 @@ def convert_qwen3_moe(w, f, cfg, sd, dtype):
         w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
 
 
+def _convert_qwen_vl(w, f, cfg, sd, dtype, *, v25: bool):
+    """Qwen2-VL / Qwen2.5-VL (reference QWen2_VLConverter /
+    QWen2_5VLConverter, convert.py:5002-5131): qwen2 text config + tie +
+    mrope_section[4]; visual tower with the temporal conv split into
+    proj.0/proj.1 and fused attn.qkv split into q/k/v."""
+    sd = {k.replace("model.visual.", "visual."): v for k, v in sd.items()}
+    tcfg = dict(cfg)
+    for k, v in (cfg.get("text_config") or {}).items():
+        tcfg[k] = v
+    vis = cfg["vision_config"]
+    heads = tcfg["num_attention_heads"]
+    kv = tcfg.get("num_key_value_heads", heads)
+    tie = bool(tcfg.get("tie_word_embeddings", False))
+    scaling = (tcfg.get("rope_scaling") or cfg.get("rope_scaling") or {})
+    mrope = list(scaling.get("mrope_section", (16, 24, 24)))
+    mrope += [0] * (4 - len(mrope))
+    w.write_config(_base_vals(tcfg, dtype)
+                   + [kv, tcfg.get("sliding_window") or 0], fmt="13i")
+    f.write(struct.pack("<f", float(tcfg.get("rope_theta", 1000000.0))))
+    f.write(struct.pack("<5i", int(tie), *mrope[:4]))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.QWEN2_5_VL if v25
+                           else ModelType.QWEN2_VL))
+
+    for n in _llama_like_names(tcfg["num_hidden_layers"], tie=tie, bias=True):
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+    vh = int(vis.get("hidden_size") if v25 else vis["embed_dim"])
+    for k, arr in sd.items():
+        if not k.startswith("visual."):
+            continue
+        if k == "visual.patch_embed.proj.weight":
+            # conv3d [out, 3, T=2, p, p] → two 2-D kernels
+            w.write_tensor("visual.patch_embed.proj.0.weight",
+                           np.ascontiguousarray(arr[:, :, 0]), GGMLType.F32)
+            w.write_tensor("visual.patch_embed.proj.1.weight",
+                           np.ascontiguousarray(arr[:, :, 1]), GGMLType.F32)
+        elif ".attn.qkv." in k:
+            q, kk_, v = arr[:vh], arr[vh:2 * vh], arr[2 * vh:]
+            for part, nm in ((q, "q_proj"), (kk_, "k_proj"), (v, "v_proj")):
+                w.write_tensor(k.replace(".attn.qkv.", f".attn.{nm}."),
+                               np.ascontiguousarray(part),
+                               dtype if part.ndim == 2 else GGMLType.F32)
+        else:
+            w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_qwen2_vl(w, f, cfg, sd, dtype):
+    _convert_qwen_vl(w, f, cfg, sd, dtype, v25=False)
+
+
+def convert_qwen25_vl(w, f, cfg, sd, dtype):
+    _convert_qwen_vl(w, f, cfg, sd, dtype, v25=True)
+
+
 def convert_mixtral(w, f, cfg, sd, dtype):
     """MixtralForCausalLM → MIXTRAL (models/mistral.h:45-49): per-expert
     w1/w2/w3, interleaved rope → q/k permuted."""
@@ -1060,6 +1118,8 @@ ARCH_CONVERTERS = {
     "Qwen2MoeForCausalLM": convert_qwen2_moe,
     "Qwen3MoeForCausalLM": convert_qwen3_moe,
     "MixtralForCausalLM": convert_mixtral,
+    "Qwen2VLForConditionalGeneration": convert_qwen2_vl,
+    "Qwen2_5_VLForConditionalGeneration": convert_qwen25_vl,
 }
 
 

@@ -342,3 +342,58 @@ def test_convert_mixtral(tmp_path):
     hf = transformers.MixtralForCausalLM(cfg).eval()
     _check(tmp_path, hf, cfg, "MixtralForCausalLM",
            ["<s>", "</s>", "[INST]", "[/INST]"], unigram=True)
+
+
+def test_convert_qwen25_vl(tmp_path):
+    """Qwen2.5-VL through the converter: text logits match HF; the windowed
+    ViT tower + merger reproduce HF `model.visual`."""
+    torch.manual_seed(36)
+    PATCH, MERGE, WINDOW = 4, 2, 8
+    VH, VD, VHEADS, VINTER = 32, 2, 4, 48
+    cfg = transformers.Qwen2_5_VLConfig(
+        vocab_size=V, hidden_size=48, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=64,
+        max_position_embeddings=256, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, sliding_window=None,
+        rope_scaling={"type": "mrope", "mrope_section": [1, 2, 3]},
+        vision_config=dict(
+            depth=VD, hidden_size=VH, intermediate_size=VINTER,
+            num_heads=VHEADS, patch_size=PATCH, spatial_merge_size=MERGE,
+            spatial_patch_size=PATCH, temporal_patch_size=2,
+            window_size=WINDOW, fullatt_block_indexes=[1],
+            out_hidden_size=48, tokens_per_second=2, hidden_act="silu"),
+        image_token_id=V - 1, video_token_id=V - 2,
+        vision_start_token_id=V - 4, vision_end_token_id=V - 3,
+        pad_token_id=0, eos_token_id=1)
+    hf = transformers.Qwen2_5_VLForConditionalGeneration(cfg).eval()
+    d = _save_dir(tmp_path, hf, cfg, "Qwen2_5_VLForConditionalGeneration",
+                  ["<|endoftext|>", "<|im_start|>", "<|im_end|>",
+                   "<|vision_start|>", "<|vision_end|>", "<|image_pad|>",
+                   "<|video_pad|>"])
+    out = str(tmp_path / "qvl.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.vis_params is not None
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
+    # vision tower golden (pattern from tests/test_qwen_vl.py)
+    import jax.numpy as jnp
+    from chatllm_tpu.nn.qwen_vit import grid_layout, qwen_vit_forward
+    from test_qwen_vl import _hf_pixel_values
+
+    gh, gw = 4, 4
+    rng = np.random.default_rng(3)
+    frames = rng.standard_normal((2, gh * PATCH, gw * PATCH, 3)).astype(np.float32)
+    layout = grid_layout(m.vis_cfg, gh, gw)
+    mine = np.asarray(qwen_vit_forward(m.vis_cfg, m.vis_params,
+                                       jnp.asarray(frames), layout, gh, gw))
+    pv = torch.from_numpy(_hf_pixel_values(frames, gh, gw))
+    grid = torch.tensor([[1, gh, gw]])
+    with torch.no_grad():
+        ref = hf.model.visual(pv, grid_thw=grid).numpy()
+    err = np.linalg.norm(mine - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert err < 2e-3, err
