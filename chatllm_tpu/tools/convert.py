@@ -1051,6 +1051,47 @@ def _convert_qwen_vl(w, f, cfg, sd, dtype, *, v25: bool):
             w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
 
 
+def convert_qwen2_audio(w, f, cfg, sd, dtype):
+    """Qwen2AudioForConditionalGeneration → QWEN2_AUDIO (reference
+    QWen2AudioConverter, convert.py:4855-4940): qwen2 text config;
+    whisper-style tower renamed audio_tower→audio with
+    out_proj/fc1/fc2/self_attn_layer_norm/final_layer_norm renames."""
+    sd = {k.replace("model.audio_tower.", "audio_tower.")
+           .replace("model.multi_modal_projector.", "multi_modal_projector."):
+          v for k, v in sd.items()}
+    tcfg = dict(cfg)
+    for k, v in (cfg.get("text_config") or {}).items():
+        tcfg[k] = v
+    heads = tcfg["num_attention_heads"]
+    kv = tcfg.get("num_key_value_heads", heads)
+    w.write_config(_base_vals(tcfg, dtype)
+                   + [kv, tcfg.get("sliding_window") or 0], fmt="13i")
+    f.write(struct.pack("<f", float(tcfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.QWEN2_AUDIO))
+    tie = bool(tcfg.get("tie_word_embeddings", False))
+    if tie:
+        sd.setdefault("lm_head.weight", sd["model.embed_tokens.weight"])
+    for n in _llama_like_names(tcfg["num_hidden_layers"], tie=False,
+                               bias=True):
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+    for k, arr in sd.items():
+        if k.startswith("multi_modal_projector."):
+            w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+            continue
+        if not k.startswith("audio_tower."):
+            continue
+        kk = k.replace("audio_tower.", "audio.")
+        kk = kk.replace(".out_proj.", ".o_proj.")
+        if ".fc1." in kk:
+            kk = kk.replace(".fc1.", ".mlp.fc1.")
+        elif ".fc2." in kk:
+            kk = kk.replace(".fc2.", ".mlp.fc2.")
+        kk = kk.replace(".self_attn_layer_norm.", ".input_layernorm.")
+        kk = kk.replace(".final_layer_norm.", ".post_attention_layernorm.")
+        w.write_tensor(kk, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
 def convert_qwen2_vl(w, f, cfg, sd, dtype):
     _convert_qwen_vl(w, f, cfg, sd, dtype, v25=False)
 
@@ -1120,6 +1161,7 @@ ARCH_CONVERTERS = {
     "MixtralForCausalLM": convert_mixtral,
     "Qwen2VLForConditionalGeneration": convert_qwen2_vl,
     "Qwen2_5_VLForConditionalGeneration": convert_qwen25_vl,
+    "Qwen2AudioForConditionalGeneration": convert_qwen2_audio,
 }
 
 

@@ -397,3 +397,47 @@ def test_convert_qwen25_vl(tmp_path):
         ref = hf.model.visual(pv, grid_thw=grid).numpy()
     err = np.linalg.norm(mine - ref) / max(np.linalg.norm(ref), 1e-9)
     assert err < 2e-3, err
+
+
+def test_convert_qwen2_audio(tmp_path):
+    """Qwen2AudioForConditionalGeneration → QWEN2_AUDIO: text logits match
+    HF; the whisper-style tower + projector reproduce HF audio_tower."""
+    torch.manual_seed(37)
+    A_MELS, A_D, A_LAYERS, A_HEADS, A_FFN, A_POS = 16, 32, 2, 4, 48, 24
+    cfg = transformers.Qwen2AudioConfig(
+        audio_config=dict(num_mel_bins=A_MELS, d_model=A_D,
+                          encoder_layers=A_LAYERS,
+                          encoder_attention_heads=A_HEADS,
+                          encoder_ffn_dim=A_FFN,
+                          max_source_positions=A_POS, scale_embedding=0),
+        text_config=dict(
+            vocab_size=V, hidden_size=48, num_attention_heads=4,
+            num_key_value_heads=2, num_hidden_layers=2,
+            intermediate_size=64, max_position_embeddings=256,
+            rope_theta=10000.0, rms_norm_eps=1e-6,
+            tie_word_embeddings=False))
+    hf = transformers.Qwen2AudioForConditionalGeneration(cfg).eval()
+    d = _save_dir(tmp_path, hf, cfg, "Qwen2AudioForConditionalGeneration",
+                  ["<|endoftext|>", "<|im_start|>", "<|im_end|>",
+                   "<|audio_bos|>", "<|audio_eos|>", "<|AUDIO|>"])
+    (tmp_path / "hf" / "preprocessor_config.json").write_text(json.dumps(
+        {"sampling_rate": 16000, "feature_size": A_MELS}))
+    out = str(tmp_path / "q2a.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.aud_cfg is not None
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((A_MELS, 2 * A_POS)).astype(np.float32)
+    mine = np.asarray(m.encode_audio(mel))
+    with torch.no_grad():
+        t = torch.from_numpy(mel)[None]
+        want = hf.audio_tower(t).last_hidden_state
+        want = hf.multi_modal_projector(want)[0].numpy()
+    err = np.linalg.norm(mine - want) / max(np.linalg.norm(want), 1e-9)
+    assert err < 2e-3, err
