@@ -493,6 +493,11 @@ class BPEProcessor2(Processor):
 
     def _bpe_words(self, text: bytes) -> list[bytes]:
         words = self._regex_split(text.decode("utf-8", errors="replace"))
+        if self.dec_type == self.DECODER_SEQUENCE:
+            # Sequence decoder == raw-text vocab: the reference skips the
+            # byte-level alphabet mapping entirely (BPEProcessor2::DoEncode2,
+            # src/tokenizer.cpp:659-661 — mapping only for ByteLevel)
+            return [w.encode("utf-8") for w in words]
         return [byte_level_encode(w.encode("utf-8")) for w in words]
 
     def _do_encode2(self, text: bytes, ids: list[int]):
@@ -557,16 +562,22 @@ class BPEProcessor2(Processor):
                     piece = word[starts[i] : starts[i] + length[i]]
                     tid = v.token_to_id.get(piece)
                     if tid is None:
-                        # fallback: each mapped char individually
-                        coff = 0
-                        clens = utf8_char_lengths(piece)
-                        for cl in clens:
-                            ch = piece[coff : coff + cl]
+                        # fallback: mapped chars (byte-level vocabs) or raw
+                        # single bytes (Sequence/raw vocabs — the reference
+                        # falls back per BYTE, tokenizer.cpp:603-609)
+                        if self.dec_type == self.DECODER_SEQUENCE:
+                            units = [piece[j:j + 1] for j in range(len(piece))]
+                        else:
+                            units = []
+                            coff = 0
+                            for cl in utf8_char_lengths(piece):
+                                units.append(piece[coff:coff + cl])
+                                coff += cl
+                        for ch in units:
                             ctid = v.token_to_id.get(ch)
                             if ctid is None:
                                 raise ValueError(f"byte not found in vocab: {ch!r}")
                             ids.append(ctid)
-                            coff += cl
                     else:
                         ids.append(tid)
                 i = nxt[i]

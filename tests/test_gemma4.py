@@ -14,7 +14,6 @@ import conftest  # noqa: F401
 from chatllm_tpu.ggmm.quants import GGMLType
 from chatllm_tpu.ggmm.writer import GGMMWriter
 from chatllm_tpu.models import ModelType, RuntimeConfig, load_model
-from test_model_golden import _bpe_pieces
 
 RT32 = dict(weight_dtype="float32", compute_dtype="float32",
             cache_dtype="float32")
@@ -36,7 +35,11 @@ def _gemma4_specials():
 
 
 def _pieces():
-    base = _bpe_pieces(V - len(_gemma4_specials()))
+    # gemma4's Sequence decoder means the vocab is RAW text/bytes (the
+    # loader does no byte-level Ġ/Ċ mapping) — reference tokenizer.cpp:659
+    n = V - len(_gemma4_specials())
+    base = [bytes([b]) for b in range(256)]
+    base += [f"<x{i}>".encode() for i in range(n - 256)]
     return [(p, 1) for p in base] + [(s.encode(), 1)
                                      for s in _gemma4_specials()]
 
