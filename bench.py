@@ -39,7 +39,7 @@ def main():
     n_decode = int(os.environ.get("BENCH_STEPS", "48"))
 
     cfg = llama3_8b_config(max_length=max_len)
-    params = build_synthetic_params(cfg, "q4", zeros=True)
+    params = build_synthetic_params(cfg, os.environ.get("BENCH_FMT", "q4k"), zeros=True)
     cache = init_cache(cfg, 1, max_len)
     pbytes = param_bytes(params)
 

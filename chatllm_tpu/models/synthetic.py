@@ -18,8 +18,33 @@ from ..ops.rope import ROPE_NEOX, RopeConfig
 def synth_linear(n_in: int, n_out: int, fmt: str, *, bias: bool = False,
                  rng=None, zeros: bool = True):
     """Build a linear layer in the given device format:
-    'q4'/'q8' = grouped-affine QuantLinear, 'bf16'/'f32' = dense."""
+    'q4k' = superblock QuantLinear (int8 sc/m + f16 d/dmin, the q4_k loader
+    layout), 'q4'/'q8' = grouped-affine QuantLinear, 'bf16'/'f32' = dense."""
     G = 32
+    if fmt == "q4k" and n_in % 256 != 0:
+        fmt = "q4"                # same gate as the q4_k loader (in % QK_K)
+    if fmt == "q4k":
+        SB = 8
+        if zeros:
+            q = jnp.zeros((n_in // 2, n_out), jnp.uint8)
+            sc = jnp.full((n_in // G, n_out), 20, jnp.int8)
+            m = jnp.full((n_in // G, n_out), 10, jnp.int8)
+            d = jnp.full((n_in // (G * SB), n_out), 0.001, jnp.float16)
+            dm = jnp.full((n_in // (G * SB), n_out), 0.0005, jnp.float16)
+        else:
+            rng = rng or np.random.default_rng(0)
+            q = jnp.asarray(rng.integers(0, 255, (n_in // 2, n_out),
+                                         dtype=np.uint8))
+            sc = jnp.asarray(rng.integers(0, 64, (n_in // G, n_out),
+                                          dtype=np.int8))
+            m = jnp.asarray(rng.integers(0, 64, (n_in // G, n_out),
+                                         dtype=np.int8))
+            d = jnp.asarray(rng.random((n_in // (G * SB), n_out))
+                            .astype(np.float16) * np.float16(0.002))
+            dm = jnp.asarray(rng.random((n_in // (G * SB), n_out))
+                             .astype(np.float16) * np.float16(0.001))
+        return QuantLinear(q=q, s=sc, b=m, packed=True, d=d, dm=dm, sb=SB,
+                           bias=jnp.zeros((n_out,), jnp.float32) if bias else None)
     if fmt in ("q4", "q8"):
         packed = fmt == "q4"
         rows = n_in // 2 if packed else n_in

@@ -60,6 +60,9 @@ def get_lib():
             lib.repack_q4_k.argtypes = [u8p, i64, i64, u8p, f32p, f32p, ctypes.c_int]
             lib.repack_q4_0.argtypes = [u8p, i64, i64, u8p, f32p, ctypes.c_int]
             lib.repack_q8_0.argtypes = [u8p, i64, i64, i8p, f32p, ctypes.c_int]
+            u16p = ctypes.POINTER(ctypes.c_uint16)
+            lib.repack_q4_k_sb.argtypes = [u8p, i64, i64, u8p, i8p, i8p,
+                                           u16p, u16p, ctypes.c_int]
             _lib = lib
             return lib
         except Exception:
@@ -73,6 +76,31 @@ def _u8(arr):
 
 def _f32(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def native_repack_q4k_super(raw, shape):
+    """q4_k → superblock planar layout (see qtensor.repack_q4_k_super).
+
+    Returns (qp, sc, m, d, dmin) or None if no native lib."""
+    lib = get_lib()
+    if lib is None or len(shape) != 2 or not hasattr(lib, "repack_q4_k_sb"):
+        return None
+    out_dim, in_dim = int(shape[0]), int(shape[1])
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        raw = np.frombuffer(raw, dtype=np.uint8)
+    raw = np.ascontiguousarray(raw.view(np.uint8))
+    qp = np.empty((in_dim // 2, out_dim), np.uint8)
+    sc = np.empty((in_dim // 32, out_dim), np.int8)
+    m = np.empty((in_dim // 32, out_dim), np.int8)
+    d = np.empty((in_dim // 256, out_dim), np.float16)
+    dmin = np.empty((in_dim // 256, out_dim), np.float16)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    u16 = ctypes.POINTER(ctypes.c_uint16)
+    lib.repack_q4_k_sb(_u8(raw), out_dim, in_dim, _u8(qp),
+                       sc.ctypes.data_as(i8), m.ctypes.data_as(i8),
+                       d.ctypes.data_as(u16), dmin.ctypes.data_as(u16),
+                       N_THREADS)
+    return qp, sc, m, d, dmin
 
 
 def native_repack(raw: np.ndarray, ggml_type: int, shape):

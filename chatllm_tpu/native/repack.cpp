@@ -111,6 +111,45 @@ void repack_q4_k(const uint8_t* raw, int64_t out_dim, int64_t in_dim,
     }, nthreads);
 }
 
+// q4_k -> SUPERBLOCK planar layout: the 6-bit sc/m stay int8 (0..63) and the
+// f16 d/dmin are kept verbatim per 256-superblock, so the per-weight scale
+// overhead is 0.625 bits instead of the classic layout's 1.0 — the Pallas
+// kernels compose s = d*sc and b = -(dmin*m) in VMEM (bit-identical to
+// ggml's dequantize_row_q4_K f32 products, reference ggml/src/ggml-quants.c).
+void repack_q4_k_sb(const uint8_t* raw, int64_t out_dim, int64_t in_dim,
+                    uint8_t* qp, int8_t* sc_out, int8_t* m_out,
+                    uint16_t* d_out, uint16_t* dmin_out, int nthreads) {
+    const int64_t nb = in_dim / 256;
+    const int64_t bytes_per_row = nb * 144;
+
+    parallel_rows(out_dim, [&](int64_t lo, int64_t hi) {
+        for (int64_t o = lo; o < hi; o++) {
+            const uint8_t* row = raw + o * bytes_per_row;
+            for (int64_t sb = 0; sb < nb; sb++) {
+                const uint8_t* blk = row + sb * 144;
+                d_out[sb * out_dim + o] = *(const uint16_t*)(blk + 0);
+                dmin_out[sb * out_dim + o] = *(const uint16_t*)(blk + 2);
+                const uint8_t* scales = blk + 4;
+                const uint8_t* qs = blk + 16;
+                for (int j = 0; j < 8; j++) {           // 8 groups of 32
+                    uint8_t sc6, m6;
+                    k4_scale_min(scales, j, &sc6, &m6);
+                    int64_t g = sb * 8 + j;
+                    sc_out[g * out_dim + o] = (int8_t)sc6;
+                    m_out[g * out_dim + o] = (int8_t)m6;
+                    const uint8_t* chunk = qs + (j / 2) * 32;
+                    bool high = j & 1;
+                    for (int r = 0; r < 16; r++) {
+                        uint8_t v_lo = high ? (chunk[r] >> 4) : (chunk[r] & 0xF);
+                        uint8_t v_hi = high ? (chunk[r + 16] >> 4) : (chunk[r + 16] & 0xF);
+                        qp[(g * 16 + r) * out_dim + o] = v_lo | (v_hi << 4);
+                    }
+                }
+            }
+        }
+    }, nthreads);
+}
+
 // q4_0: 18-byte blocks of 32 values, symmetric (values 0..15, zero_point 8).
 void repack_q4_0(const uint8_t* raw, int64_t out_dim, int64_t in_dim,
                  uint8_t* qp, float* s, int nthreads) {

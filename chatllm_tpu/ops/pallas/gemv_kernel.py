@@ -61,8 +61,20 @@ def load_scale_f32(s_ref):
     return s.astype(jnp.float32)
 
 
+def _reduce_axis0(t):
+    """Pairwise-halve axis 0 while even, then unrolled adds -> t[0]-shaped."""
+    g = t.shape[0]
+    while g > 1 and g % 2 == 0:
+        t = t[: g // 2] + t[g // 2:]
+        g //= 2
+    r = t[0]
+    for i in range(1, g):
+        r = r + t[i]
+    return r
+
+
 def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kt: int, group: int,
-            packed: bool):
+            packed: bool, b_ref=None, d_ref=None, dm_ref=None, sb: int = 0):
     kt = pl.program_id(1)
 
     @pl.when(kt == 0)
@@ -94,17 +106,32 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kt: int, group: int,
     while h > 8:
         t = t[:, : h // 2] + t[:, h // 2:]
         h //= 2
-    s = load_scale_f32(s_ref)                      # [gs, TN]
-    t = t * s[:, None, :]
-    # reduce the group axis: pairwise halving while even, then unrolled adds
-    g = gs
-    while g > 1 and g % 2 == 0:
-        t = t[: g // 2] + t[g // 2:]
-        g //= 2
-    r = t[0]
-    for i in range(1, g):
-        r = r + t[i]
-    acc_ref[:] += r
+    if sb:
+        # superblock composition: s = d * sc, b = -(dmin * m); the affine
+        # term rides the per-group sums of x, all accumulated in-kernel
+        # (precomposing an f32 b in HBM would cost more bytes than the
+        # whole factorization saves)
+        sc = s_ref[:].astype(jnp.float32)          # [gs, TN] int8
+        dsc = f16_bits_to_f32(d_ref[:].astype(jnp.int32))   # [gs/sb, TN]
+        s = (sc.reshape(gs // sb, sb, tn) * dsc[:, None, :]).reshape(gs, tn)
+        t = t * s[:, None, :]
+        acc_ref[:] += _reduce_axis0(t)
+        if b_ref is not None:                      # affine k-quants only
+            m = b_ref[:].astype(jnp.float32)
+            dmn = f16_bits_to_f32(dm_ref[:].astype(jnp.int32))
+            bb = (m.reshape(gs // sb, sb, tn)
+                  * dmn[:, None, :]).reshape(gs, tn)
+            xs = xx.reshape(gs, group)
+            w = group
+            while w > 1:
+                xs = xs[:, : w // 2] + xs[:, w // 2:]
+                w //= 2
+            rb = _reduce_axis0(bb * xs)            # [TN]
+            acc_ref[0:1, :] -= rb[None, :]
+    else:
+        s = load_scale_f32(s_ref)                  # [gs, TN]
+        t = t * s[:, None, :]
+        acc_ref[:] += _reduce_axis0(t)
 
     @pl.when(kt == n_kt - 1)
     def _():
@@ -123,18 +150,21 @@ def _pick_tile(dim: int, want: int, unit: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("group", "packed", "zero_point",
                                              "tile_n", "tile_k", "interpret",
-                                             "vmem_mb"))
+                                             "vmem_mb", "sb"))
 def qgemv_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
                  packed: bool = False, zero_point: int = 0,
+                 d=None, dm=None, sb: int = 0,
                  tile_n: int = 1024, tile_k: int = 2048,
                  vmem_mb: int = 0, interpret: bool = False):
     """x: [1, K] float; q: [K, N] int8 (or packed uint8 [K/2, N]);
-    s/b: [K/group, N] f32; bias: [N].  Returns [1, N] f32."""
+    s/b: [K/group, N] f32 — or int8 sub-scale/min with f16
+    d/dm [K/(group*sb), N] when sb>0 (superblock layout, s_eff = d*sc,
+    b_eff = -(dmin*m)); bias: [N].  Returns [1, N] f32."""
     B, K = x.shape
     assert B == 1, "VPU GEMV path is single-row; use qmm_pallas for B>1"
     N = q.shape[1]
     tile_n = _pick_tile(N, tile_n, 128)
-    tile_k = _pick_tile(K, tile_k, group)
+    tile_k = _pick_tile(K, tile_k, group * max(1, sb))
     n_kt = K // tile_k
     qdiv = 2 if packed else 1
     gs = tile_k // group
@@ -143,17 +173,50 @@ def qgemv_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
     s_in = (jax.lax.bitcast_convert_type(s, jnp.uint16)
             if s.dtype == jnp.float16 else s)
 
+    in_specs = [
+        pl.BlockSpec((tile_k, 1), lambda n, k: (k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k // qdiv, tile_n), lambda n, k: (k, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gs, tile_n), lambda n, k: (k, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xc, q, s_in]
+    scale_bytes = N * K // group * 4
+    if sb:
+        gspec = pl.BlockSpec((gs, tile_n), lambda n, k: (k, n),
+                             memory_space=pltpu.VMEM)
+        sbspec = pl.BlockSpec((gs // sb, tile_n), lambda n, k: (k, n),
+                              memory_space=pltpu.VMEM)
+        has_b = b is not None
+        in_specs += ([gspec] if has_b else []) + [sbspec] \
+            + ([sbspec] if has_b else [])
+        args += ([b] if has_b else []) \
+            + [jax.lax.bitcast_convert_type(d, jnp.uint16)] \
+            + ([jax.lax.bitcast_convert_type(dm, jnp.uint16)] if has_b else [])
+        scale_bytes = (N * K // group * (2 if has_b else 1)
+                       + N * K // (group * sb) * (4 if has_b else 2))
+
+        def kernel(*refs):
+            s_ref = refs[2]
+            i = 3
+            b_ref = refs[i] if has_b else None
+            i += has_b
+            d_ref = refs[i]
+            i += 1
+            dm_ref = refs[i] if has_b else None
+            i += has_b
+            _kernel(refs[0], refs[1], s_ref, refs[i], refs[i + 1], n_kt=n_kt,
+                    group=group, packed=packed, b_ref=b_ref, d_ref=d_ref,
+                    dm_ref=dm_ref, sb=sb)
+    else:
+        kernel = functools.partial(_kernel, n_kt=n_kt, group=group,
+                                   packed=packed)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, n_kt=n_kt, group=group, packed=packed),
+        kernel,
         grid=(N // tile_n, n_kt),
-        in_specs=[
-            pl.BlockSpec((tile_k, 1), lambda n, k: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_k // qdiv, tile_n), lambda n, k: (k, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gs, tile_n), lambda n, k: (k, n),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, tile_n), lambda n, k: (0, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
@@ -163,22 +226,23 @@ def qgemv_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
             **({"vmem_limit_bytes": vmem_mb * 2 ** 20} if vmem_mb else {})),
         cost_estimate=pl.CostEstimate(
             flops=3 * N * K,
-            bytes_accessed=N * K // qdiv + N * K // group * 4 + K * 4,
+            bytes_accessed=N * K // qdiv + scale_bytes + K * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xc, q, s_in)
+    )(*args)
     y = jnp.sum(out, axis=0, keepdims=True)        # [1, N]
 
     corr = None
-    if zero_point or b is not None:
+    if not sb and (zero_point or b is not None):
         xg = jnp.sum(xc.reshape(K // group, group), axis=1,
                      dtype=jnp.float32)[None, :]   # [1, K/G]
-    if zero_point:
-        corr = -zero_point * jnp.dot(xg, s, preferred_element_type=jnp.float32)
-    if b is not None:
-        t = jnp.dot(xg, b, preferred_element_type=jnp.float32)
-        corr = t if corr is None else corr + t
+        if zero_point:
+            corr = -zero_point * jnp.dot(xg, s,
+                                         preferred_element_type=jnp.float32)
+        if b is not None:
+            t = jnp.dot(xg, b, preferred_element_type=jnp.float32)
+            corr = t if corr is None else corr + t
     if corr is not None:
         y = y + corr
     if bias is not None:

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref, *, n_kt: int,
             tile_m: int, group: int, packed: bool, zero_point: int,
-            compute_dtype):
+            compute_dtype, b_ref=None, d_ref=None, dm_ref=None, sb: int = 0):
     kt = pl.program_id(1)
     mt = pl.program_id(2)
 
@@ -44,7 +44,9 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref, *, n_kt: int,
         # per weight tile, amortized over the whole M sweep.  The affine
         # group bias is handled OUTSIDE the kernel:
         # Σ_k x_k (q s + b) = x·(q s) + (Σ_{k∈g} x_k)·b, so the wrapper adds
-        # a tiny [B, K/G] @ [K/G, N] matmul on the XLA side in full f32.
+        # a tiny [B, K/G] @ [K/G, N] matmul on the XLA side in full f32 —
+        # EXCEPT on the superblock path (sb>0), where s/b exist only in
+        # factored int8×f16 form and are composed and folded in right here.
         q = q_ref[:]                               # [TK(/2), TN] int8/uint8
         tn = q.shape[1]
         if packed:
@@ -64,10 +66,24 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref, *, n_kt: int,
             tk = q.shape[0]
             gs = tk // group
             wq = q.astype(compute_dtype).reshape(gs, group, tn)
-        from .gemv_kernel import load_scale_f32
+        from .gemv_kernel import f16_bits_to_f32, load_scale_f32
 
-        s = load_scale_f32(s_ref).astype(compute_dtype)     # [gs, TN]
-        w_ref[:] = (wq * s[:, None, :]).reshape(tk, tn)
+        if sb:
+            sc = s_ref[:].astype(jnp.float32)      # [gs, TN] int8
+            dd = f16_bits_to_f32(d_ref[:].astype(jnp.int32))  # [gs/sb, TN]
+            s = (sc.reshape(gs // sb, sb, tn)
+                 * dd[:, None, :]).reshape(gs, tn).astype(compute_dtype)
+            w = wq * s[:, None, :]
+            if b_ref is not None:                  # affine k-quants only
+                m = b_ref[:].astype(jnp.float32)
+                dmn = f16_bits_to_f32(dm_ref[:].astype(jnp.int32))
+                bb = -(m.reshape(gs // sb, sb, tn)
+                       * dmn[:, None, :]).reshape(gs, tn).astype(compute_dtype)
+                w = w + bb[:, None, :]
+            w_ref[:] = w.reshape(tk, tn)
+        else:
+            s = load_scale_f32(s_ref).astype(compute_dtype)     # [gs, TN]
+            w_ref[:] = (wq * s[:, None, :]).reshape(tk, tn)
 
     xc = x_ref[:].astype(compute_dtype)            # [TM, TK]
     part = jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32)
@@ -99,14 +115,17 @@ def _pick_tile(dim: int, want: int, unit: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("group", "packed", "zero_point",
-                                             "tile_n", "tile_k",
+                                             "tile_n", "tile_k", "sb",
                                              "compute_dtype", "interpret"))
 def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
                packed: bool = False, zero_point: int = 0,
+               d=None, dm=None, sb: int = 0,
                tile_n: int = 512, tile_k: int = 1024,
                compute_dtype=jnp.bfloat16, interpret: bool = False):
     """x: [B, K] float; q: [K, N] int8 (or packed uint8 [K/2, N]);
-    s/b: [K/group, N] f32; bias: [N].  Returns [B, N] f32."""
+    s/b: [K/group, N] f32 — or int8 sub-scale/min with f16
+    d/dm [K/(group*sb), N] when sb>0 (superblock layout); bias: [N].
+    Returns [B, N] f32."""
     B, K = x.shape
     N = q.shape[1]
     # pad batch/sequence to the sublane minimum
@@ -119,7 +138,7 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         tile_n //= 2
     # largest tile sizes that divide the problem (lane/sublane-aligned)
     tile_n = _pick_tile(N, tile_n, 128)
-    tile_k = _pick_tile(K, tile_k, group)
+    tile_k = _pick_tile(K, tile_k, group * max(1, sb))
     assert tile_k % group == 0
     n_kt = K // tile_k
     qdiv = 2 if packed else 1
@@ -153,16 +172,38 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         in_specs.append(pl.BlockSpec((1, tile_n), lambda n, k, m: (0, n),
                                      memory_space=pltpu.VMEM))
         args.append(bias.reshape(1, N))
+    has_b = b is not None
+    if sb:
+        sbspec = pl.BlockSpec((gs // sb, tile_n), lambda n, k, m: (k, n),
+                              memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((gs, tile_n), lambda n, k, m: (k, n),
+                             memory_space=pltpu.VMEM)
+        in_specs += ([gspec] if has_b else []) + [sbspec] \
+            + ([sbspec] if has_b else [])
+        args += ([b] if has_b else []) \
+            + [jax.lax.bitcast_convert_type(d, jnp.uint16)] \
+            + ([jax.lax.bitcast_convert_type(dm, jnp.uint16)] if has_b else [])
 
     def kernel(*refs):
         x_ref, q_ref, s_ref = refs[0], refs[1], refs[2]
         idx = 3
         bias_ref = refs[idx] if has_bias else None
         idx += has_bias
+        b_ref = d_ref = dm_ref = None
+        if sb:
+            if has_b:
+                b_ref = refs[idx]
+                idx += 1
+            d_ref = refs[idx]
+            idx += 1
+            if has_b:
+                dm_ref = refs[idx]
+                idx += 1
         o_ref, w_ref = refs[idx], refs[idx + 1]
         _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref,
                 n_kt=n_kt, tile_m=tile_m, group=group, packed=packed,
-                zero_point=zero_point, compute_dtype=compute_dtype)
+                zero_point=zero_point, compute_dtype=compute_dtype,
+                b_ref=b_ref, d_ref=d_ref, dm_ref=dm_ref, sb=sb)
 
     out = pl.pallas_call(
         kernel,
@@ -178,14 +219,17 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_pad * N * K,
-            bytes_accessed=N * K // qdiv + N * K // group * 4
+            bytes_accessed=N * K // qdiv
+            + (N * K // group * (2 if has_b else 1)
+               + N * K // (group * sb) * (4 if has_b else 2) if sb
+               else N * K // group * 4)
             + n_nt * B_pad * K * 2,
             transcendentals=0,
         ),
         interpret=interpret,
     )(*args)
     out = out[:B]
-    if b is not None:
+    if b is not None and not sb:
         # affine group-bias term: Σ_g b[g, n] · (Σ_{k∈g} x[b, k]) in f32
         xg = jnp.sum(x_f32[:B].astype(jnp.float32)
                      .reshape(B, K // group, group), axis=2)

@@ -78,6 +78,20 @@ def unpack_nibbles(q: jax.Array, group: int, zero: int = 0) -> jax.Array:
     return u.astype(jnp.float32) - float(zero)
 
 
+def effective_scales(lin: QuantLinear):
+    """(s, b) as f32 [in/G, out], composing the superblock factorization
+    (s = d*sc, b = -(dmin*m)) when present."""
+    if not lin.sb:
+        return (lin.s.astype(jnp.float32),
+                None if lin.b is None else lin.b.astype(jnp.float32))
+    rep = lambda a: jnp.repeat(a.astype(jnp.float32), lin.sb, axis=0)
+    s = lin.s.astype(jnp.float32) * rep(lin.d)
+    b = None
+    if lin.b is not None:
+        b = -(lin.b.astype(jnp.float32) * rep(lin.dm))
+    return s, b
+
+
 def dequant_weight(lin: QuantLinear, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the full weight [in, out] from the planar layout."""
     qv = (unpack_nibbles(lin.q, lin.group_size, lin.zero_point)
@@ -85,9 +99,10 @@ def dequant_weight(lin: QuantLinear, dtype=jnp.bfloat16) -> jax.Array:
     cin, out = qv.shape
     g = lin.group_size
     q = qv.reshape(cin // g, g, out).astype(jnp.float32)
-    w = q * lin.s[:, None, :]
-    if lin.b is not None:
-        w = w + lin.b[:, None, :]
+    s, b = effective_scales(lin)
+    w = q * s[:, None, :]
+    if b is not None:
+        w = w + b[:, None, :]
     return w.reshape(cin, out).astype(dtype)
 
 
@@ -123,7 +138,7 @@ def dense_weight(lin, dtype=jnp.float32) -> jax.Array:
 
 
 def _pallas_local(x2, q, s, b, bias, *, group, packed, zero_point,
-                  compute_dtype, interpret=False):
+                  compute_dtype, d=None, dm=None, sb=0, interpret=False):
     """Dispatch one already-local (per-shard or unsharded) quantized matmul
     to the GEMV or GEMM Pallas kernel."""
     import os
@@ -135,12 +150,13 @@ def _pallas_local(x2, q, s, b, bias, *, group, packed, zero_point,
         from .pallas.gemv_kernel import qgemv_pallas
 
         return qgemv_pallas(x2, q, s, b, bias, group=group, packed=packed,
-                            zero_point=zero_point, interpret=interpret)
+                            zero_point=zero_point, d=d, dm=dm, sb=sb,
+                            interpret=interpret)
     from .pallas.qmm_kernel import qmm_pallas
 
     return qmm_pallas(x2, q, s, b, bias, group=group, packed=packed,
                       zero_point=zero_point, compute_dtype=compute_dtype,
-                      interpret=interpret)
+                      d=d, dm=dm, sb=sb, interpret=interpret)
 
 
 def _matmul_sharded(x, lin: QuantLinear, shard: str, compute_dtype):
@@ -173,17 +189,21 @@ def _matmul_sharded(x, lin: QuantLinear, shard: str, compute_dtype):
         w_spec, x_spec, o_spec = P(None, "tp"), P(dp_ax, None), P(dp_ax, "tp")
         bias_spec = P("tp")
     else:  # "in": contraction dim sharded -> partial sums
-        if K % tp or (K // tp) % G or (not interp and N % 128):
+        if K % tp or (K // tp) % (G * max(1, lin.sb)) \
+                or (not interp and N % 128):
             return None
         w_spec, x_spec, o_spec = P("tp", None), P(dp_ax, "tp"), P(dp_ax, None)
         bias_spec = P()
     x2 = x.reshape(rows, K)
 
     has_b, has_bias = lin.b is not None, lin.bias is not None
+    has_sb = lin.sb > 0
     args = [x2, lin.q, lin.s] + ([lin.b] if has_b else []) \
-        + ([lin.bias] if has_bias else [])
+        + ([lin.bias] if has_bias else []) \
+        + ([lin.d, lin.dm] if has_sb else [])
     in_specs = [x_spec, w_spec, w_spec] + ([w_spec] if has_b else []) \
-        + ([bias_spec] if has_bias else [])
+        + ([bias_spec] if has_bias else []) \
+        + ([w_spec, w_spec] if has_sb else [])
 
     def per_shard(*a):
         xl, ql, sl = a[0], a[1], a[2]
@@ -191,18 +211,22 @@ def _matmul_sharded(x, lin: QuantLinear, shard: str, compute_dtype):
         bl = a[i] if has_b else None
         i += has_b
         biasl = a[i] if has_bias else None
+        i += has_bias
+        dl, dml = (a[i], a[i + 1]) if has_sb else (None, None)
         if shard == "in":
             # add the replicated bias once, after the cross-shard reduction
             y = _pallas_local(xl, ql, sl, bl, None, group=G,
                               packed=lin.packed, zero_point=lin.zero_point,
-                              compute_dtype=compute_dtype, interpret=interp)
+                              compute_dtype=compute_dtype, d=dl, dm=dml,
+                              sb=lin.sb, interpret=interp)
             y = jax.lax.psum(y, "tp")
             if biasl is not None:
                 y = y + biasl[None, :]
             return y
         return _pallas_local(xl, ql, sl, bl, biasl, group=G,
                              packed=lin.packed, zero_point=lin.zero_point,
-                             compute_dtype=compute_dtype, interpret=interp)
+                             compute_dtype=compute_dtype, d=dl, dm=dml,
+                             sb=lin.sb, interpret=interp)
 
     y = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
                   out_specs=o_spec, check_vma=False)(*args)
@@ -243,8 +267,8 @@ def matmul(x: jax.Array, lin, *, compute_dtype=jnp.bfloat16,
             x2 = x.reshape(-1, x.shape[-1])
             y = _pallas_local(x2, lin.q, lin.s, lin.b, lin.bias,
                               group=lin.group_size, packed=lin.packed,
-                              zero_point=lin.zero_point,
-                              compute_dtype=compute_dtype)
+                              zero_point=lin.zero_point, d=lin.d, dm=lin.dm,
+                              sb=lin.sb, compute_dtype=compute_dtype)
             return y.reshape(*lead, y.shape[-1])
         else:
             _count("xla_kernel_off" if not use_pallas_qmm() else

@@ -59,12 +59,21 @@ class QuantLinear:
     (8 for symmetric formats) is subtracted in-kernel before scaling.
     """
     q: jax.Array                     # int8 [in, out] | uint8 [in/2, out] packed
-    s: jax.Array                     # f32 [in // G, out]
-    b: Optional[jax.Array] = None    # f32 [in // G, out]
+    s: jax.Array                     # f32/f16 [in//G, out]; int8 sub-scale when sb>0
+    b: Optional[jax.Array] = None    # f32/f16 [in//G, out]; int8 sub-min when sb>0
     bias: Optional[jax.Array] = None # f32 [out]
     group_size: int = struct.field(pytree_node=False, default=32)
     packed: bool = struct.field(pytree_node=False, default=False)
     zero_point: int = struct.field(pytree_node=False, default=0)
+    # ggml k-quant superblock layout (sb = groups per superblock, 0 = classic):
+    # the per-group scale/min stay in their native integer encoding
+    # (q4_k: 6-bit sc/m — reference ggml-quants.c get_scale_min_k4) and the
+    # f16 superblock d/dmin are factored out, so the per-weight scale
+    # overhead drops from 32 f16 bits/group to 8+16/sb — the kernels compose
+    # s_eff = d * sc and b_eff = -(dmin * m) in VMEM.
+    d: Optional[jax.Array] = None    # f16 [in//(G*sb), out]
+    dm: Optional[jax.Array] = None   # f16 [in//(G*sb), out]
+    sb: int = struct.field(pytree_node=False, default=0)
 
     @property
     def shape_in_out(self):
@@ -232,6 +241,111 @@ def pack_nibbles(q: np.ndarray, G: int):
     return packed, zero
 
 
+def repack_q4_k_super(data, shape):
+    """Repack raw q4_k blocks into the SUPERBLOCK planar layout:
+
+    (q uint8 [in/2, out] nibble-packed, sc int8 [in/32, out],
+     m int8 [in/32, out], d f16 [in/256, out], dmin f16 [in/256, out])
+
+    with w = d*sc*qv - dmin*m exactly as ggml's dequantize_row_q4_K
+    (reference ggml/src/ggml-quants.c) — the f16 d/dmin and the 6-bit sc/m
+    are stored verbatim, so the kernel-side f32 product d*sc is bit-identical
+    to ggml's, unlike the classic layout's f16-rounded s = f16(d*sc)."""
+    n = int(np.prod(shape))
+    buf = (np.frombuffer(data, dtype=np.uint8)
+           if isinstance(data, (bytes, bytearray, memoryview)) else data)
+    nb = n // QK_K
+    raw = buf[: nb * 144].reshape(nb, 144)
+    d = raw[:, 0:2].copy().view(np.float16)                 # [nb, 1]
+    dmin = raw[:, 2:4].copy().view(np.float16)
+    sc, m = _k4_scale_min(raw[:, 4:16])                     # [nb, 8] uint8
+    qs = raw[:, 16:144].reshape(nb, 4, 32)
+    lo, hi = _nibbles(qs)
+    q = np.stack([lo, hi], axis=2).reshape(nb, 8, 32).astype(np.int8)
+
+    out_shape = tuple(shape)                                # [out, in]
+    g_shape = out_shape[:-1] + (out_shape[-1] // 32,)
+    sb_shape = out_shape[:-1] + (out_shape[-1] // QK_K,)
+    q = np.ascontiguousarray(np.moveaxis(q.reshape(out_shape), -1, -2))
+    sc = np.ascontiguousarray(np.moveaxis(
+        sc.reshape(g_shape).astype(np.int8), -1, -2))
+    m = np.ascontiguousarray(np.moveaxis(
+        m.reshape(g_shape).astype(np.int8), -1, -2))
+    d = np.ascontiguousarray(np.moveaxis(d.reshape(sb_shape), -1, -2))
+    dmin = np.ascontiguousarray(np.moveaxis(dmin.reshape(sb_shape), -1, -2))
+    qp, zero = pack_nibbles(q, 32)
+    assert zero == 0
+    return qp, sc, m, d, dmin
+
+
+def repack_q5_k_super(data, shape):
+    """q5_k -> superblock layout: (q int8 [in,out] 0..31 unpacked,
+    sc int8, m int8 [in/32,out], d f16, dmin f16 [in/256,out])."""
+    n = int(np.prod(shape))
+    buf = (np.frombuffer(data, dtype=np.uint8)
+           if isinstance(data, (bytes, bytearray, memoryview)) else data)
+    nb = n // QK_K
+    raw = buf[: nb * 176].reshape(nb, 176)
+    d = raw[:, 0:2].copy().view(np.float16)
+    dmin = raw[:, 2:4].copy().view(np.float16)
+    sc, m = _k4_scale_min(raw[:, 4:16])
+    qh = raw[:, 16:48]
+    qs = raw[:, 48:176].reshape(nb, 4, 32)
+    lo, hi = _nibbles(qs)
+    bits = np.arange(4, dtype=np.uint8)
+    hlo = ((qh[:, None, :] >> (2 * bits)[None, :, None]) & 1).astype(np.uint8)
+    hhi = ((qh[:, None, :] >> (2 * bits + 1)[None, :, None]) & 1).astype(np.uint8)
+    q = np.stack([lo + (hlo << 4), hi + (hhi << 4)],
+                 axis=2).reshape(nb, QK_K).astype(np.int8)
+
+    out_shape = tuple(shape)
+    g_shape = out_shape[:-1] + (out_shape[-1] // 32,)
+    sb_shape = out_shape[:-1] + (out_shape[-1] // QK_K,)
+    q = np.ascontiguousarray(np.moveaxis(q.reshape(out_shape), -1, -2))
+    sc = np.ascontiguousarray(np.moveaxis(
+        sc.reshape(g_shape).astype(np.int8), -1, -2))
+    m = np.ascontiguousarray(np.moveaxis(
+        m.reshape(g_shape).astype(np.int8), -1, -2))
+    d = np.ascontiguousarray(np.moveaxis(d.reshape(sb_shape), -1, -2))
+    dmin = np.ascontiguousarray(np.moveaxis(dmin.reshape(sb_shape), -1, -2))
+    return q, sc, m, d, dmin
+
+
+def repack_q6_k_super(data, shape):
+    """q6_k -> superblock layout: (q int8 [in,out] -32..31, sc int8
+    [in/16,out] SIGNED, d f16 [in/256,out]); no min term."""
+    n = int(np.prod(shape))
+    buf = (np.frombuffer(data, dtype=np.uint8)
+           if isinstance(data, (bytes, bytearray, memoryview)) else data)
+    nb = n // QK_K
+    raw = buf[: nb * 210].reshape(nb, 210)
+    ql = raw[:, 0:128].reshape(nb, 2, 64)
+    qh = raw[:, 128:192].reshape(nb, 2, 32)
+    sc = raw[:, 192:208].copy().view(np.int8).reshape(nb, 16)
+    d = raw[:, 208:210].copy().view(np.float16)
+    l0, l1 = ql[:, :, :32], ql[:, :, 32:]
+    q1 = ((l0 & 0xF) | (((qh >> 0) & 3) << 4)).astype(np.int8) - 32
+    q2 = ((l1 & 0xF) | (((qh >> 2) & 3) << 4)).astype(np.int8) - 32
+    q3 = ((l0 >> 4) | (((qh >> 4) & 3) << 4)).astype(np.int8) - 32
+    q4 = ((l1 >> 4) | (((qh >> 6) & 3) << 4)).astype(np.int8) - 32
+    q = np.concatenate([q1, q2, q3, q4], axis=2).reshape(nb, QK_K)
+
+    out_shape = tuple(shape)
+    g_shape = out_shape[:-1] + (out_shape[-1] // 16,)
+    sb_shape = out_shape[:-1] + (out_shape[-1] // QK_K,)
+    q = np.ascontiguousarray(np.moveaxis(
+        q.astype(np.int8).reshape(out_shape), -1, -2))
+    sc = np.ascontiguousarray(np.moveaxis(sc.reshape(g_shape), -1, -2))
+    d = np.ascontiguousarray(np.moveaxis(d.reshape(sb_shape), -1, -2))
+    return q, sc, d
+
+
+def _superblock_enabled() -> bool:
+    import os
+
+    return os.environ.get("CHATLLM_TPU_SB", "1") != "0"
+
+
 def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
                      dequant_to=None):
     """Build a device linear layer from a ggml tensor.
@@ -250,8 +364,30 @@ def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
         dt = dequant_to or jnp.float32
         return DenseLinear(w=jnp.asarray(np.ascontiguousarray(w.T), dtype=dt), bias=bias_arr)
     # native (C++ threaded) repack for the hot formats; numpy fallback
-    from ..native import native_repack
+    from ..native import native_repack, native_repack_q4k_super
 
+    if (len(shape) == 2 and shape[-1] % QK_K == 0 and _superblock_enabled()
+            and t in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K)):
+        if t == GGMLType.Q4_K:
+            nat = native_repack_q4k_super(raw, shape)
+            qq, sc, m, d, dmin = (nat if nat is not None
+                                  else repack_q4_k_super(raw, shape))
+            G, packed = 32, True
+        elif t == GGMLType.Q5_K:
+            qq, sc, m, d, dmin = repack_q5_k_super(raw, shape)
+            G, packed = 32, False
+        else:                                      # Q6_K: symmetric, no min
+            qq, sc, d = repack_q6_k_super(raw, shape)
+            m = dmin = None
+            G, packed = 16, False
+        return QuantLinear(
+            q=jnp.asarray(qq), s=jnp.asarray(sc),
+            b=None if m is None else jnp.asarray(m),
+            bias=bias_arr, group_size=G, packed=packed, zero_point=0,
+            d=jnp.asarray(d, dtype=jnp.float16),
+            dm=None if dmin is None else jnp.asarray(dmin, dtype=jnp.float16),
+            sb=QK_K // G,
+        )
     nat = native_repack(raw, int(t), shape)
     if nat is not None:
         q, s, b, G, packed, zero = nat

@@ -51,9 +51,12 @@ def describe_devices() -> str:
     return "\n".join(lines)
 
 
-def _linear_spec(lin, shard_dim: str):
+def _linear_spec(lin, shard_dim: str, tp: int = 0):
     """Build the matching sharding pytree for one linear layer.
-    shard_dim: 'out' | 'in' | 'expert' | 'none'."""
+    shard_dim: 'out' | 'in' | 'expert' | 'none'.  `tp` (when known) lets
+    row-sharded superblock d/dm arrays fall back to replication when their
+    row count (in/(G*sb)) doesn't divide — only reachable on toy shapes,
+    where the XLA path handles the matmul anyway."""
     # both layouts are [in, out] (QuantLinear: q [in,out], s/b [in//G,out])
     if shard_dim == "out":
         ws = P(None, "tp")
@@ -65,12 +68,18 @@ def _linear_spec(lin, shard_dim: str):
         ws = P(None, None)
         bias = P()
     if isinstance(lin, QuantLinear):
+        dspec = ws
+        if (shard_dim == "in" and lin.d is not None and tp
+                and lin.d.shape[0] % tp):
+            dspec = P(None, None)
         return QuantLinear(
             q=ws, s=ws,
             b=None if lin.b is None else ws,
             bias=None if lin.bias is None else bias,
             group_size=lin.group_size, packed=lin.packed,
-            zero_point=lin.zero_point)
+            zero_point=lin.zero_point,
+            d=None if lin.d is None else dspec,
+            dm=None if lin.dm is None else dspec, sb=lin.sb)
     if isinstance(lin, DenseLinear):
         return DenseLinear(w=ws, bias=None if lin.bias is None else bias)
     raise TypeError(type(lin))
@@ -80,11 +89,11 @@ def _norm_spec(p: dict) -> dict:
     return {k: P(None) for k in p}
 
 
-def tp_param_sharding(params: dict) -> dict:
+def tp_param_sharding(params: dict, tp: int = 0) -> dict:
     """PartitionSpec pytree matching a llama-family param tree."""
     spec = {"embed": P(None, None)}
     if "lm_head" in params:
-        spec["lm_head"] = _linear_spec(params["lm_head"], "out")
+        spec["lm_head"] = _linear_spec(params["lm_head"], "out", tp)
     spec["final_norm"] = _norm_spec(params["final_norm"])
     layers = []
     for lp in params["layers"]:
@@ -94,9 +103,9 @@ def tp_param_sharding(params: dict) -> dict:
                 a = {}
                 for k2, v2 in sub.items():
                     if k2 in ("q", "k", "v"):
-                        a[k2] = _linear_spec(v2, "out")
+                        a[k2] = _linear_spec(v2, "out", tp)
                     elif k2 == "o":
-                        a[k2] = _linear_spec(v2, "in")
+                        a[k2] = _linear_spec(v2, "in", tp)
                     elif k2 in ("q_norm", "k_norm"):
                         a[k2] = _norm_spec(v2)
                     else:  # sinks etc: per-head vectors shard over tp
@@ -109,18 +118,18 @@ def tp_param_sharding(params: dict) -> dict:
                         # stacked dense experts [E, ...]: expert-parallel
                         m[k2] = {n: P("tp", None, None) for n in v2}
                     elif k2 == "shared":
-                        m[k2] = {"gate": _linear_spec(v2["gate"], "out"),
-                                 "up": _linear_spec(v2["up"], "out"),
-                                 "down": _linear_spec(v2["down"], "in")}
+                        m[k2] = {"gate": _linear_spec(v2["gate"], "out", tp),
+                                 "up": _linear_spec(v2["up"], "out", tp),
+                                 "down": _linear_spec(v2["down"], "in", tp)}
                     elif k2 in ("up", "gate"):
-                        m[k2] = _linear_spec(v2, "out")
+                        m[k2] = _linear_spec(v2, "out", tp)
                     elif k2 == "down":
-                        m[k2] = _linear_spec(v2, "in")
+                        m[k2] = _linear_spec(v2, "in", tp)
                     else:
-                        m[k2] = _linear_spec(v2, "none")
+                        m[k2] = _linear_spec(v2, "none", tp)
                 # router gate of a MoE layer must be replicated
                 if "experts" in sub:
-                    m["gate"] = _linear_spec(sub["gate"], "none")
+                    m["gate"] = _linear_spec(sub["gate"], "none", tp)
                 ls[key] = m
             else:  # norms
                 ls[key] = _norm_spec(sub)
@@ -131,7 +140,7 @@ def tp_param_sharding(params: dict) -> dict:
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
     """Place a param tree onto the mesh with TP sharding."""
-    spec = tp_param_sharding(params)
+    spec = tp_param_sharding(params, tp=mesh.shape.get("tp", 1))
 
     def place(x, s):
         return jax.device_put(x, NamedSharding(mesh, s))

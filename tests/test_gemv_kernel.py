@@ -94,3 +94,54 @@ def test_qmm_f16_scales_interpret():
                    compute_dtype=jnp.float32, interpret=True)
     rel = np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref)
     assert rel < 1e-5
+
+
+def _superblock_fixture(rng, K, N, G=32, SB=8):
+    """Random q4_k-shaped superblock arrays + the exact f32 weight."""
+    qv = rng.integers(0, 16, size=(K, N)).astype(np.int8)
+    sc = rng.integers(0, 64, size=(K // G, N)).astype(np.int8)
+    m = rng.integers(0, 64, size=(K // G, N)).astype(np.int8)
+    d = (rng.random((K // (G * SB), N)) * 0.02 + 1e-4).astype(np.float16)
+    dm = (rng.random((K // (G * SB), N)) * 0.01 + 1e-4).astype(np.float16)
+    s_eff = sc.astype(np.float32) * np.repeat(d.astype(np.float32), SB, axis=0)
+    b_eff = -(m.astype(np.float32) * np.repeat(dm.astype(np.float32), SB, axis=0))
+    w = (qv.astype(np.float32).reshape(K // G, G, N) * s_eff[:, None, :]
+         + b_eff[:, None, :]).reshape(K, N)
+    return qv, sc, m, d, dm, w
+
+
+@pytest.mark.parametrize("tile_k", [256, 512])
+def test_qgemv_superblock(tile_k):
+    """q4_k superblock layout: int8 sc/m + f16 d/dmin composed in-kernel
+    (s = d*sc, b = -(dmin*m)), affine term accumulated in-kernel too."""
+    rng = np.random.default_rng(7)
+    K, N, G, SB = 1024, 256, 32, 8
+    x = rng.standard_normal((1, K)).astype(np.float32)
+    qv, sc, m, d, dm, w = _superblock_fixture(rng, K, N, G, SB)
+    bias = rng.standard_normal(N).astype(np.float32)
+    ref = x @ w + bias
+    qp, zero = pack_nibbles(qv, G)
+    assert zero == 0
+    y = qgemv_pallas(jnp.asarray(x), jnp.asarray(qp), jnp.asarray(sc),
+                     jnp.asarray(m), jnp.asarray(bias), group=G, packed=True,
+                     d=jnp.asarray(d), dm=jnp.asarray(dm), sb=SB,
+                     tile_n=128, tile_k=tile_k, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-4)
+
+
+def test_qmm_superblock():
+    from chatllm_tpu.ops.pallas.qmm_kernel import qmm_pallas
+
+    rng = np.random.default_rng(8)
+    B, K, N, G, SB = 16, 1024, 256, 32, 8
+    x = rng.standard_normal((B, K)).astype(np.float32)
+    qv, sc, m, d, dm, w = _superblock_fixture(rng, K, N, G, SB)
+    ref = x @ w
+    qp, _ = pack_nibbles(qv, G)
+    y = qmm_pallas(jnp.asarray(x), jnp.asarray(qp), jnp.asarray(sc),
+                   jnp.asarray(m), None, group=G, packed=True,
+                   d=jnp.asarray(d), dm=jnp.asarray(dm), sb=SB,
+                   tile_n=128, tile_k=256, compute_dtype=jnp.float32,
+                   interpret=True)
+    rel = np.linalg.norm(np.asarray(y) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5

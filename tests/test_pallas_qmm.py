@@ -72,18 +72,19 @@ def test_packed_nibbles_roundtrip():
 
         ref = dequantize(raw, t, (out_d, in_d)).T
         got = np.asarray(dequant_weight(lin, jnp.float32))
-        # q4_0/q4_1 scales are natively f16 -> exact; q4_k's d*sc product
-        # rounds once through the f16 device scales (<= 1 ulp)
-        tol = 1e-6 if t in (GGMLType.Q4_0, GGMLType.Q4_1) else 3e-4
-        np.testing.assert_allclose(got, ref, atol=tol, rtol=5e-4)
+        # q4_0/q4_1 scales are natively f16 -> exact; q4_k's superblock
+        # layout keeps d/sc verbatim so its f32 products are exact too
+        np.testing.assert_allclose(got, ref, atol=1e-6, rtol=5e-4)
 
         x = rng.standard_normal((2, in_d)).astype(np.float32)
         from chatllm_tpu.ops.pallas.qmm_kernel import qmm_pallas
 
         y = np.asarray(qmm_pallas(jnp.asarray(x), lin.q, lin.s, lin.b,
                                   group=lin.group_size, packed=True,
-                                  zero_point=lin.zero_point,
-                                  tile_k=128, tile_n=64, interpret=True))
+                                  zero_point=lin.zero_point, d=lin.d,
+                                  dm=lin.dm, sb=lin.sb,
+                                  tile_k=256 if lin.sb else 128, tile_n=64,
+                                  interpret=True))
         expect = x @ ref
         rel = np.linalg.norm(y - expect) / np.linalg.norm(expect)
         # bf16-weight noise; affine formats see a bit more (u*s term is

@@ -2,6 +2,7 @@
 (SURVEY.md §4 implication (d): the JAX-native analog of the reference's
 localhost RPC multi-process testing)."""
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 
@@ -109,3 +110,32 @@ def test_flash_shard_map_matches_dense(monkeypatch):
             q, k, v, n_past, T, scale=D ** -0.5))(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("shard", ["out", "in"])
+def test_superblock_shard_map(monkeypatch, shard):
+    """q4_k superblock QuantLinear (int8 sc/m + f16 d/dmin) through the
+    shard_map'd Pallas path in both TP roles matches the XLA dequant path."""
+    from chatllm_tpu.ggmm.quants import GGMLType, quantize
+    from chatllm_tpu.ops import qmm
+    from chatllm_tpu.ops.qtensor import linear_from_ggml
+    from chatllm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    K, N = 2048, 512
+    w = (rng.standard_normal((N, K)) * 0.05).astype(np.float32)
+    lin = linear_from_ggml(quantize(w, GGMLType.Q4_K), GGMLType.Q4_K, (N, K))
+    assert lin.sb == 8
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
+    ref = np.asarray(qmm.matmul(x, lin, compute_dtype=jnp.float32))
+
+    monkeypatch.setenv("CHATLLM_TPU_QMM", "1")
+    mesh = make_mesh(tp=4, dp=1)
+    with mesh, qmm.kernel_mesh(mesh):
+        qmm.reset_kernel_dispatch_stats()
+        got = np.asarray(jax.jit(
+            lambda xx: qmm.matmul(xx, lin, compute_dtype=jnp.float32,
+                                  shard=shard))(x))
+        assert qmm.kernel_dispatch_stats().get("pallas_shard_map", 0) == 1
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5, rel

@@ -132,3 +132,107 @@ def test_q3_k_dequant_oracle():
             qoff += 32
         want[i] = np.asarray(y, np.float32)
     np.testing.assert_allclose(got.reshape(nb, 256), want, atol=1e-5)
+
+
+def test_q4k_superblock_repack_parity():
+    """The superblock planar layout (int8 sc/m + f16 d/dmin) reconstructs the
+    SAME weights as dequantize(), and the native C++ repack produces byte-
+    identical arrays to the numpy reference."""
+    import jax.numpy as jnp
+
+    from chatllm_tpu.native import native_repack_q4k_super
+    from chatllm_tpu.ops.qmm import dequant_weight
+    from chatllm_tpu.ops.qtensor import QuantLinear, repack_q4_k_super
+
+    rng = np.random.default_rng(11)
+    out_dim, in_dim = 64, 512
+    w = (rng.standard_normal((out_dim, in_dim)) * 0.1).astype(np.float32)
+    raw = quantize(w, GGMLType.Q4_K)
+    ref = dequantize(raw, GGMLType.Q4_K, (out_dim, in_dim)).T  # [in, out]
+
+    qp, sc, m, d, dmin = repack_q4_k_super(raw, (out_dim, in_dim))
+    assert sc.min() >= 0 and sc.max() <= 63 and m.min() >= 0 and m.max() <= 63
+    lin = QuantLinear(q=jnp.asarray(qp), s=jnp.asarray(sc), b=jnp.asarray(m),
+                      group_size=32, packed=True, zero_point=0,
+                      d=jnp.asarray(d), dm=jnp.asarray(dmin), sb=8)
+    got = np.asarray(dequant_weight(lin, jnp.float32))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    nat = native_repack_q4k_super(raw, (out_dim, in_dim))
+    if nat is not None:       # no toolchain -> numpy fallback covered above
+        nqp, nsc, nm, nd, ndmin = nat
+        np.testing.assert_array_equal(nqp, qp)
+        np.testing.assert_array_equal(nsc, sc)
+        np.testing.assert_array_equal(nm, m)
+        np.testing.assert_array_equal(nd.view(np.uint16), d.view(np.uint16))
+        np.testing.assert_array_equal(ndmin.view(np.uint16),
+                                      dmin.view(np.uint16))
+
+
+def test_q4k_loader_takes_superblock_layout():
+    """linear_from_ggml builds the superblock layout for q4_k by default
+    (CHATLLM_TPU_SB=0 restores the classic f16-scale layout)."""
+    import jax.numpy as jnp
+
+    from chatllm_tpu.ops.qmm import dequant_weight
+    from chatllm_tpu.ops.qtensor import linear_from_ggml
+
+    rng = np.random.default_rng(12)
+    out_dim, in_dim = 32, 256
+    w = (rng.standard_normal((out_dim, in_dim)) * 0.1).astype(np.float32)
+    raw = quantize(w, GGMLType.Q4_K)
+    lin = linear_from_ggml(raw, GGMLType.Q4_K, (out_dim, in_dim))
+    assert lin.sb == 8 and lin.s.dtype == jnp.int8 and lin.d is not None
+    ref = dequantize(raw, GGMLType.Q4_K, (out_dim, in_dim)).T
+    got = np.asarray(dequant_weight(lin, jnp.float32))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q5_K, GGMLType.Q6_K])
+def test_q5k_q6k_superblock_loader(t):
+    """q5_k/q6_k also load into the superblock layout and reconstruct the
+    exact dequantize() weights (q6_k has no min term: b/dm stay None)."""
+    import jax.numpy as jnp
+
+    from chatllm_tpu.ops.qmm import dequant_weight
+    from chatllm_tpu.ops.qtensor import linear_from_ggml
+
+    rng = np.random.default_rng(13)
+    out_dim, in_dim = 48, 512
+    # no encoder for q5_k/q6_k: synthesize random raw blocks with sane f16
+    # scale fields; dequantize() is the oracle for arbitrary block bytes
+    nblk = out_dim * in_dim // 256
+    bs = 176 if t == GGMLType.Q5_K else 210
+    raw = rng.integers(0, 256, nblk * bs, dtype=np.uint8)
+    blocks = raw.reshape(nblk, bs)
+    scale = (rng.random((nblk, 2)) * 0.02 + 1e-4).astype(np.float16)
+    if t == GGMLType.Q5_K:
+        blocks[:, 0:4] = scale.view(np.uint8)
+    else:
+        blocks[:, 208:210] = scale[:, :1].view(np.uint8)
+    raw = blocks.reshape(-1)
+    lin = linear_from_ggml(raw, t, (out_dim, in_dim))
+    assert lin.sb == (8 if t == GGMLType.Q5_K else 16)
+    assert (lin.b is None) == (t == GGMLType.Q6_K)
+    ref = dequantize(raw, t, (out_dim, in_dim)).T
+    got = np.asarray(dequant_weight(lin, jnp.float32))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    # and through both kernels in interpret mode
+    from chatllm_tpu.ops.pallas.gemv_kernel import qgemv_pallas
+    from chatllm_tpu.ops.pallas.qmm_kernel import qmm_pallas
+
+    x = rng.standard_normal((1, in_dim)).astype(np.float32)
+    expect = x @ ref
+    y = np.asarray(qgemv_pallas(jnp.asarray(x), lin.q, lin.s, lin.b,
+                                group=lin.group_size, packed=lin.packed,
+                                d=lin.d, dm=lin.dm, sb=lin.sb,
+                                tile_k=256, interpret=True))
+    np.testing.assert_allclose(y, expect, rtol=2e-5, atol=2e-4)
+    x4 = rng.standard_normal((4, in_dim)).astype(np.float32)
+    y4 = np.asarray(qmm_pallas(jnp.asarray(x4), lin.q, lin.s, lin.b,
+                               group=lin.group_size, packed=lin.packed,
+                               d=lin.d, dm=lin.dm, sb=lin.sb, tile_k=256,
+                               compute_dtype=jnp.float32, interpret=True))
+    rel = np.linalg.norm(y4 - x4 @ ref) / np.linalg.norm(x4 @ ref)
+    assert rel < 1e-5
