@@ -382,6 +382,11 @@ class Phi3MoE(BaseLLM):
                               for _ in range(base.num_hidden_layers)),
             moe_num_experts=n_experts, moe_top_k=n_active,
             moe_score_func="sparsemixer",
+            # the sparsemixer mask threshold is the HF config's
+            # router_jitter_noise (PhimoeSparseMoeBlock passes it as
+            # jitter_eps); 0.01 is Phi-3.5-MoE's shipped value
+            moe_jitter_eps=float(((gf.meta or {}).get("config.json") or {})
+                                 .get("router_jitter_noise", 0.01)),
             cache_dtype=rt.cache_dtype)
         tok = make_phi3_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)

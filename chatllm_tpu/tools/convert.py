@@ -1136,6 +1136,414 @@ def convert_mixtral(w, f, cfg, sd, dtype):
         w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
 
 
+def _emit_all(w, sd, names, dtype):
+    for n in names:
+        arr = sd[n]
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_phi2(w, f, cfg, sd, dtype):
+    """PhiForCausalLM → PHI2_V2 (reference Phi2Converter HF branch,
+    convert.py:3040-3120): partial NEOX rotary, biased everything; HF names
+    pass straight through (models/phi.h v2)."""
+    hd = cfg["hidden_size"] // cfg["num_attention_heads"]
+    rope_dim = int(cfg.get("partial_rotary_factor", 0.5) * hd)
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<if", rope_dim,
+                        float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.PHI2_V2))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        for nm in ("input_layernorm", "self_attn.q_proj", "self_attn.k_proj",
+                   "self_attn.v_proj", "self_attn.dense", "mlp.fc1",
+                   "mlp.fc2"):
+            names += [f"{pfx}.{nm}.weight", f"{pfx}.{nm}.bias"]
+    names += ["model.final_layernorm.weight", "model.final_layernorm.bias",
+              "lm_head.weight", "lm_head.bias"]
+    _emit_all(w, sd, names, dtype)
+
+
+def convert_stablelm(w, f, cfg, sd, dtype):
+    """StableLmForCausalLM → STABLELM (reference models/stablelm.cpp:5-11):
+    partial NEOX rotary, LayerNorm blocks (biases auto-loaded), optional
+    qkv biases."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    hd = cfg["hidden_size"] // heads
+    rope_dim = int(cfg.get("partial_rotary_factor", 0.25) * hd)
+    assert not cfg.get("use_parallel_residual", False), \
+        "parallel-residual StableLM variant not supported"
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<2i2f", kv, rope_dim,
+                        float(cfg.get("rope_theta", 10000.0)), 1.0))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.STABLELM))
+    qkv_bias = bool(cfg.get("use_qkv_bias", False))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.input_layernorm.bias"]
+        for nm in ("q_proj", "k_proj", "v_proj"):
+            names.append(f"{pfx}.self_attn.{nm}.weight")
+            if qkv_bias:
+                names.append(f"{pfx}.self_attn.{nm}.bias")
+        names += [f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.bias",
+                  f"{pfx}.mlp.gate_proj.weight", f"{pfx}.mlp.up_proj.weight",
+                  f"{pfx}.mlp.down_proj.weight"]
+    names += ["model.norm.weight", "model.norm.bias", "lm_head.weight"]
+    _emit_all(w, sd, names, dtype)
+
+
+def convert_persimmon(w, f, cfg, sd, dtype):
+    """PersimmonForCausalLM → PERSIMMON (reference PersimmonConverter,
+    convert.py:6257): fused query_key_value is PER-HEAD interleaved
+    [heads, 3, hd] (HF _split_heads) — de-interleave into q/k/v; relu²
+    MLP, q/k LayerNorms, partial NEOX rotary."""
+    heads = cfg["num_attention_heads"]
+    H = cfg["hidden_size"]
+    hd = H // heads
+    rope_dim = int(cfg.get("partial_rotary_factor", 0.5) * hd)
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<2if", heads, rope_dim,
+                        float(cfg.get("rope_theta", 25000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.PERSIMMON))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        qkv = sd.pop(f"{pfx}.self_attn.query_key_value.weight")
+        qkv_b = sd.pop(f"{pfx}.self_attn.query_key_value.bias")
+        qkv = qkv.reshape(heads, 3, hd, H)
+        qkv_b = qkv_b.reshape(heads, 3, hd)
+        for j, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+            sd[f"{pfx}.self_attn.{nm}.weight"] = \
+                np.ascontiguousarray(qkv[:, j].reshape(H, H))
+            sd[f"{pfx}.self_attn.{nm}.bias"] = \
+                np.ascontiguousarray(qkv_b[:, j].reshape(H))
+        for nm in ("input_layernorm", "self_attn.q_proj",
+                   "self_attn.k_proj", "self_attn.v_proj",
+                   "self_attn.dense", "self_attn.q_layernorm",
+                   "self_attn.k_layernorm", "post_attention_layernorm",
+                   "mlp.dense_h_to_4h", "mlp.dense_4h_to_h"):
+            names += [f"{pfx}.{nm}.weight", f"{pfx}.{nm}.bias"]
+    names += ["model.final_layernorm.weight", "model.final_layernorm.bias",
+              "lm_head.weight"]
+    _emit_all(w, sd, names, dtype)
+
+
+def convert_cohere2(w, f, cfg, sd, dtype):
+    """Cohere2ForCausalLM (Command-R7B) → COHERE_COMMAND_R7B (reference
+    convert.py:11071): parallel-residual LayerNorm blocks, SWA layers with
+    rope + periodic global NoPE layers, tied logit scale; q/k permuted
+    (interleaved rope)."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<3iff", kv, int(cfg["sliding_window"]),
+                        int(cfg.get("sliding_window_pattern", 4)),
+                        float(cfg.get("rope_theta", 10000.0)),
+                        float(cfg.get("logit_scale", 1.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.COHERE_COMMAND_R7B))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.mlp.gate_proj.weight", f"{pfx}.mlp.up_proj.weight",
+                  f"{pfx}.mlp.down_proj.weight"]
+    names.append("model.norm.weight")
+    for n in names:
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_granite_moe(w, f, cfg, sd, dtype):
+    """GraniteMoeForCausalLM → GRANITE_MoE (reference convert.py:11100):
+    granite multipliers + fused per-expert input_linear [E, 2F, H]
+    (gate‖up, HF GraniteMoeMoE chunk order) split into gate/up; q/k
+    permuted."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    n_exp = cfg["num_local_experts"]
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<4i4f", kv, int(tie),
+                        cfg["num_experts_per_tok"], n_exp,
+                        float(cfg["attention_multiplier"]),
+                        float(cfg["logits_scaling"]),
+                        float(cfg["residual_multiplier"]),
+                        float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.GRANITE_MoE))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"{'model.layers'}.{i}"
+        moe = f"{pfx}.block_sparse_moe"
+        gu = sd.pop(f"{moe}.input_linear.weight")      # [E, 2F, H]
+        dn = sd.pop(f"{moe}.output_linear.weight")     # [E, H, F]
+        F2 = gu.shape[1] // 2
+        for j in range(n_exp):
+            sd[f"{moe}.experts.{j}.gate_proj.weight"] = gu[j, :F2]
+            sd[f"{moe}.experts.{j}.up_proj.weight"] = gu[j, F2:]
+            sd[f"{moe}.experts.{j}.down_proj.weight"] = dn[j]
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{moe}.router.layer.weight"]
+        for j in range(n_exp):
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                names.append(f"{moe}.experts.{j}.{nm}.weight")
+    names.append("model.norm.weight")
+    if not tie:
+        names.append("lm_head.weight")
+    for n in names:
+        arr = sd[n]
+        if n.endswith("q_proj.weight") and ".experts." not in n:
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_phimoe(w, f, cfg, sd, dtype):
+    """PhimoeForCausalLM → PHI3_MOE (reference convert.py:10914): LongRoPE
+    factors + mscales, biased attention + lm_head, sparsemixer w1/w3/w2
+    experts (HF names pass through)."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    n_exp = cfg["num_local_experts"]
+    scaling = cfg.get("rope_scaling") or {}
+    MAXF = 128
+    sf = list(scaling.get("short_factor", []))
+    lf = list(scaling.get("long_factor", []))
+    sf += [0.0] * (MAXF - len(sf))
+    lf += [0.0] * (MAXF - len(lf))
+    w.write_config(
+        _base_vals(cfg, dtype)
+        + [cfg["max_position_embeddings"], kv,
+           int(cfg.get("original_max_position_embeddings",
+                       cfg["max_position_embeddings"])),
+           int(cfg.get("sliding_window") or -1),
+           1 if scaling else 0], fmt="16i")
+    f.write(struct.pack(
+        f"<f{MAXF}f{MAXF}f2f2i", float(cfg.get("rope_theta", 10000.0)),
+        *sf, *lf, float(scaling.get("short_mscale", 0.0)),
+        float(scaling.get("long_mscale", 0.0)),
+        cfg["num_experts_per_tok"], n_exp))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.PHI3_MOE))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.input_layernorm.bias"]
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            names += [f"{pfx}.self_attn.{nm}.weight",
+                      f"{pfx}.self_attn.{nm}.bias"]
+        names += [f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.bias",
+                  f"{pfx}.block_sparse_moe.gate.weight"]
+        for j in range(n_exp):
+            for nm in ("w1", "w2", "w3"):
+                names.append(f"{pfx}.block_sparse_moe.experts.{j}.{nm}.weight")
+    names += ["model.norm.weight", "model.norm.bias",
+              "lm_head.weight", "lm_head.bias"]
+    _emit_all(w, sd, names, dtype)
+
+
+def convert_smollm3(w, f, cfg, sd, dtype):
+    """SmolLM3ForCausalLM → SMOLLM3 (reference convert.py:10853): llama arch
+    + periodic NoPE layers (`no_rope_layer_interval`); q/k permuted."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    interval = int(cfg.get("no_rope_layer_interval", 4))
+    nrl = cfg.get("no_rope_layers")
+    if nrl is not None:
+        # HF stores the explicit per-layer list (1 = rope); verify it matches
+        # the interval encoding the GGMM config carries
+        derived = [1 if (i + 1) % interval else 0 for i in range(len(nrl))]
+        assert list(nrl) == derived, "irregular no_rope_layers unsupported"
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<3if", kv, interval, int(tie),
+                        float(cfg.get("rope_theta", 5000000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.SMOLLM3))
+    if tie:
+        sd.setdefault("lm_head.weight", sd["model.embed_tokens.weight"])
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=False):
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_exaone4(w, f, cfg, sd, dtype):
+    """Exaone4ForCausalLM → EXAONE4 (reference convert.py:11104): post-norm
+    blocks, per-head qk RMSNorm, hybrid SWA(+llama3-rope)/global-NoPE
+    layers; NEOX rope (no permute)."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    n_layers = cfg["num_hidden_layers"]
+    sw = int(cfg.get("sliding_window") or 0)
+    lt = cfg.get("layer_types")
+    if lt is not None:
+        sliding = [1 if t == "sliding_attention" else 0 for t in lt]
+    else:
+        sliding = [0] * n_layers
+        sw = 0
+    scaling = cfg.get("rope_scaling") or {}
+    assert not scaling or scaling.get("rope_type") in (None, "llama3"), \
+        "only llama3-style rope scaling supported"
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack(
+        f"<3ifi3f128i", kv, sw, int(tie),
+        float(cfg.get("rope_theta", 1000000.0)),
+        int(scaling.get("original_max_position_embeddings",
+                        cfg["max_position_embeddings"])),
+        float(scaling.get("factor", 1.0)),
+        float(scaling.get("low_freq_factor", 1.0)),
+        float(scaling.get("high_freq_factor", 4.0)),
+        *(sliding + [0] * (128 - n_layers))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.EXAONE4))
+    if tie:
+        sd.setdefault("lm_head.weight", sd["model.embed_tokens.weight"])
+    names = ["model.embed_tokens.weight"]
+    for i in range(n_layers):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.self_attn.q_norm.weight",
+                  f"{pfx}.self_attn.k_norm.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.post_feedforward_layernorm.weight",
+                  f"{pfx}.mlp.gate_proj.weight", f"{pfx}.mlp.up_proj.weight",
+                  f"{pfx}.mlp.down_proj.weight"]
+    names += ["model.norm.weight"] + ([] if tie else ["lm_head.weight"])
+    _emit_all(w, sd, names, dtype)
+
+
+def convert_ernie_dense(w, f, cfg, sd, dtype):
+    """Ernie4_5ForCausalLM → ERNIE_DENSE (reference convert.py:11140):
+    llama arch, q/k permuted to interleaved rope."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    hd = cfg.get("head_dim") or cfg["hidden_size"] // heads
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<3if", kv, hd, int(tie),
+                        float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.ERNIE_DENSE))
+    if tie:
+        sd.setdefault("lm_head.weight", sd["model.embed_tokens.weight"])
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=False):
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_ernie_moe(w, f, cfg, sd, dtype):
+    """Ernie4_5_MoeForCausalLM → ERNIE_MOE (reference convert.py:11142):
+    softmax norm-topk routing with shared experts; moe layers from
+    moe_layer_start_index at moe_layer_interval; q/k permuted."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    n_exp = cfg["moe_num_experts"]
+    start = int(cfg.get("moe_layer_start_index", 0))
+    interval = int(cfg.get("moe_layer_interval", 1))
+    n_shared = int(cfg.get("moe_num_shared_experts", 0))
+    cap = list(cfg.get("moe_capacity", [64, 64, 64]))[:3]
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack(
+        "<12if", kv, int(tie), n_exp, n_shared, start,
+        int(cfg["moe_intermediate_size"]), *[int(c) for c in cap],
+        int(cfg["moe_k"]), interval,
+        int(bool(cfg.get("moe_use_aux_free", False))),
+        float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.ERNIE_MOE))
+    if tie:
+        sd.setdefault("lm_head.weight", sd["model.embed_tokens.weight"])
+
+    def is_moe(i):
+        return i >= start and i % max(interval, 1) == 0
+
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight"]
+        if is_moe(i):
+            names.append(f"{pfx}.mlp.gate.weight")
+            for j in range(n_exp):
+                for nm in ("gate_proj", "up_proj", "down_proj"):
+                    names.append(f"{pfx}.mlp.experts.{j}.{nm}.weight")
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                names.append(f"{pfx}.mlp.shared_experts.{nm}.weight")
+        else:
+            names += [f"{pfx}.mlp.gate_proj.weight",
+                      f"{pfx}.mlp.up_proj.weight",
+                      f"{pfx}.mlp.down_proj.weight"]
+    names += ["model.norm.weight"] + ([] if tie else ["lm_head.weight"])
+    for n in names:
+        arr = sd[n]
+        if n.endswith("q_proj.weight") and ".experts." not in n:
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_seed_oss(w, f, cfg, sd, dtype):
+    """SeedOssForCausalLM → SEED (reference convert.py:11152): qwen2-like
+    with explicit head_dim, biased qkv, NEOX rope (no permute)."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    hd = cfg.get("head_dim") or cfg["hidden_size"] // heads
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<2if", kv, hd,
+                        float(cfg.get("rope_theta", 10000000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.SEED))
+    bias = bool(cfg.get("attention_bias", True))
+    names = _llama_like_names(cfg["num_hidden_layers"], tie=False, bias=bias)
+    if cfg.get("attention_out_bias"):
+        names += [f"model.layers.{i}.self_attn.o_proj.bias"
+                  for i in range(cfg["num_hidden_layers"])]
+    _emit_all(w, sd, names, dtype)
+
+
 ARCH_CONVERTERS = {
     "GptOssForCausalLM": convert_gpt_oss,
     "LlamaForCausalLM": convert_llama,
@@ -1162,6 +1570,19 @@ ARCH_CONVERTERS = {
     "Qwen2VLForConditionalGeneration": convert_qwen2_vl,
     "Qwen2_5_VLForConditionalGeneration": convert_qwen25_vl,
     "Qwen2AudioForConditionalGeneration": convert_qwen2_audio,
+    "PhiForCausalLM": convert_phi2,
+    "StableLmForCausalLM": convert_stablelm,
+    "PersimmonForCausalLM": convert_persimmon,
+    "Cohere2ForCausalLM": convert_cohere2,
+    "GraniteMoeForCausalLM": convert_granite_moe,
+    "PhimoeForCausalLM": convert_phimoe,
+    "PhiMoEForCausalLM": convert_phimoe,
+    "SmolLM3ForCausalLM": convert_smollm3,
+    "Exaone4ForCausalLM": convert_exaone4,
+    "Ernie4_5ForCausalLM": convert_ernie_dense,
+    "Ernie4_5_ForCausalLM": convert_ernie_dense,
+    "Ernie4_5_MoeForCausalLM": convert_ernie_moe,
+    "SeedOssForCausalLM": convert_seed_oss,
 }
 
 

@@ -1,0 +1,186 @@
+"""Converter wave 3: 11 more HF families end-to-end — random-init HF
+checkpoint → tools/convert.py → load_model → logits match the HF model
+(reference convert.py arch dispatch lines cited per emitter)."""
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+from test_convert_wave2 import V, _check
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def test_convert_phi2(tmp_path):
+    torch.manual_seed(30)
+    cfg = transformers.PhiConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, partial_rotary_factor=0.5,
+        rope_theta=10000.0, hidden_act="gelu_new",
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.PhiForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "PhiForCausalLM", ["<|endoftext|>"])
+
+
+def test_convert_stablelm(tmp_path):
+    torch.manual_seed(31)
+    cfg = transformers.StableLmConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, partial_rotary_factor=0.25,
+        rope_theta=10000.0, use_qkv_bias=True, use_parallel_residual=False,
+        layer_norm_eps=1e-5, bos_token_id=1, eos_token_id=2)
+    hf = transformers.StableLmForCausalLM(cfg).eval()
+    # randomize the LayerNorm biases so dropping them would be caught
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if "norm" in n and n.endswith("bias"):
+                p.copy_(torch.randn_like(p) * 0.1)
+    _check(tmp_path, hf, cfg, "StableLmForCausalLM", ["<|endoftext|>"])
+
+
+def test_convert_persimmon(tmp_path):
+    torch.manual_seed(32)
+    cfg = transformers.PersimmonConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, partial_rotary_factor=0.5,
+        rope_theta=25000.0, qk_layernorm=True, hidden_act="relu2",
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.PersimmonForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if "norm" in n and n.endswith("bias"):
+                p.copy_(torch.randn_like(p) * 0.1)
+    _check(tmp_path, hf, cfg, "PersimmonForCausalLM",
+           ["|ENDOFTEXT|"], unigram=True)
+
+
+def test_convert_cohere2(tmp_path):
+    torch.manual_seed(33)
+    cfg = transformers.Cohere2Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=4, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0, logit_scale=0.25,
+        sliding_window=4, sliding_window_pattern=4, layer_norm_eps=1e-5,
+        tie_word_embeddings=True, order_of_interleaved_layers=None,
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.Cohere2ForCausalLM(cfg).eval()
+    # seq (8) > window (4) so both the SWA and global-NoPE layers are live
+    _check(tmp_path, hf, cfg, "Cohere2ForCausalLM",
+           ["<PAD>", "<|START_OF_TURN_TOKEN|>", "<|END_OF_TURN_TOKEN|>",
+            "<|USER_TOKEN|>", "<|CHATBOT_TOKEN|>", "<|SYSTEM_TOKEN|>"])
+
+
+def test_convert_granite_moe(tmp_path):
+    torch.manual_seed(34)
+    cfg = transformers.GraniteMoeConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        attention_multiplier=0.15, logits_scaling=3.0,
+        residual_multiplier=0.22, embedding_multiplier=1.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.GraniteMoeForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "GraniteMoeForCausalLM", ["<|end_of_text|>"])
+
+
+def test_convert_phimoe(tmp_path):
+    torch.manual_seed(35)
+    half = 8   # head_dim 16
+    cfg = transformers.PhimoeConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=256, original_max_position_embeddings=128,
+        rope_theta=10000.0, sliding_window=None, attention_bias=True,
+        lm_head_bias=True, router_jitter_noise=0.01, input_jitter_noise=0.0,
+        rope_scaling={"rope_type": "longrope",
+                      # chatllm serves the LONG branch; make both
+                      # identical so the HF short-branch oracle agrees
+                      "short_factor": [1.25] * half,
+                      "long_factor": [1.25] * half,
+                      "short_mscale": 1.2, "long_mscale": 1.2,
+                      "original_max_position_embeddings": 128},
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.PhimoeForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for n, p in hf.named_parameters():
+            if "norm" in n and n.endswith("bias"):
+                p.copy_(torch.randn_like(p) * 0.1)
+    _check(tmp_path, hf, cfg, "PhimoeForCausalLM", ["<|endoftext|>"],
+           unigram=True)
+
+
+def test_convert_smollm3(tmp_path):
+    torch.manual_seed(36)
+    cfg = transformers.SmolLM3Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=4, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0,
+        no_rope_layer_interval=2, use_sliding_window=False,
+        rms_norm_eps=1e-6, tie_word_embeddings=True,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    hf = transformers.SmolLM3ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "SmolLM3ForCausalLM",
+           ["<|im_start|>", "<|im_end|>"])
+
+
+def test_convert_exaone4(tmp_path):
+    torch.manual_seed(37)
+    cfg = transformers.Exaone4Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=4, intermediate_size=96,
+        head_dim=16, max_position_embeddings=128, rope_theta=1000000.0,
+        sliding_window=4, sliding_window_pattern=4,
+        rms_norm_eps=1e-5, tie_word_embeddings=True,
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.Exaone4ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Exaone4ForCausalLM", ["[|endofturn|]"])
+
+
+def test_convert_ernie_dense(tmp_path):
+    torch.manual_seed(38)
+    cfg = transformers.Ernie4_5Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False, use_bias=False,
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.Ernie4_5ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Ernie4_5ForCausalLM",
+           ["<|im_start|>", "<|im_end|>"], unigram=True, atol=6e-3)
+
+
+def test_convert_ernie_moe(tmp_path):
+    torch.manual_seed(39)
+    cfg = transformers.Ernie4_5_MoeConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=3, intermediate_size=96,
+        moe_intermediate_size=48, moe_num_experts=4, moe_k=2,
+        moe_num_shared_experts=1, moe_layer_start_index=1,
+        moe_layer_interval=1, max_position_embeddings=128,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        use_bias=False, moe_use_aux_free=False,
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.Ernie4_5_MoeForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Ernie4_5_MoeForCausalLM",
+           ["<|im_start|>", "<|im_end|>"], unigram=True, atol=6e-3)
+
+
+def test_convert_seed_oss(tmp_path):
+    torch.manual_seed(40)
+    cfg = transformers.SeedOssConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000000.0,
+        attention_bias=True, attention_out_bias=False,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.SeedOssForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "SeedOssForCausalLM",
+           ["<seed:bos>", "<seed:eos>"])
