@@ -1544,6 +1544,172 @@ def convert_seed_oss(w, f, cfg, sd, dtype):
     _emit_all(w, sd, names, dtype)
 
 
+def convert_hunyuan_moe(w, f, cfg, sd, dtype):
+    """HunYuanMoEV1ForCausalLM → HUNYUAN_MOE_V1 (reference
+    HunYuanMoEV1Converter; models/hunyuan.h:69-78): post-rope qk RMSNorm,
+    softmax norm-topk MoE + shared expert, tied head, NEOX rope.  HF's
+    mlp.gate.wg / mlp.shared_mlp names map to gate / shared_expert."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    n_exp = cfg["num_experts"]
+    lv = lambda v: v[0] if isinstance(v, list) else v
+    assert cfg.get("tie_word_embeddings", False), \
+        "HunYuanMoE loader ties the lm_head (hunyuan.h)"
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<5if", kv, n_exp,
+                        int(lv(cfg.get("moe_intermediate_size",
+                                       cfg["intermediate_size"]))),
+                        int(lv(cfg["moe_topk"])),
+                        int(lv(cfg.get("num_shared_expert", 1))),
+                        float(cfg.get("rope_theta", 10000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.HUNYUAN_MOE_V1))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        sd[f"{pfx}.mlp.gate.weight"] = sd.pop(f"{pfx}.mlp.gate.wg.weight")
+        for nm in ("gate_proj", "up_proj", "down_proj"):
+            sd[f"{pfx}.mlp.shared_expert.{nm}.weight"] = \
+                sd.pop(f"{pfx}.mlp.shared_mlp.{nm}.weight")
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.self_attn.query_layernorm.weight",
+                  f"{pfx}.self_attn.key_layernorm.weight",
+                  f"{pfx}.mlp.gate.weight"]
+        for j in range(n_exp):
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                names.append(f"{pfx}.mlp.experts.{j}.{nm}.weight")
+        for nm in ("gate_proj", "up_proj", "down_proj"):
+            names.append(f"{pfx}.mlp.shared_expert.{nm}.weight")
+    names.append("model.norm.weight")
+    _emit_all(w, sd, names, dtype)
+
+
+def convert_apertus(w, f, cfg, sd, dtype):
+    """ApertusForCausalLM → APERTUS (reference ApertusConverter;
+    models/apertus.cpp): per-head qk-norm, llama3 rope factors, xIELU MLP
+    with learned alpha_p/alpha_n + beta/eps buffers (the loader applies the
+    softplus transforms).  HF attention_layernorm / feedforward_layernorm
+    map to the llama norm names."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    scaling = cfg.get("rope_scaling") or {}
+    assert not scaling or scaling.get("rope_type") in (None, "llama3"), \
+        "only llama3-style rope scaling supported"
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack(
+        "<ifi3f", kv, float(cfg.get("rope_theta", 12000000.0)),
+        int(scaling.get("original_max_position_embeddings",
+                        0 if not scaling else cfg["max_position_embeddings"])),
+        float(scaling.get("factor", 1.0)),
+        float(scaling.get("low_freq_factor", 1.0)),
+        float(scaling.get("high_freq_factor", 4.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.APERTUS))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        sd[f"{pfx}.input_layernorm.weight"] = \
+            sd.pop(f"{pfx}.attention_layernorm.weight")
+        sd[f"{pfx}.post_attention_layernorm.weight"] = \
+            sd.pop(f"{pfx}.feedforward_layernorm.weight")
+        for k in ("alpha_p", "alpha_n", "beta", "eps"):
+            sd[f"{pfx}.mlp.act_fn.{k}"] = \
+                sd[f"{pfx}.mlp.act_fn.{k}"].reshape(1).astype(np.float32)
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.self_attn.q_norm.weight",
+                  f"{pfx}.self_attn.k_norm.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.mlp.up_proj.weight", f"{pfx}.mlp.down_proj.weight",
+                  f"{pfx}.mlp.act_fn.alpha_p", f"{pfx}.mlp.act_fn.alpha_n",
+                  f"{pfx}.mlp.act_fn.beta", f"{pfx}.mlp.act_fn.eps"]
+    names += ["model.norm.weight", "lm_head.weight"]
+    _emit_all(w, sd, names, dtype)
+
+
+def convert_llama4(w, f, cfg, sd, dtype):
+    """Llama4ForCausalLM (text) → LLAMA4 (reference Llama4Converter,
+    convert.py:1802): fused per-expert gate_up_proj [E, H, 2F] /
+    down_proj [E, F, H] split+transposed into expert tensors, router →
+    mlp.gate, NoPE every 4th layer; adjacent-pair rope → NO q/k permute."""
+    if "text_config" in cfg:
+        cfg = {**cfg["text_config"], "architectures": cfg["architectures"]}
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    n_exp = cfg["num_local_experts"]
+    interleave = int(cfg.get("interleave_moe_layer_step", 1))
+    scaling = cfg.get("rope_scaling") or {}
+    assert not cfg.get("attn_temperature_tuning"), \
+        "llama4 attn temperature tuning not supported (reference parity)"
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack(
+        "<8i2fi3f", kv, int(cfg.get("attention_chunk_size") or -1),
+        int(cfg.get("head_dim") or cfg["hidden_size"] // heads),
+        interleave, int(cfg.get("intermediate_size_mlp",
+                                cfg["intermediate_size"])),
+        cfg["num_experts_per_tok"], n_exp,
+        int(bool(cfg.get("use_qk_norm", False))),
+        float(cfg.get("router_aux_loss_coef", 0.0)),
+        float(cfg.get("rope_theta", 500000.0)),
+        int(scaling.get("original_max_position_embeddings", 0)
+            if scaling else 0),
+        float(scaling.get("factor", 1.0)),
+        float(scaling.get("low_freq_factor", 1.0)),
+        float(scaling.get("high_freq_factor", 4.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.LLAMA4))
+    names = ["model.embed_tokens.weight"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        ff = f"{pfx}.feed_forward"
+        moe = (i + 1) % max(interleave, 1) == 0
+        if moe:
+            gu = sd.pop(f"{ff}.experts.gate_up_proj")      # [E, H, 2F]
+            dn = sd.pop(f"{ff}.experts.down_proj")         # [E, F, H]
+            F2 = gu.shape[-1] // 2
+            for j in range(n_exp):
+                sd[f"{pfx}.mlp.experts.{j}.gate_proj.weight"] = \
+                    np.ascontiguousarray(gu[j, :, :F2].T)
+                sd[f"{pfx}.mlp.experts.{j}.up_proj.weight"] = \
+                    np.ascontiguousarray(gu[j, :, F2:].T)
+                sd[f"{pfx}.mlp.experts.{j}.down_proj.weight"] = \
+                    np.ascontiguousarray(dn[j].T)
+            sd[f"{pfx}.mlp.gate.weight"] = sd.pop(f"{ff}.router.weight")
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                sd[f"{pfx}.mlp.shared_expert.{nm}.weight"] = \
+                    sd.pop(f"{ff}.shared_expert.{nm}.weight")
+        else:
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                sd[f"{pfx}.mlp.{nm}.weight"] = sd.pop(f"{ff}.{nm}.weight")
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.self_attn.q_proj.weight",
+                  f"{pfx}.self_attn.k_proj.weight",
+                  f"{pfx}.self_attn.v_proj.weight",
+                  f"{pfx}.self_attn.o_proj.weight"]
+        if moe:
+            names.append(f"{pfx}.mlp.gate.weight")
+            for j in range(n_exp):
+                for nm in ("gate_proj", "up_proj", "down_proj"):
+                    names.append(f"{pfx}.mlp.experts.{j}.{nm}.weight")
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                names.append(f"{pfx}.mlp.shared_expert.{nm}.weight")
+        else:
+            names += [f"{pfx}.mlp.gate_proj.weight",
+                      f"{pfx}.mlp.up_proj.weight",
+                      f"{pfx}.mlp.down_proj.weight"]
+    names += ["model.norm.weight", "lm_head.weight"]
+    _emit_all(w, sd, names, dtype)
+
+
 ARCH_CONVERTERS = {
     "GptOssForCausalLM": convert_gpt_oss,
     "LlamaForCausalLM": convert_llama,
@@ -1583,6 +1749,10 @@ ARCH_CONVERTERS = {
     "Ernie4_5_ForCausalLM": convert_ernie_dense,
     "Ernie4_5_MoeForCausalLM": convert_ernie_moe,
     "SeedOssForCausalLM": convert_seed_oss,
+    "HunYuanMoEV1ForCausalLM": convert_hunyuan_moe,
+    "ApertusForCausalLM": convert_apertus,
+    "Llama4ForCausalLM": convert_llama4,
+    "Llama4ForConditionalGeneration": convert_llama4,
 }
 
 

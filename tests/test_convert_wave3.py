@@ -184,3 +184,51 @@ def test_convert_seed_oss(tmp_path):
     hf = transformers.SeedOssForCausalLM(cfg).eval()
     _check(tmp_path, hf, cfg, "SeedOssForCausalLM",
            ["<seed:bos>", "<seed:eos>"])
+
+
+def test_convert_hunyuan_moe(tmp_path):
+    torch.manual_seed(41)
+    cfg = transformers.HunYuanMoEV1Config(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        moe_intermediate_size=[48, 48], num_experts=4, moe_topk=[2, 2],
+        num_shared_expert=[1, 1], use_mixed_mlp_moe=True, use_qk_norm=True,
+        head_dim=16, attention_bias=False, max_position_embeddings=128,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=True,
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.HunYuanMoEV1ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "HunYuanMoEV1ForCausalLM",
+           ["<|startoftext|>", "<|extra_4|>", "<|extra_0|>", "<|eos|>",
+            "<|bos|>", "<|pad|>"])
+
+
+def test_convert_apertus(tmp_path):
+    torch.manual_seed(42)
+    cfg = transformers.ApertusConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=12000000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2)
+    hf = transformers.ApertusForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "ApertusForCausalLM",
+           ["<|system_start|>", "<|system_end|>", "<|user_start|>",
+            "<|user_end|>", "<|assistant_start|>", "<|assistant_end|>",
+            "<|developer_start|>", "<|developer_end|>"])
+
+
+def test_convert_llama4(tmp_path):
+    torch.manual_seed(43)
+    cfg = transformers.Llama4TextConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=4, intermediate_size=48,
+        intermediate_size_mlp=96, num_local_experts=4,
+        num_experts_per_tok=1, interleave_moe_layer_step=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=500000.0,
+        attention_chunk_size=8192, use_qk_norm=True,
+        attn_temperature_tuning=False, no_rope_layers=None,
+        rms_norm_eps=1e-5, attention_bias=False,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2)
+    hf = transformers.Llama4ForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "Llama4ForCausalLM",
+           ["<|header_start|>", "<|header_end|>", "<|eot|>"])
