@@ -1100,6 +1100,61 @@ def convert_qwen25_vl(w, f, cfg, sd, dtype):
     _convert_qwen_vl(w, f, cfg, sd, dtype, v25=True)
 
 
+def convert_qwen3_vl(w, f, cfg, sd, dtype):
+    """Qwen3VLForConditionalGeneration → QWEN3_VL (reference
+    Qwen3VLConverter, convert.py:5707-5828): qwen3 text config +
+    mrope_section[4]; deepstack ViT with temporal-conv split, fused qkv
+    split, and linear_fc1/fc2 → fc0/fc1 renames."""
+    tcfg = dict(cfg)
+    for k, v in (cfg.get("text_config") or {}).items():
+        tcfg[k] = v
+    vis = cfg["vision_config"]
+    heads = tcfg["num_attention_heads"]
+    kv = tcfg.get("num_key_value_heads", heads)
+    tie = bool(tcfg.get("tie_word_embeddings", False))
+    head_dim = tcfg.get("head_dim", tcfg["hidden_size"] // heads)
+    scaling = (tcfg.get("rope_scaling") or cfg.get("rope_scaling") or {})
+    mrope = list(scaling.get("mrope_section", (24, 20, 20)))
+    mrope += [0] * (4 - len(mrope))
+    w.write_config(_base_vals(tcfg, dtype) + [kv, head_dim], fmt="13i")
+    f.write(struct.pack("<ff", float(tcfg.get("rope_theta", 5000000.0)), -1.0))
+    f.write(struct.pack("<6i", -1, 0, -1, -1, -1, 0))
+    f.write(struct.pack("<i", int(tie)))
+    f.write(struct.pack("<128i", *([0] * 128)))
+    f.write(struct.pack("<4i", *mrope[:4]))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.QWEN3_VL))
+
+    for n in _llama_like_names(tcfg["num_hidden_layers"], tie=tie,
+                               qk_norm=True):
+        w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
+
+    sd = {k.replace("model.visual.", "visual."): v for k, v in sd.items()}
+    vh = int(vis["hidden_size"])
+    for k, arr in sorted(sd.items()):
+        if not k.startswith("visual."):
+            continue
+        k = (k.replace(".mlp.linear_fc1.", ".mlp.fc0.")
+              .replace(".mlp.linear_fc2.", ".mlp.fc1."))
+        # merger / deepstack mergers: <prefix>.linear_fcN -> <prefix>.mlp.fcN-1
+        k = re.sub(r"(merger(?:_list\.\d+)?)\.linear_fc1\.", r"\1.mlp.fc0.", k)
+        k = re.sub(r"(merger(?:_list\.\d+)?)\.linear_fc2\.", r"\1.mlp.fc1.", k)
+        if k == "visual.patch_embed.proj.weight":
+            # conv3d [out, 3, T=2, p, p] → two 2-D kernels
+            w.write_tensor("visual.patch_embed.proj.0.weight",
+                           np.ascontiguousarray(arr[:, :, 0]), GGMLType.F32)
+            w.write_tensor("visual.patch_embed.proj.1.weight",
+                           np.ascontiguousarray(arr[:, :, 1]), GGMLType.F32)
+        elif ".attn.qkv." in k:
+            q, kk_, v = arr[:vh], arr[vh:2 * vh], arr[2 * vh:]
+            for part, nm in ((q, "q_proj"), (kk_, "k_proj"), (v, "v_proj")):
+                w.write_tensor(k.replace(".attn.qkv.", f".attn.{nm}."),
+                               np.ascontiguousarray(part),
+                               dtype if part.ndim == 2 else GGMLType.F32)
+        else:
+            w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
 def convert_mixtral(w, f, cfg, sd, dtype):
     """MixtralForCausalLM → MIXTRAL (models/mistral.h:45-49): per-expert
     w1/w2/w3, interleaved rope → q/k permuted."""
@@ -1233,6 +1288,53 @@ def convert_persimmon(w, f, cfg, sd, dtype):
             names += [f"{pfx}.{nm}.weight", f"{pfx}.{nm}.bias"]
     names += ["model.final_layernorm.weight", "model.final_layernorm.bias",
               "lm_head.weight"]
+    _emit_all(w, sd, names, dtype)
+
+
+def convert_fuyu(w, f, cfg, sd, dtype):
+    """FuyuForCausalLM → FUYU (reference FuyuConverter): the persimmon LM
+    plus the flattened-patch vision_embed_tokens linear; adept.cpp:288."""
+    tc = cfg.get("text_config") or cfg
+    heads = tc["num_attention_heads"]
+    H = tc["hidden_size"]
+    hd = H // heads
+    rope_dim = int(tc.get("partial_rotary_factor", 0.5) * hd)
+    w.write_config(
+        [int(dtype), tc["vocab_size"], H, heads, tc["num_hidden_layers"],
+         tc["intermediate_size"], tc["max_position_embeddings"],
+         int(cfg.get("bos_token_id") or tc.get("bos_token_id") or -1),
+         int(cfg.get("eos_token_id") or tc.get("eos_token_id") or -1),
+         int(cfg.get("pad_token_id") or -1), -1], fmt="11i")
+    f.write(struct.pack("<2ifi", heads, rope_dim,
+                        float(tc.get("rope_theta", 25000.0)),
+                        int(cfg.get("patch_size", 30))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.FUYU))
+    for k in ("weight", "bias"):   # HF nests it under model.
+        if f"model.vision_embed_tokens.{k}" in sd:
+            sd[f"vision_embed_tokens.{k}"] = \
+                sd.pop(f"model.vision_embed_tokens.{k}")
+    names = ["model.embed_tokens.weight"]
+    for i in range(tc["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        qkv = sd.pop(f"{pfx}.self_attn.query_key_value.weight")
+        qkv_b = sd.pop(f"{pfx}.self_attn.query_key_value.bias")
+        qkv = qkv.reshape(heads, 3, hd, H)
+        qkv_b = qkv_b.reshape(heads, 3, hd)
+        for j, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+            sd[f"{pfx}.self_attn.{nm}.weight"] = \
+                np.ascontiguousarray(qkv[:, j].reshape(H, H))
+            sd[f"{pfx}.self_attn.{nm}.bias"] = \
+                np.ascontiguousarray(qkv_b[:, j].reshape(H))
+        for nm in ("input_layernorm", "self_attn.q_proj",
+                   "self_attn.k_proj", "self_attn.v_proj",
+                   "self_attn.dense", "self_attn.q_layernorm",
+                   "self_attn.k_layernorm", "post_attention_layernorm",
+                   "mlp.dense_h_to_4h", "mlp.dense_4h_to_h"):
+            names += [f"{pfx}.{nm}.weight", f"{pfx}.{nm}.bias"]
+    names += ["model.final_layernorm.weight", "model.final_layernorm.bias",
+              "lm_head.weight", "vision_embed_tokens.weight",
+              "vision_embed_tokens.bias"]
     _emit_all(w, sd, names, dtype)
 
 
@@ -1739,6 +1841,7 @@ ARCH_CONVERTERS = {
     "PhiForCausalLM": convert_phi2,
     "StableLmForCausalLM": convert_stablelm,
     "PersimmonForCausalLM": convert_persimmon,
+    "FuyuForCausalLM": convert_fuyu,
     "Cohere2ForCausalLM": convert_cohere2,
     "GraniteMoeForCausalLM": convert_granite_moe,
     "PhimoeForCausalLM": convert_phimoe,
@@ -1753,6 +1856,7 @@ ARCH_CONVERTERS = {
     "ApertusForCausalLM": convert_apertus,
     "Llama4ForCausalLM": convert_llama4,
     "Llama4ForConditionalGeneration": convert_llama4,
+    "Qwen3VLForConditionalGeneration": convert_qwen3_vl,
 }
 
 

@@ -232,3 +232,96 @@ def test_convert_llama4(tmp_path):
     hf = transformers.Llama4ForCausalLM(cfg).eval()
     _check(tmp_path, hf, cfg, "Llama4ForCausalLM",
            ["<|header_start|>", "<|header_end|>", "<|eot|>"])
+
+
+def test_convert_fuyu(tmp_path):
+    torch.manual_seed(44)
+    cfg = transformers.FuyuConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=96, patch_size=4,
+        num_channels=3, max_position_embeddings=128,
+        partial_rotary_factor=0.5, rope_theta=25000.0, qk_layernorm=True,
+        hidden_act="relu2", bos_token_id=1, eos_token_id=2)
+    hf = transformers.FuyuForCausalLM(cfg).eval()
+    m = _check(tmp_path, hf, cfg, "FuyuForCausalLM",
+               ["|ENDOFTEXT|", "|NEWLINE|", "|SPEAKER|"], unigram=True)
+    # vision patch embedding matches HF's patchify + linear
+    img = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    emb = np.asarray(m.encode_image(img))           # [2, 2, H]
+    pv = torch.from_numpy(img).permute(2, 0, 1)[None]
+    patches = torch.nn.functional.unfold(pv, 4, stride=4)  # [1, 48, 4]
+    patches = patches.view(1, 3, 16, 4).permute(0, 3, 2, 1).reshape(1, 4, 48)
+    with torch.no_grad():
+        ref = hf.model.vision_embed_tokens(patches)[0].numpy()
+    np.testing.assert_allclose(emb.reshape(4, -1), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_convert_qwen3_vl(tmp_path):
+    """Qwen3-VL: text logits match HF; the deepstack ViT tower reproduces
+    HF model.visual (main embeddings + per-index deepstack features)."""
+    import json as _json
+
+    torch.manual_seed(45)
+    PATCH, MERGE = 4, 2
+    vis = dict(depth=2, hidden_size=32, intermediate_size=48, num_heads=2,
+               patch_size=PATCH, spatial_merge_size=MERGE,
+               temporal_patch_size=2, out_hidden_size=64,
+               num_position_embeddings=16, deepstack_visual_indexes=[0, 1],
+               in_channels=3, hidden_act="gelu_pytorch_tanh")
+    tc = dict(vocab_size=V, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, num_hidden_layers=2,
+              intermediate_size=96, head_dim=16,
+              max_position_embeddings=128, rope_theta=10000.0,
+              rms_norm_eps=1e-6, tie_word_embeddings=False,
+              rope_scaling={"rope_type": "default",
+                            "mrope_section": [2, 1, 1],
+                            "mrope_interleaved": True})
+    cfg = transformers.Qwen3VLConfig(
+        text_config=tc, vision_config=vis, image_token_id=V - 1,
+        video_token_id=V - 2, vision_start_token_id=V - 4,
+        vision_end_token_id=V - 3)
+    hf = transformers.Qwen3VLForConditionalGeneration(cfg).eval()
+    from test_convert_wave2 import RT32, _save_dir
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    d = _save_dir(tmp_path, hf, cfg, "Qwen3VLForConditionalGeneration",
+                  ["<|endoftext|>", "<|im_start|>", "<|im_end|>",
+                   "<|vision_start|>", "<|vision_end|>", "<|image_pad|>",
+                   "<|video_pad|>"])
+    out = str(tmp_path / "q3vl.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.vis_params is not None and len(m.vis_params["ds_mergers"]) == 2
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
+    # vision tower golden
+    import jax.numpy as jnp
+    from chatllm_tpu.nn.qwen_vit import grid_layout, qwen3_vit_forward
+
+    gh, gw = 4, 4
+    rng = np.random.default_rng(5)
+    frames = rng.standard_normal((2, gh * PATCH, gw * PATCH, 3)).astype(np.float32)
+    layout = grid_layout(m.vis_cfg, gh, gw)
+    mine, deepstack = qwen3_vit_forward(m.vis_cfg, m.vis_params,
+                                        jnp.asarray(frames), layout, gh, gw)
+    x = frames.transpose(0, 3, 1, 2).reshape(
+        1, 2, 3, gh // MERGE, MERGE, PATCH, gw // MERGE, MERGE, PATCH)
+    pv = torch.from_numpy(np.ascontiguousarray(
+        x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)).reshape(gh * gw, 3 * 2 * PATCH * PATCH))
+    grid = torch.tensor([[1, gh, gw]])
+    with torch.no_grad():
+        vout = hf.model.visual(pv, grid_thw=grid)
+    ref_main, ref_ds = (vout if isinstance(vout, tuple) else
+                        (vout.last_hidden_state, vout.deepstack_feature_lists))
+    err = (np.linalg.norm(np.asarray(mine) - ref_main.numpy())
+           / np.linalg.norm(ref_main.numpy()))
+    assert err < 2e-3, err
+    for got, want in zip(deepstack, ref_ds):
+        e = (np.linalg.norm(np.asarray(got) - want.numpy())
+             / np.linalg.norm(want.numpy()))
+        assert e < 2e-3, e
