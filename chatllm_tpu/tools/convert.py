@@ -580,6 +580,82 @@ def convert_glm4_0414(w, f, cfg, sd, dtype):
         w.write_tensor(f"model.layers.{i}.mlp.up_proj.weight", gu[F2:], dtype)
 
 
+def convert_glm4v(w, f, cfg, sd, dtype):
+    """Glm4vForConditionalGeneration → GLM4V (reference GLM4VConverter,
+    convert.py:4231-4320): glm4-0414 text config + mrope_section[4];
+    vision blocks renamed to layers.*, fused qkv split, .attn.proj →
+    .attn.o_proj, conv3d patch embed split into proj.0/proj.1."""
+    tcfg = dict(cfg)
+    for k, v in (cfg.get("text_config") or {}).items():
+        tcfg[k] = v
+    vis = cfg["vision_config"]
+    heads = tcfg["num_attention_heads"]
+    kv = tcfg.get("num_key_value_heads", heads)
+    hd = tcfg.get("head_dim") or tcfg["hidden_size"] // heads
+    rope_dim = int(hd * tcfg.get("partial_rotary_factor", 0.5))
+    qkv_bias = bool(tcfg.get("attention_bias", True))
+    scaling = (tcfg.get("rope_scaling") or cfg.get("rope_scaling") or {})
+    mrope = list(scaling.get("mrope_section", (8, 12, 12)))
+    mrope += [0] * (4 - len(mrope))
+    w.write_config(_base_vals(tcfg, dtype) + [kv, int(qkv_bias), rope_dim],
+                   fmt="14i")
+    f.write(struct.pack("<f", float(tcfg.get("rope_theta", 10000.0))))
+    f.write(struct.pack("<4i", *mrope[:4]))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.GLM4V))
+    names = ["model.embed_tokens.weight"]
+    for i in range(tcfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        gu = sd.pop(f"{pfx}.mlp.gate_up_proj.weight")
+        F2 = gu.shape[0] // 2
+        sd[f"{pfx}.mlp.gate_proj.weight"] = gu[:F2]
+        sd[f"{pfx}.mlp.up_proj.weight"] = gu[F2:]
+        names += [f"{pfx}.input_layernorm.weight",
+                  f"{pfx}.post_attention_layernorm.weight",
+                  f"{pfx}.post_mlp_layernorm.weight",
+                  f"{pfx}.post_self_attn_layernorm.weight"]
+        for nm in ("q_proj", "k_proj", "v_proj"):
+            names.append(f"{pfx}.self_attn.{nm}.weight")
+            if qkv_bias:
+                names.append(f"{pfx}.self_attn.{nm}.bias")
+        names += [f"{pfx}.self_attn.o_proj.weight",
+                  f"{pfx}.mlp.gate_proj.weight",
+                  f"{pfx}.mlp.up_proj.weight", f"{pfx}.mlp.down_proj.weight"]
+    names += ["model.norm.weight", "lm_head.weight"]
+    # HF rotates interleaved pairs over the first rope_dim head dims —
+    # permute q/k (weights AND biases) into the loader's NEOX layout
+    nh = {"q": heads, "k": kv}
+    for n in list(names):
+        for role, nhh in nh.items():
+            if f".self_attn.{role}_proj." in n:
+                sd[n] = _permute_pair_rope_head(sd[n], nhh, rope_dim)
+    _emit_all(w, sd, names, dtype)
+
+    # vision tower
+    sd = {k.replace("model.visual.", "visual."): v for k, v in sd.items()}
+    vh = int(vis["hidden_size"])
+    for k, arr in sorted(sd.items()):
+        if not k.startswith("visual."):
+            continue
+        k = k.replace("visual.blocks.", "visual.layers.")
+        if k == "visual.patch_embed.proj.weight":
+            w.write_tensor("visual.patch_embed.proj.0.weight",
+                           np.ascontiguousarray(arr[:, :, 0]), GGMLType.F32)
+            w.write_tensor("visual.patch_embed.proj.1.weight",
+                           np.ascontiguousarray(arr[:, :, 1]), GGMLType.F32)
+        elif ".attn.qkv." in k:
+            q, kk_, v = arr[:vh], arr[vh:2 * vh], arr[2 * vh:]
+            for part, nm in ((q, "q_proj"), (kk_, "k_proj"), (v, "v_proj")):
+                w.write_tensor(k.replace(".attn.qkv.", f".attn.{nm}."),
+                               np.ascontiguousarray(part),
+                               dtype if part.ndim == 2 else GGMLType.F32)
+        elif ".attn.proj." in k:
+            w.write_tensor(k.replace(".attn.proj.", ".attn.o_proj."), arr,
+                           dtype if arr.ndim == 2 else GGMLType.F32)
+        else:
+            w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
 def convert_olmo2(w, f, cfg, sd, dtype):
     """Olmo2ForCausalLM → OLMo2 (models/allenai.h): post-norm blocks,
     full-projection qk-norm, NEOX rope — tensors pass through."""
@@ -795,6 +871,19 @@ def _permute_pair(w: np.ndarray, n_head: int) -> np.ndarray:
     out = w.shape[0]
     return (w.reshape(n_head, out // n_head // 2, 2, *w.shape[1:])
              .swapaxes(1, 2).reshape(w.shape))
+
+
+def _permute_pair_rope_head(w: np.ndarray, n_head: int, rope_dim: int) -> np.ndarray:
+    """Interleaved pairs in the FIRST rope_dim dims of each head →
+    half-split NEOX (reference permute_pair_rope_nope, convert.py:6247);
+    the trailing nope dims pass through.  Works on weights and biases."""
+    hidden = w.shape[0]
+    head_dim = hidden // n_head
+    r = w.reshape(n_head, head_dim, *w.shape[1:])
+    rot = r[:, :rope_dim]
+    rot = (rot.reshape(n_head, rope_dim // 2, 2, *w.shape[1:])
+              .swapaxes(1, 2).reshape(rot.shape))
+    return np.concatenate([rot, r[:, rope_dim:]], axis=1).reshape(w.shape)
 
 
 def _permute_pair_rope_tail(w: np.ndarray, n_head: int, nope: int) -> np.ndarray:
@@ -1098,6 +1187,64 @@ def convert_qwen2_vl(w, f, cfg, sd, dtype):
 
 def convert_qwen25_vl(w, f, cfg, sd, dtype):
     _convert_qwen_vl(w, f, cfg, sd, dtype, v25=True)
+
+
+def convert_mistral3(w, f, cfg, sd, dtype):
+    """Mistral3ForConditionalGeneration → MISTRAL3 (reference
+    Mistral3Converter; models/mistral.cpp mistral3:722-1010): text model on
+    mistral-style disk names (.attn./.attention_norm./.ffn_norm.), YaRN +
+    llama4-style attention scaling carried when configured; q/k permuted.
+    The pixtral tower is not consumed by the loader yet and is skipped."""
+    tcfg = dict(cfg)
+    for k, v in (cfg.get("text_config") or {}).items():
+        tcfg[k] = v
+    heads = tcfg["num_attention_heads"]
+    kv = tcfg.get("num_key_value_heads", heads)
+    tie = bool(tcfg.get("tie_word_embeddings", False))
+    head_dim = tcfg.get("head_dim") or tcfg["hidden_size"] // heads
+    scaling = tcfg.get("rope_scaling") or {}
+    assert not scaling or scaling.get("rope_type") in (None, "yarn"), \
+        "mistral3 carries yarn-style scaling only"
+    w.write_config(_base_vals(tcfg, dtype), fmt="11i")
+    f.write(struct.pack(
+        "<4i6fif", kv, int(tcfg.get("sliding_window") or 0), int(tie),
+        head_dim, float(scaling.get("beta_fast", 32.0)),
+        float(scaling.get("beta_slow", 1.0)),
+        float(scaling.get("factor", 1.0)),
+        float(tcfg.get("llama_4_scaling_beta", 0.0)),
+        float(scaling.get("mscale", 1.0)),
+        float(scaling.get("mscale_all_dim", 0.0)),
+        int(scaling.get("original_max_position_embeddings", 0)
+            if scaling else 0),
+        float(tcfg.get("rope_theta", 1000000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.MISTRAL3))
+    if tie:
+        sd.setdefault("lm_head.weight", sd["model.embed_tokens.weight"])
+    names = ["model.embed_tokens.weight"]
+    for i in range(tcfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        sd[f"{pfx}.attention_norm.weight"] = \
+            sd.pop(f"{pfx}.input_layernorm.weight")
+        sd[f"{pfx}.ffn_norm.weight"] = \
+            sd.pop(f"{pfx}.post_attention_layernorm.weight")
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[f"{pfx}.attn.{nm}.weight"] = \
+                sd.pop(f"{pfx}.self_attn.{nm}.weight")
+        names += [f"{pfx}.attention_norm.weight",
+                  f"{pfx}.attn.q_proj.weight", f"{pfx}.attn.k_proj.weight",
+                  f"{pfx}.attn.v_proj.weight", f"{pfx}.attn.o_proj.weight",
+                  f"{pfx}.ffn_norm.weight",
+                  f"{pfx}.mlp.gate_proj.weight", f"{pfx}.mlp.up_proj.weight",
+                  f"{pfx}.mlp.down_proj.weight"]
+    names += ["model.norm.weight"] + ([] if tie else ["lm_head.weight"])
+    for n in names:
+        arr = sd[n]
+        if n.endswith("attn.q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("attn.k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
 
 
 def convert_qwen3_vl(w, f, cfg, sd, dtype):
@@ -1857,6 +2004,8 @@ ARCH_CONVERTERS = {
     "Llama4ForCausalLM": convert_llama4,
     "Llama4ForConditionalGeneration": convert_llama4,
     "Qwen3VLForConditionalGeneration": convert_qwen3_vl,
+    "Mistral3ForConditionalGeneration": convert_mistral3,
+    "Glm4vForConditionalGeneration": convert_glm4v,
 }
 
 

@@ -325,3 +325,95 @@ def test_convert_qwen3_vl(tmp_path):
         e = (np.linalg.norm(np.asarray(got) - want.numpy())
              / np.linalg.norm(want.numpy()))
         assert e < 2e-3, e
+
+
+def test_convert_mistral3(tmp_path):
+    torch.manual_seed(46)
+    tc = dict(vocab_size=V, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, num_hidden_layers=2,
+              intermediate_size=96, head_dim=16,
+              max_position_embeddings=128, rope_theta=1000000.0,
+              rms_norm_eps=1e-6, tie_word_embeddings=False,
+              sliding_window=None)
+    cfg = transformers.Mistral3Config(
+        text_config=tc,
+        vision_config=dict(hidden_size=32, intermediate_size=48,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           patch_size=4, image_size=32),
+        image_token_index=V - 1)
+    hf = transformers.Mistral3ForConditionalGeneration(cfg).eval()
+    from test_convert_wave2 import RT32, _save_dir
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    d = _save_dir(tmp_path, hf, cfg, "Mistral3ForConditionalGeneration",
+                  ["<unk>", "<s>", "</s>", "[INST]", "[/INST]"])
+    out = str(tmp_path / "m3.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    ids = np.array([[7, 30, 102, 89, 5, 41]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
+
+
+def test_convert_glm4v(tmp_path):
+    """GLM-4V: sandwich-norm text logits match HF; the ViT tower (conv3d
+    embed + bicubic pos interp + downsample + merger) reproduces
+    HF model.visual."""
+    torch.manual_seed(47)
+    PATCH, MERGE = 4, 2
+    vis = dict(depth=2, hidden_size=32, intermediate_size=48, num_heads=2,
+               patch_size=PATCH, spatial_merge_size=MERGE,
+               temporal_patch_size=2, out_hidden_size=64, image_size=32,
+               in_channels=3)
+    tc = dict(vocab_size=V, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, num_hidden_layers=2,
+              intermediate_size=96, max_position_embeddings=128,
+              rope_theta=10000.0, rms_norm_eps=1e-5, attention_bias=True,
+              partial_rotary_factor=0.5, tie_word_embeddings=False,
+              rope_scaling={"rope_type": "default",
+                            "mrope_section": [2, 1, 1]})
+    cfg = transformers.Glm4vConfig(
+        text_config=tc, vision_config=vis, image_token_id=V - 1,
+        video_token_id=V - 2, image_start_token_id=V - 4,
+        image_end_token_id=V - 3)
+    hf = transformers.Glm4vForConditionalGeneration(cfg).eval()
+    from test_convert_wave2 import RT32, _save_dir
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    d = _save_dir(tmp_path, hf, cfg, "Glm4vForConditionalGeneration",
+                  ["<|endoftext|>", "[gMASK]", "<sop>", "<|user|>",
+                   "<|assistant|>", "<|begin_of_image|>", "<|end_of_image|>"])
+    out = str(tmp_path / "g4v.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.vis_params is not None
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
+    # vision tower golden
+    import jax.numpy as jnp
+    from chatllm_tpu.nn.glm_vit import glm_vit_forward
+
+    gh, gw = 4, 4
+    rng = np.random.default_rng(6)
+    frames = rng.standard_normal((2, gh * PATCH, gw * PATCH, 3)).astype(np.float32)
+    mine = np.asarray(glm_vit_forward(m.vis_cfg, m.vis_params,
+                                      jnp.asarray(frames), gh, gw))
+    x = frames.transpose(0, 3, 1, 2).reshape(
+        1, 2, 3, gh // MERGE, MERGE, PATCH, gw // MERGE, MERGE, PATCH)
+    pv = torch.from_numpy(np.ascontiguousarray(
+        x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)).reshape(
+            gh * gw, 3 * 2 * PATCH * PATCH))
+    grid = torch.tensor([[1, gh, gw]])
+    with torch.no_grad():
+        ref_v = hf.model.visual(pv, grid_thw=grid).numpy()
+    err = np.linalg.norm(mine - ref_v) / np.linalg.norm(ref_v)
+    assert err < 2e-3, err
