@@ -41,13 +41,17 @@ class InternVL(BaseLLM):
         self.vis_cfg = None
         self.vis_params = None
         if vis and gf.has_tensor("visual.embeddings.class_embedding"):
+            def _dim(v):
+                # HF-native InternVL stores image_size/patch_size as [h, w]
+                return int(v[0] if isinstance(v, (list, tuple)) else v)
+
             self.vis_cfg = ViTConfig(
                 hidden_size=int(vis["hidden_size"]),
                 num_hidden_layers=int(vis["num_hidden_layers"]),
                 num_attention_heads=int(vis["num_attention_heads"]),
                 intermediate_size=int(vis["intermediate_size"]),
-                patch_size=int(vis["patch_size"]),
-                image_size=int(vis["image_size"]),
+                patch_size=_dim(vis["patch_size"]),
+                image_size=_dim(vis["image_size"]),
                 act="gelu", cls_token=True, layer_scale=True,
                 norm_eps=float(vis.get("layer_norm_eps", 1e-6)))
             pb = ParamBuilder(gf, rt)

@@ -73,6 +73,7 @@ class SmolVLM(BaseLLM):
         tie = not gf.has_tensor("lm_head.weight")
         cfg = build_dense_config(base, num_key_value_heads=n_kv,
                                  rope_theta=rope_theta, tie_lm_head=tie,
+                                 norm_eps=1e-6,
                                  max_length=rt.max_length,
                                  cache_dtype=rt.cache_dtype)
         tok = _bpe2_tokenizer(gf, base, SmolVLMEncoder())

@@ -1189,6 +1189,104 @@ def convert_qwen25_vl(w, f, cfg, sd, dtype):
     _convert_qwen_vl(w, f, cfg, sd, dtype, v25=True)
 
 
+def convert_internvl(w, f, cfg, sd, dtype):
+    """InternVLForConditionalGeneration → INTERN_VL (reference
+    InternVLConverter, convert.py:10173): Qwen3 text + InternViT tower
+    (encoder.layer → visual.layers, attention.* → self_attn.*, lambda_N →
+    lsN) + LN/MLP projector (vision_projector.0/1/3)."""
+    tcfg = dict(cfg)
+    for k, v in (cfg.get("text_config") or {}).items():
+        tcfg[k] = v
+    assert tcfg.get("model_type") in (None, "qwen3"), \
+        "InternVL loader expects a Qwen3 text model"
+    convert_qwen3(w, f, tcfg, sd, dtype)
+    w.patch_model_type(int(ModelType.INTERN_VL))
+
+    ren = {}
+    for k, arr in sd.items():
+        if k.startswith("model.vision_tower."):
+            k2 = (k.replace("model.vision_tower.", "visual.")
+                   .replace("encoder.layer.", "layers.")
+                   .replace(".attention.q_proj.", ".self_attn.q_proj.")
+                   .replace(".attention.k_proj.", ".self_attn.k_proj.")
+                   .replace(".attention.v_proj.", ".self_attn.v_proj.")
+                   .replace(".attention.projection_layer.",
+                            ".self_attn.o_proj.")
+                   .replace(".layernorm_before.", ".norm1.")
+                   .replace(".layernorm_after.", ".norm2.")
+                   .replace(".lambda_1", ".ls1")
+                   .replace(".lambda_2", ".ls2")
+                   .replace("embeddings.cls_token",
+                            "embeddings.class_embedding")
+                   .replace("embeddings.position_embeddings",
+                            "embeddings.position_embedding")
+                   .replace("embeddings.patch_embeddings.projection.",
+                            "embeddings.patch_embedding."))
+            ren[k2] = arr
+        elif k.startswith("model.multi_modal_projector."):
+            k2 = (k.replace("model.multi_modal_projector.layer_norm.",
+                            "vision_projector.0.")
+                   .replace("model.multi_modal_projector.linear_1.",
+                            "vision_projector.1.")
+                   .replace("model.multi_modal_projector.linear_2.",
+                            "vision_projector.3."))
+            ren[k2] = arr
+    # the loader reads q/k/v biases unconditionally (real InternViT ships
+    # them); synthesize zeros when the checkpoint was built without
+    for i in range(int(cfg["vision_config"]["num_hidden_layers"])):
+        for nm in ("q_proj", "k_proj", "v_proj"):
+            bn = f"visual.layers.{i}.self_attn.{nm}.bias"
+            if bn not in ren:
+                ren[bn] = np.zeros(
+                    ren[f"visual.layers.{i}.self_attn.{nm}.weight"].shape[0],
+                    np.float32)
+    for k in sorted(ren):
+        arr = ren[k]
+        w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_smolvlm(w, f, cfg, sd, dtype):
+    """SmolVLMForConditionalGeneration → SMOL_VLM (reference
+    SmolVLMConverter, convert.py:2222-2310): SmolLM text layout + SigLIP
+    tower (out_proj → o_proj, fc1/fc2 → fc0/fc1, post_layernorm →
+    final_layernorm) + pixel-shuffle connector projection."""
+    tcfg = dict(cfg)
+    for k, v in (cfg.get("text_config") or {}).items():
+        tcfg[k] = v
+    heads = tcfg["num_attention_heads"]
+    kv = tcfg.get("num_key_value_heads", heads)
+    tie = bool(tcfg.get("tie_word_embeddings", False))
+    w.write_config(_base_vals(tcfg, dtype), fmt="11i")
+    f.write(struct.pack("<if", kv, float(tcfg.get("rope_theta", 100000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.SMOL_VLM))
+    sd = {k.replace("model.text_model.", "model.")
+           .replace("model.vision_model.encoder.layers.",
+                    "vision_model.encoder.layers.")
+           .replace("model.vision_model.", "vision_model.")
+           .replace(".self_attn.out_proj.", ".self_attn.o_proj.")
+           .replace("vision_model.post_layernorm.",
+                    "vision_model.final_layernorm.")
+           .replace("model.connector.modality_projection.proj.",
+                    "multi_modal_projector.proj."): v
+          for k, v in sd.items()}
+    for k in list(sd):
+        if k.startswith("vision_model.") and ".mlp.fc" in k:
+            sd[k.replace(".mlp.fc1.", ".mlp.fc0.")
+                .replace(".mlp.fc2.", ".mlp.fc1.")] = sd.pop(k)
+    for n in _llama_like_names(tcfg["num_hidden_layers"], tie=tie):
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+    for k in sorted(sd):
+        if k.startswith(("vision_model.", "multi_modal_projector.")):
+            w.write_tensor(k, sd[k],
+                           dtype if sd[k].ndim == 2 else GGMLType.F32)
+
+
 def convert_mistral3(w, f, cfg, sd, dtype):
     """Mistral3ForConditionalGeneration → MISTRAL3 (reference
     Mistral3Converter; models/mistral.cpp mistral3:722-1010): text model on
@@ -2006,6 +2104,8 @@ ARCH_CONVERTERS = {
     "Qwen3VLForConditionalGeneration": convert_qwen3_vl,
     "Mistral3ForConditionalGeneration": convert_mistral3,
     "Glm4vForConditionalGeneration": convert_glm4v,
+    "SmolVLMForConditionalGeneration": convert_smolvlm,
+    "InternVLForConditionalGeneration": convert_internvl,
 }
 
 

@@ -417,3 +417,99 @@ def test_convert_glm4v(tmp_path):
         ref_v = hf.model.visual(pv, grid_thw=grid).numpy()
     err = np.linalg.norm(mine - ref_v) / np.linalg.norm(ref_v)
     assert err < 2e-3, err
+
+
+def test_convert_smolvlm(tmp_path):
+    """SmolVLM: text logits match HF; the SigLIP tower + pixel shuffle +
+    connector reproduce HF get_image_features."""
+    torch.manual_seed(48)
+    S, PATCH = 16, 4
+    vc = dict(hidden_size=32, intermediate_size=48, num_hidden_layers=2,
+              num_attention_heads=2, patch_size=PATCH, image_size=S,
+              num_channels=3, max_image_size={"longest_edge": S},
+              layer_norm_eps=1e-6)
+    tc = dict(vocab_size=V, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, num_hidden_layers=2,
+              intermediate_size=96, max_position_embeddings=128,
+              rope_theta=100000.0, rms_norm_eps=1e-6,
+              tie_word_embeddings=False)
+    cfg = transformers.SmolVLMConfig(vision_config=vc, text_config=tc,
+                                     scale_factor=2, image_token_id=V - 1)
+    hf = transformers.SmolVLMForConditionalGeneration(cfg).eval()
+    from test_convert_wave2 import RT32, _save_dir
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    d = _save_dir(tmp_path, hf, cfg, "SmolVLMForConditionalGeneration",
+                  ["<|im_start|>", "<|im_end|>", "<|endoftext|>",
+                   "<end_of_utterance>", "<fake_token_around_image>",
+                   "<global-img>", "<image>"])
+    out = str(tmp_path / "svlm.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.vis_params is not None
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
+    # vision golden: tower + pixel shuffle + projection
+    rng = np.random.default_rng(7)
+    px = rng.standard_normal((1, S, S, 3)).astype(np.float32)
+    mine = np.asarray(m.encode_images(px))           # [n_tok, H]
+    pv = torch.from_numpy(px.transpose(0, 3, 1, 2))[:, None]
+    with torch.no_grad():
+        ref_v = hf.model.get_image_features(
+            pv, pixel_attention_mask=None).reshape(-1, 64).numpy()
+    err = np.linalg.norm(mine - ref_v) / np.linalg.norm(ref_v)
+    assert err < 2e-3, err
+
+
+def test_convert_internvl(tmp_path):
+    """InternVL: qwen3 text logits match HF; the InternViT tower +
+    pixel-shuffle + LN/MLP projector reproduce HF get_image_features."""
+    torch.manual_seed(49)
+    S, PATCH = 16, 4
+    vc = dict(hidden_size=32, intermediate_size=48, num_hidden_layers=2,
+              num_attention_heads=2, patch_size=[PATCH, PATCH],
+              image_size=[S, S], use_absolute_position_embeddings=True,
+              layer_scale_init_value=0.1, use_qk_norm=False,
+              attention_bias=False, hidden_act="gelu", num_channels=3,
+              layer_norm_eps=1e-6)
+    tc = dict(model_type="qwen3", vocab_size=V, hidden_size=64,
+              num_attention_heads=4, num_key_value_heads=2,
+              num_hidden_layers=2, intermediate_size=96, head_dim=16,
+              max_position_embeddings=128, rope_theta=10000.0,
+              rms_norm_eps=1e-6, tie_word_embeddings=False)
+    cfg = transformers.InternVLConfig(
+        vision_config=vc, text_config=tc, image_token_id=V - 1,
+        downsample_ratio=0.5)
+    hf = transformers.InternVLForConditionalGeneration(cfg).eval()
+    from test_convert_wave2 import RT32, _save_dir
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    d = _save_dir(tmp_path, hf, cfg, "InternVLForConditionalGeneration",
+                  ["<|im_start|>", "<|im_end|>", "<|endoftext|>",
+                   "<img>", "</img>", "<IMG_CONTEXT>"])
+    out = str(tmp_path / "ivl.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.vis_params is not None
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
+    rng = np.random.default_rng(8)
+    px = rng.standard_normal((1, S, S, 3)).astype(np.float32)
+    mine = np.asarray(m.encode_images(px))
+    pv = torch.from_numpy(px.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        ref_v = hf.model.get_image_features(
+            pv, vision_feature_layer=-1,
+            vision_feature_select_strategy="default").reshape(-1, 64).numpy()
+    err = np.linalg.norm(mine - ref_v) / np.linalg.norm(ref_v)
+    assert err < 2e-3, err
