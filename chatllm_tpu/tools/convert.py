@@ -7,11 +7,13 @@ llama family, convert.py:1360 `permute`), exports the vocab in the reference's
 on-disk formats (SentencePiece pairs / BPE pieces+merges, convert.py:894-1121)
 and writes a GGMM file loadable by chatllm_tpu (and by the reference).
 
-Supported architectures: see ARCH_CONVERTERS at the bottom (llama 2/3.x,
-qwen2/3 ±MoE, mistral/mixtral, hunyuan, gpt-oss, gemma 1/2/3 ±vision,
-glm4-0414, olmo2/olmoe, starcoder2, cohere, granite, phi3 ±LongRoPE,
-deepseek V2/V3) — every family HF-golden roundtrip-tested in
-tests/test_convert*.py.  Quantization: f32/f16/bf16/q8_0/q4_0/q4_1/q4_k
+Supported architectures: see ARCH_CONVERTERS at the bottom (49 entries:
+llama 2/3.x/4, qwen2/3 ±MoE ±VL ±audio, mistral/mixtral/mistral3, hunyuan
+±MoE, gpt-oss, gemma 1/2/3 ±vision, glm-4-9b-hf/glm4-0414/glm-4v,
+olmo2/olmoe, starcoder2, cohere 1/2, granite ±MoE, phi2/phi3 ±LongRoPE/
+phimoe, deepseek V2/V3, stablelm2, persimmon/fuyu, smollm3, exaone4,
+ernie 4.5 ±MoE, seed-oss, apertus, smolvlm, internvl) — every family
+HF-golden roundtrip-tested in tests/test_convert*.py.  Quantization: f32/f16/bf16/q8_0/q4_0/q4_1/q4_k
 (same codecs as the reference, ggmm/quants.py is bit-exact vs ggml).
 
 Usage:  python -m chatllm_tpu.tools.convert -i <hf_dir> -o out.bin -t q4_k
@@ -578,6 +580,58 @@ def convert_glm4_0414(w, f, cfg, sd, dtype):
         F2 = gu.shape[0] // 2
         w.write_tensor(f"model.layers.{i}.mlp.gate_proj.weight", gu[:F2], dtype)
         w.write_tensor(f"model.layers.{i}.mlp.up_proj.weight", gu[F2:], dtype)
+
+
+def convert_glm(w, f, cfg, sd, dtype):
+    """GlmForCausalLM (glm-4-9b-chat-hf) → GLM4 (reference ChatGLM4Converter
+    naming, convert.py:3999): q/k/v fused back into
+    self_attention.query_key_value (weights + biases), gate_up already
+    fused, chatglm transformer.* names; partial interleaved rotary as-is
+    (rope_ratio = theta / 10000)."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    assert not cfg.get("tie_word_embeddings", False)
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<if", kv,
+                        float(cfg.get("rope_theta", 10000.0)) / 10000.0))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.GLM4))
+    names = ["transformer.embedding.word_embeddings.weight"]
+    sd[names[0]] = sd.pop("model.embed_tokens.weight")
+    for i in range(cfg["num_hidden_layers"]):
+        hp = f"model.layers.{i}"
+        gp = f"transformer.encoder.layers.{i}"
+        for part in ("weight", "bias"):
+            qn = f"{hp}.self_attn.q_proj.{part}"
+            if qn not in sd:
+                continue
+            sd[f"{gp}.self_attention.query_key_value.{part}"] = \
+                np.concatenate([sd.pop(qn),
+                                sd.pop(f"{hp}.self_attn.k_proj.{part}"),
+                                sd.pop(f"{hp}.self_attn.v_proj.{part}")],
+                               axis=0)
+            names.append(f"{gp}.self_attention.query_key_value.{part}")
+        sd[f"{gp}.self_attention.dense.weight"] = \
+            sd.pop(f"{hp}.self_attn.o_proj.weight")
+        sd[f"{gp}.input_layernorm.weight"] = \
+            sd.pop(f"{hp}.input_layernorm.weight")
+        sd[f"{gp}.post_attention_layernorm.weight"] = \
+            sd.pop(f"{hp}.post_attention_layernorm.weight")
+        sd[f"{gp}.mlp.dense_h_to_4h.weight"] = \
+            sd.pop(f"{hp}.mlp.gate_up_proj.weight")
+        sd[f"{gp}.mlp.dense_4h_to_h.weight"] = \
+            sd.pop(f"{hp}.mlp.down_proj.weight")
+        names += [f"{gp}.self_attention.dense.weight",
+                  f"{gp}.input_layernorm.weight",
+                  f"{gp}.post_attention_layernorm.weight",
+                  f"{gp}.mlp.dense_h_to_4h.weight",
+                  f"{gp}.mlp.dense_4h_to_h.weight"]
+    sd["transformer.encoder.final_layernorm.weight"] = \
+        sd.pop("model.norm.weight")
+    sd["transformer.output_layer.weight"] = sd.pop("lm_head.weight")
+    names += ["transformer.encoder.final_layernorm.weight",
+              "transformer.output_layer.weight"]
+    _emit_all(w, sd, names, dtype)
 
 
 def convert_glm4v(w, f, cfg, sd, dtype):
@@ -2106,6 +2160,7 @@ ARCH_CONVERTERS = {
     "Glm4vForConditionalGeneration": convert_glm4v,
     "SmolVLMForConditionalGeneration": convert_smolvlm,
     "InternVLForConditionalGeneration": convert_internvl,
+    "GlmForCausalLM": convert_glm,
 }
 
 

@@ -513,3 +513,18 @@ def test_convert_internvl(tmp_path):
             vision_feature_select_strategy="default").reshape(-1, 64).numpy()
     err = np.linalg.norm(mine - ref_v) / np.linalg.norm(ref_v)
     assert err < 2e-3, err
+
+
+def test_convert_glm(tmp_path):
+    torch.manual_seed(50)
+    cfg = transformers.GlmConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, bos_token_id=2)
+    hf = transformers.GlmForCausalLM(cfg).eval()
+    _check(tmp_path, hf, cfg, "GlmForCausalLM",
+           ["<|endoftext|>", "[MASK]", "[gMASK]", "[sMASK]", "<sop>",
+            "<eop>", "<|user|>", "<|assistant|>"])
