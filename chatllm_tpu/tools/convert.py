@@ -1399,11 +1399,12 @@ def convert_mistral3(w, f, cfg, sd, dtype):
         w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
 
 
-def convert_qwen3_vl(w, f, cfg, sd, dtype):
+def convert_qwen3_vl(w, f, cfg, sd, dtype, moe=False):
     """Qwen3VLForConditionalGeneration → QWEN3_VL (reference
     Qwen3VLConverter, convert.py:5707-5828): qwen3 text config +
     mrope_section[4]; deepstack ViT with temporal-conv split, fused qkv
-    split, and linear_fc1/fc2 → fc0/fc1 renames."""
+    split, and linear_fc1/fc2 → fc0/fc1 renames.  `moe` fills the sparse
+    fields and emits per-expert tensors (pre-split by the MoE wrapper)."""
     tcfg = dict(cfg)
     for k, v in (cfg.get("text_config") or {}).items():
         tcfg[k] = v
@@ -1415,17 +1416,51 @@ def convert_qwen3_vl(w, f, cfg, sd, dtype):
     scaling = (tcfg.get("rope_scaling") or cfg.get("rope_scaling") or {})
     mrope = list(scaling.get("mrope_section", (24, 20, 20)))
     mrope += [0] * (4 - len(mrope))
+    L = tcfg["num_hidden_layers"]
+    n_exp = int(tcfg.get("num_experts", 0)) if moe else 0
+    step = max(1, tcfg.get("decoder_sparse_step", 1))
+    dense = set(tcfg.get("mlp_only_layers") or [])
+    sparse = [1 if (n_exp > 0 and i not in dense and (i + 1) % step == 0)
+              else 0 for i in range(L)]
     w.write_config(_base_vals(tcfg, dtype) + [kv, head_dim], fmt="13i")
     f.write(struct.pack("<ff", float(tcfg.get("rope_theta", 5000000.0)), -1.0))
-    f.write(struct.pack("<6i", -1, 0, -1, -1, -1, 0))
+    f.write(struct.pack("<6i", -1, step if moe else 0,
+                        tcfg.get("moe_intermediate_size", -1) if moe else -1,
+                        tcfg.get("num_experts_per_tok", -1) if moe else -1,
+                        n_exp if moe else -1,
+                        int(bool(tcfg.get("norm_topk_prob", False)))))
     f.write(struct.pack("<i", int(tie)))
-    f.write(struct.pack("<128i", *([0] * 128)))
+    f.write(struct.pack("<128i", *(sparse + [0] * (128 - L))))
     f.write(struct.pack("<4i", *mrope[:4]))
     w._patch_offset(12)
     w.patch_model_type(int(ModelType.QWEN3_VL))
 
-    for n in _llama_like_names(tcfg["num_hidden_layers"], tie=tie,
-                               qk_norm=True):
+    if moe:
+        names = ["model.embed_tokens.weight", "model.norm.weight"]
+        if not tie:
+            names.append("lm_head.weight")
+        for i in range(L):
+            pfx = f"model.layers.{i}"
+            names += [f"{pfx}.input_layernorm.weight",
+                      f"{pfx}.post_attention_layernorm.weight",
+                      f"{pfx}.self_attn.q_proj.weight",
+                      f"{pfx}.self_attn.k_proj.weight",
+                      f"{pfx}.self_attn.v_proj.weight",
+                      f"{pfx}.self_attn.o_proj.weight",
+                      f"{pfx}.self_attn.q_norm.weight",
+                      f"{pfx}.self_attn.k_norm.weight"]
+            if sparse[i]:
+                names.append(f"{pfx}.mlp.gate.weight")
+                for j in range(n_exp):
+                    for nm in ("gate_proj", "up_proj", "down_proj"):
+                        names.append(f"{pfx}.mlp.experts.{j}.{nm}.weight")
+            else:
+                names += [f"{pfx}.mlp.gate_proj.weight",
+                          f"{pfx}.mlp.up_proj.weight",
+                          f"{pfx}.mlp.down_proj.weight"]
+    else:
+        names = _llama_like_names(L, tie=tie, qk_norm=True)
+    for n in names:
         w.write_tensor(n, sd[n], dtype if sd[n].ndim == 2 else GGMLType.F32)
 
     sd = {k.replace("model.visual.", "visual."): v for k, v in sd.items()}
@@ -1452,6 +1487,31 @@ def convert_qwen3_vl(w, f, cfg, sd, dtype):
                                dtype if part.ndim == 2 else GGMLType.F32)
         else:
             w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+def convert_qwen3_vl_moe(w, f, cfg, sd, dtype):
+    """Qwen3VLMoeForConditionalGeneration → QWEN3_VL: the qwen3_vl emitter
+    with the text MoE fields filled and HF's FUSED per-expert
+    gate_up_proj [E, H, 2F] / down_proj [E, F, H] (chunk order gate‖up)
+    split+transposed into experts.{j}.* tensors first."""
+    tcfg = dict(cfg.get("text_config") or {})
+    n_exp = int(tcfg.get("num_experts", 0))
+    for i in range(int(tcfg["num_hidden_layers"])):
+        pfx = f"model.layers.{i}"
+        gk = f"{pfx}.mlp.experts.gate_up_proj"
+        if gk not in sd:
+            continue
+        gu = sd.pop(gk)                                # [E, H, 2F]
+        dn = sd.pop(f"{pfx}.mlp.experts.down_proj")    # [E, F, H]
+        F2 = gu.shape[-1] // 2
+        for j in range(n_exp):
+            sd[f"{pfx}.mlp.experts.{j}.gate_proj.weight"] = \
+                np.ascontiguousarray(gu[j, :, :F2].T)
+            sd[f"{pfx}.mlp.experts.{j}.up_proj.weight"] = \
+                np.ascontiguousarray(gu[j, :, F2:].T)
+            sd[f"{pfx}.mlp.experts.{j}.down_proj.weight"] = \
+                np.ascontiguousarray(dn[j].T)
+    convert_qwen3_vl(w, f, cfg, sd, dtype, moe=True)
 
 
 def convert_mixtral(w, f, cfg, sd, dtype):
@@ -2161,6 +2221,7 @@ ARCH_CONVERTERS = {
     "SmolVLMForConditionalGeneration": convert_smolvlm,
     "InternVLForConditionalGeneration": convert_internvl,
     "GlmForCausalLM": convert_glm,
+    "Qwen3VLMoeForConditionalGeneration": convert_qwen3_vl_moe,
 }
 
 

@@ -528,3 +528,46 @@ def test_convert_glm(tmp_path):
     _check(tmp_path, hf, cfg, "GlmForCausalLM",
            ["<|endoftext|>", "[MASK]", "[gMASK]", "[sMASK]", "<sop>",
             "<eop>", "<|user|>", "<|assistant|>"])
+
+
+def test_convert_qwen3_vl_moe(tmp_path):
+    """Qwen3-VL-MoE: fused per-expert gate_up/down split; text logits
+    match HF (vision path shared with the dense qwen3-vl test)."""
+    torch.manual_seed(51)
+    vis = dict(depth=1, hidden_size=32, intermediate_size=48, num_heads=2,
+               patch_size=4, spatial_merge_size=2, temporal_patch_size=2,
+               out_hidden_size=64, num_position_embeddings=16,
+               deepstack_visual_indexes=[0], in_channels=3)
+    tc = dict(vocab_size=V, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=2, num_hidden_layers=2,
+              intermediate_size=96, head_dim=16, moe_intermediate_size=32,
+              num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+              mlp_only_layers=[], norm_topk_prob=True,
+              max_position_embeddings=128, rope_theta=10000.0,
+              rms_norm_eps=1e-6, tie_word_embeddings=False,
+              rope_scaling={"rope_type": "default",
+                            "mrope_section": [2, 1, 1],
+                            "mrope_interleaved": True})
+    cfg = transformers.Qwen3VLMoeConfig(
+        text_config=tc, vision_config=vis, image_token_id=V - 1,
+        video_token_id=V - 2, vision_start_token_id=V - 4,
+        vision_end_token_id=V - 3)
+    hf = transformers.Qwen3VLMoeForConditionalGeneration(cfg).eval()
+    from test_convert_wave2 import RT32, _save_dir
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    d = _save_dir(tmp_path, hf, cfg, "Qwen3VLMoeForConditionalGeneration",
+                  ["<|endoftext|>", "<|im_start|>", "<|im_end|>",
+                   "<|vision_start|>", "<|vision_end|>", "<|image_pad|>",
+                   "<|video_pad|>"])
+    out = str(tmp_path / "q3vlm.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.vis_params is not None
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
