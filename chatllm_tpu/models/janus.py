@@ -52,14 +52,20 @@ class JanusPro(BaseLLM):
         self.vis_params = None
         self.gen_params = None
         if gf.has_tensor("vision_model.patch_embed.proj.weight"):
-            vp = cfg_json.get("vision_config", {}).get("params", {})
-            # siglip_large_patch16_384 geometry (janus.cpp load_more:683)
+            # original checkpoints nest geometry under vision_config.params
+            # (janus.cpp load_more:683); HF-transformers JanusConfig stores
+            # the flat HF keys — accept both
+            vcfg = cfg_json.get("vision_config", {})
+            vp = vcfg.get("params") or vcfg
+            width = int(vp.get("width", vp.get("hidden_size", 1024)))
             self.vis_cfg = ViTConfig(
-                hidden_size=int(vp.get("width", 1024)),
-                num_hidden_layers=int(vp.get("layers", 24)),
-                num_attention_heads=int(vp.get("heads", 16)),
+                hidden_size=width,
+                num_hidden_layers=int(vp.get("layers",
+                                             vp.get("num_hidden_layers", 24))),
+                num_attention_heads=int(vp.get("heads",
+                                               vp.get("num_attention_heads", 16))),
                 intermediate_size=int(round(float(vp.get("mlp_ratio", 4.0))
-                                            * int(vp.get("width", 1024)))),
+                                            * width)),
                 patch_size=int(vp.get("patch_size", 16)),
                 image_size=int(vp.get("image_size", 384)),
                 act="gelu", cls_token=False, layer_scale=False,
@@ -68,8 +74,11 @@ class JanusPro(BaseLLM):
         if gf.has_tensor("gen_head.vision_head.weight"):
             gh = cfg_json.get("gen_head_config", {}).get("params", {})
             gv = cfg_json.get("gen_vision_config", {}).get("params", {})
-            self.image_token_size = int(gh.get("image_token_size", 16384))
-            self.gen_embed_dim = int(gv.get("n_embed", 8))
+            vq = cfg_json.get("vq_config", {})        # HF-transformers form
+            self.image_token_size = int(gh.get(
+                "image_token_size", vq.get("num_embeddings", 16384)))
+            self.gen_embed_dim = int(gv.get("n_embed",
+                                            vq.get("embed_dim", 8)))
             self.gen_params = {
                 "gen_embed": pb.array("gen_embed.weight"),
                 "gen_aligner": {"fc0": pb.linear("gen_aligner.fc0", bias=True),

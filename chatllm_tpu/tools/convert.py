@@ -1243,6 +1243,90 @@ def convert_qwen25_vl(w, f, cfg, sd, dtype):
     _convert_qwen_vl(w, f, cfg, sd, dtype, v25=True)
 
 
+def convert_janus(w, f, cfg, sd, dtype):
+    """JanusForConditionalGeneration → JANUS_PRO (reference JanusConverter,
+    convert.py:9374-9520): llama text (q/k permuted); SigLIP tower renamed
+    to timm-style names; aligners' fc1/hidden_layers.0 → fc0/fc1; VQ-GAN
+    decoder with mid.block_1/attn_1/block_2 → mid.0/1/2 and up.N →
+    conv_blocks.N (encoder half unused and skipped)."""
+    tcfg = dict(cfg)
+    for k, v in (cfg.get("text_config") or {}).items():
+        tcfg[k] = v
+    heads = tcfg["num_attention_heads"]
+    kv = tcfg.get("num_key_value_heads", heads)
+    assert kv == heads and not tcfg.get("tie_word_embeddings", False), \
+        "Janus-Pro text model is full-MHA untied llama"
+    w.write_config(_base_vals(tcfg, dtype), fmt="11i")
+    w.patch_model_type(int(ModelType.JANUS_PRO))
+
+    ren = {}
+    for k, arr in sd.items():
+        if k.startswith("model.vision_model."):
+            k2 = (k.replace("model.vision_model.", "vision_model.")
+                   .replace("embeddings.patch_embedding.",
+                            "patch_embed.proj.")
+                   .replace("encoder.layers.", "layers.")
+                   .replace(".layer_norm1.", ".norm1.")
+                   .replace(".layer_norm2.", ".norm2.")
+                   .replace(".self_attn.projection_layer.", ".attn.o_proj.")
+                   .replace(".self_attn.", ".attn.")
+                   .replace(".mlp.fc1.", ".mlp.fc0.")
+                   .replace(".mlp.fc2.", ".mlp.fc1.")
+                   .replace("vision_model.post_layernorm.",
+                            "vision_model.norm."))
+            if k2 == "vision_model.embeddings.position_embedding.weight":
+                k2 = "vision_model.pos_embed"
+            ren[k2] = arr
+        elif k.startswith("model.aligner."):
+            ren[k.replace("model.aligner.fc1.", "aligner.fc0.")
+                 .replace("model.aligner.hidden_layers.0.",
+                          "aligner.fc1.")] = arr
+        elif k == "model.generation_embeddings.weight":
+            ren["gen_embed.weight"] = arr
+        elif k.startswith("model.generation_aligner."):
+            ren[k.replace("model.generation_aligner.fc1.",
+                          "gen_aligner.fc0.")
+                 .replace("model.generation_aligner.hidden_layers.0.",
+                          "gen_aligner.fc1.")] = arr
+        elif k.startswith("model.generation_head."):
+            ren[k.replace("model.generation_head.proj_out.",
+                          "gen_head.output_mlp_projector.")
+                 .replace("model.generation_head.vision_head.",
+                          "gen_head.vision_head.")] = arr
+        elif k.startswith("model.vqmodel."):
+            if k.startswith("model.vqmodel.encoder.") or \
+                    k.startswith("model.vqmodel.quant_conv."):
+                continue                      # decode-only runtime
+            k2 = (k.replace("model.vqmodel.", "gen_vision_model.")
+                   .replace("decoder.mid.block_1.", "decoder.mid.0.")
+                   .replace("decoder.mid.attn_1.", "decoder.mid.1.")
+                   .replace("decoder.mid.block_2.", "decoder.mid.2."))
+            k2 = re.sub(r"decoder\.up\.(\d+)\.block\.",
+                        r"decoder.conv_blocks.\1.res.", k2)
+            k2 = re.sub(r"decoder\.up\.(\d+)\.attn\.",
+                        r"decoder.conv_blocks.\1.attn.", k2)
+            k2 = re.sub(r"decoder\.up\.(\d+)\.upsample\.",
+                        r"decoder.conv_blocks.\1.upsample.", k2)
+            k2 = (k2.replace(".attn_1.q.", ".attn_1.q_proj.")
+                    if ".attn_1." in k2 else k2)
+            k2 = re.sub(r"(\.(?:mid\.1|attn\.\d+))\.q\.", r"\1.q_proj.", k2)
+            k2 = re.sub(r"(\.(?:mid\.1|attn\.\d+))\.k\.", r"\1.k_proj.", k2)
+            k2 = re.sub(r"(\.(?:mid\.1|attn\.\d+))\.v\.", r"\1.v_proj.", k2)
+            k2 = re.sub(r"(\.(?:mid\.1|attn\.\d+))\.proj_out\.",
+                        r"\1.o_proj.", k2)
+            ren[k2] = arr
+    for n in _llama_like_names(tcfg["num_hidden_layers"], tie=False):
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+    for k in sorted(ren):
+        arr = ren[k]
+        w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
 def convert_internvl(w, f, cfg, sd, dtype):
     """InternVLForConditionalGeneration → INTERN_VL (reference
     InternVLConverter, convert.py:10173): Qwen3 text + InternViT tower
@@ -2222,6 +2306,7 @@ ARCH_CONVERTERS = {
     "InternVLForConditionalGeneration": convert_internvl,
     "GlmForCausalLM": convert_glm,
     "Qwen3VLMoeForConditionalGeneration": convert_qwen3_vl_moe,
+    "JanusForConditionalGeneration": convert_janus,
 }
 
 

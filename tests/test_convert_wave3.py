@@ -571,3 +571,68 @@ def test_convert_qwen3_vl_moe(tmp_path):
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
                                rtol=3e-3)
+
+
+def test_convert_janus(tmp_path):
+    """Janus-Pro: llama text logits match HF; the SigLIP tower + aligner
+    reproduce HF get_image_features; the VQ-GAN decoder reproduces HF
+    vqmodel.decode on arbitrary codes."""
+    torch.manual_seed(52)
+    S, PATCH = 16, 4
+    vc = dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+              image_size=S, patch_size=PATCH, mlp_ratio=1.5,
+              attention_bias=True, hidden_act="gelu", projection_dim=64,
+              layer_norm_eps=1e-6, num_channels=3)
+    tc = dict(vocab_size=V, hidden_size=64, num_attention_heads=4,
+              num_key_value_heads=4, num_hidden_layers=2,
+              intermediate_size=96, max_position_embeddings=128,
+              rope_theta=10000.0, rms_norm_eps=1e-6,
+              tie_word_embeddings=False)
+    gc = dict(embed_dim=8, num_embeddings=32, base_channels=32,
+              channel_multipliers=[1, 2], num_res_blocks=2,
+              hidden_size=32, num_hidden_layers=2, num_patches=4,
+              projector_hidden_act="gelu", image_token_embed_dim=64)
+    cfg = transformers.JanusConfig(vision_config=vc, text_config=tc,
+                                   vq_config=gc, image_token_id=V - 1)
+    hf = transformers.JanusForConditionalGeneration(cfg).eval()
+    from test_convert_wave2 import RT32, _save_dir
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    d = _save_dir(tmp_path, hf, cfg, "JanusForConditionalGeneration",
+                  ["<begin_of_image>", "<end_of_image>", "<｜▁pad▁｜>"],
+                  unigram=True)
+    out = str(tmp_path / "janus.bin")
+    convert(d, out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.vis_params is not None and m.gen_params is not None
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
+    # understanding tower + aligner
+    rng = np.random.default_rng(9)
+    px = rng.standard_normal((1, S, S, 3)).astype(np.float32)
+    mine = np.asarray(m.encode_images(px))
+    pv = torch.from_numpy(px.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        ref_v = hf.model.get_image_features(pv).reshape(-1, 64).numpy()
+    err = np.linalg.norm(mine - ref_v) / np.linalg.norm(ref_v)
+    assert err < 2e-3, err
+    # VQ decoder golden on arbitrary codes
+    from chatllm_tpu.nn.vqgan import vq_decode
+
+    import jax.numpy as jnp
+    codes = rng.integers(0, 32, size=(1, 16), dtype=np.int64)  # 4x4 latent
+    mine_img = np.asarray(vq_decode(m.gen_params["vq"],
+                                    jnp.asarray(codes), (4, 4)))
+    with torch.no_grad():
+        ref_img = hf.model.vqmodel.decode(
+            torch.from_numpy(codes)).numpy().transpose(0, 2, 3, 1)
+    # the runtime applies the reference's (x+1)/2 + clip (janus.cpp:893)
+    ref_img = np.clip((ref_img + 1.0) * 0.5, 0.0, 1.0)
+    err = (np.linalg.norm(mine_img - ref_img)
+           / max(np.linalg.norm(ref_img), 1e-9))
+    assert err < 2e-3, err
