@@ -18,20 +18,22 @@ import numpy as np
 
 _lib = None
 _lock = threading.Lock()
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "repack.cpp")
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRCS = [os.path.join(_DIR, "repack.cpp"), os.path.join(_DIR, "bpe.cpp")]
 _SO = os.path.join(tempfile.gettempdir(),
-                   f"chatllm_tpu_repack_{os.getuid()}.so")
+                   f"chatllm_tpu_native_{os.getuid()}.so")
 
 N_THREADS = max(1, min(16, os.cpu_count() or 1))
 
 
 def _build() -> str | None:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    if os.path.exists(_SO) and all(os.path.getmtime(_SO) >= os.path.getmtime(s)
+                                   for s in _SRCS):
         return _SO
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-pthread", _SRC, "-o", _SO + ".tmp"],
+             "-pthread", *_SRCS, "-o", _SO + ".tmp"],
             check=True, capture_output=True, timeout=120)
         os.replace(_SO + ".tmp", _SO)
         return _SO
@@ -63,6 +65,15 @@ def get_lib():
             u16p = ctypes.POINTER(ctypes.c_uint16)
             lib.repack_q4_k_sb.argtypes = [u8p, i64, i64, u8p, i8p, i8p,
                                            u16p, u16p, ctypes.c_int]
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.bpe_new.argtypes = [u8p, i64p, i32p, i64,
+                                    u8p, i64p, u8p, i64p, i64]
+            lib.bpe_new.restype = ctypes.c_void_p
+            lib.bpe_free.argtypes = [ctypes.c_void_p]
+            lib.bpe_encode.argtypes = [ctypes.c_void_p, u8p, i64p, i64,
+                                       ctypes.c_int32, i32p, i64]
+            lib.bpe_encode.restype = i64
             _lib = lib
             return lib
         except Exception:
@@ -76,6 +87,72 @@ def _u8(arr):
 
 def _f32(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class NativeBPE:
+    """C++ rank-queue BPE merge (native/bpe.cpp) behind the exact
+    _merge_ranked semantics.  Built from (piece bytes, id) pairs + ordered
+    merges; `encode_words` returns ids or None (caller falls back to the
+    Python merge)."""
+
+    def __init__(self, pieces: list[tuple[bytes, int]],
+                 merges: list[tuple[bytes, bytes]]):
+        self._lib = get_lib()
+        self._ctx = None
+        if self._lib is None or not hasattr(self._lib, "bpe_new"):
+            return
+        blob = b"".join(p for p, _ in pieces)
+        off = np.zeros(len(pieces) + 1, np.int64)
+        np.cumsum([len(p) for p, _ in pieces], out=off[1:])
+        ids = np.asarray([i for _, i in pieces], np.int32)
+        ml = b"".join(l for l, _ in merges)
+        mlo = np.zeros(len(merges) + 1, np.int64)
+        np.cumsum([len(l) for l, _ in merges], out=mlo[1:])
+        mr = b"".join(r for _, r in merges)
+        mro = np.zeros(len(merges) + 1, np.int64)
+        np.cumsum([len(r) for _, r in merges], out=mro[1:])
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._blob_refs = (blob, ml, mr)   # keep alive during bpe_new
+        self._ctx = self._lib.bpe_new(
+            ctypes.cast(ctypes.c_char_p(blob), ctypes.POINTER(ctypes.c_uint8)),
+            off.ctypes.data_as(i64p), ids.ctypes.data_as(i32p),
+            len(pieces),
+            ctypes.cast(ctypes.c_char_p(ml), ctypes.POINTER(ctypes.c_uint8)),
+            mlo.ctypes.data_as(i64p),
+            ctypes.cast(ctypes.c_char_p(mr), ctypes.POINTER(ctypes.c_uint8)),
+            mro.ctypes.data_as(i64p), len(merges))
+
+    @property
+    def ok(self) -> bool:
+        return self._ctx is not None
+
+    def encode_words(self, words: list[bytes], seq_mode: bool):
+        """Merge-encode pre-tokenized words; None on any miss (fallback)."""
+        if self._ctx is None:
+            return None
+        blob = b"".join(words)
+        off = np.zeros(len(words) + 1, np.int64)
+        np.cumsum([len(wd) for wd in words], out=off[1:])
+        cap = len(blob) + len(words) + 8
+        out = np.empty(cap, np.int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n = self._lib.bpe_encode(
+            self._ctx,
+            ctypes.cast(ctypes.c_char_p(blob), ctypes.POINTER(ctypes.c_uint8)),
+            off.ctypes.data_as(i64p), len(words), int(seq_mode),
+            out.ctypes.data_as(i32p), cap)
+        if n < 0:
+            return None
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            if self._ctx is not None and self._lib is not None:
+                self._lib.bpe_free(self._ctx)
+        except Exception:
+            pass
 
 
 def native_repack_q4k_super(raw, shape):

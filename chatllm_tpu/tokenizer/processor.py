@@ -451,9 +451,32 @@ class BPEProcessor2(Processor):
         self._compiled = [_regex.compile(e) for e in self.regex_exprs]
         self.searcher: KeywordSearcher | None = None
         self.dec_type = self.DECODER_BYTE_LEVEL
+        self._nbpe = None          # lazy NativeBPE (False = unavailable)
 
     def set_decoder_type(self, t: int):
         self.dec_type = t
+
+    def _native_bpe(self):
+        """Lazy C++ merge engine (native/bpe.cpp) mirroring _merge_ranked;
+        falls back to the Python path when the toolchain is absent or any
+        encode reports a miss.  CHATLLM_TPU_NATIVE_BPE=0 disables."""
+        if self._nbpe is None:
+            import os
+
+            if os.environ.get("CHATLLM_TPU_NATIVE_BPE", "1") == "0":
+                self._nbpe = False
+            else:
+                try:
+                    from ..native import NativeBPE
+
+                    v = self.vocab
+                    ranked = sorted(v.bpe_ranks.items(), key=lambda kv: kv[1])
+                    nb = NativeBPE(list(v.token_to_id.items()),
+                                   [lr for lr, _ in ranked])
+                    self._nbpe = nb if nb.ok else False
+                except Exception:
+                    self._nbpe = False
+        return self._nbpe or None
 
     def load(self, reader, n_vocab: int) -> int:
         start = reader.off
@@ -509,7 +532,15 @@ class BPEProcessor2(Processor):
     def _merge_ranked(self, words: list[bytes], ids: list[int]):
         """Rank-queue BPE merge (llm_bpe_tokenizer parity: lower rank first,
         tie -> smaller left index), then byte-fallback to single mapped
-        chars."""
+        chars.  The C++ engine (native/bpe.cpp) runs the same algorithm
+        ~6x faster; any miss falls back to this Python path."""
+        nb = self._native_bpe()
+        if nb is not None:
+            got = nb.encode_words(words,
+                                  self.dec_type == self.DECODER_SEQUENCE)
+            if got is not None:
+                ids.extend(got)
+                return
         v = self.vocab
         for word in words:
             lens = utf8_char_lengths(word)

@@ -104,3 +104,32 @@ def test_bpe2_fuzz_vs_tokenizers_oracle(tmp_path):
     # decode roundtrip on a sample
     for s in ("hello world", "mixed中文English", "def foo(x):\n    return 1"):
         assert m.tokenizer.decode(m.tokenizer.encode(s)) == s
+
+
+def test_native_bpe_matches_python(tmp_path):
+    """The C++ BPE merge engine (native/bpe.cpp) must produce byte-identical
+    ids to the Python _merge_ranked on adversarial inputs — both decoder
+    modes, incl. byte-fallback and invalid UTF-8."""
+    import os
+    import random
+
+    from chatllm_tpu.models import RuntimeConfig, load_model
+
+    if not os.path.isfile("/tmp/fuzz/m.bin"):
+        pytest.skip("trained-merges fixture not present")
+    rt = RuntimeConfig(weight_dtype="float32", compute_dtype="float32",
+                       cache_dtype="float32")
+    m_nat = load_model("/tmp/fuzz/m.bin", rt)
+    assert m_nat.tokenizer.tp._native_bpe() is not None, \
+        "native BPE engine failed to build"
+    os.environ["CHATLLM_TPU_NATIVE_BPE"] = "0"
+    try:
+        m_py = load_model("/tmp/fuzz/m.bin", rt)
+    finally:
+        os.environ.pop("CHATLLM_TPU_NATIVE_BPE")
+    random.seed(7)
+    alph = ["a", "b", "الع", "你", "好", "\n", " ", "  ", "ё", "🙂", "e",
+            "s", "t", "̀", "'s", "123", "ab", "\x07", "￿"]
+    for _ in range(200):
+        s = "".join(random.choice(alph) for _ in range(random.randint(0, 64)))
+        assert m_nat.tokenizer.encode(s) == m_py.tokenizer.encode(s), repr(s)
