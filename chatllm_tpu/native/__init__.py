@@ -74,6 +74,10 @@ def get_lib():
             lib.bpe_encode.argtypes = [ctypes.c_void_p, u8p, i64p, i64,
                                        ctypes.c_int32, i32p, i64]
             lib.bpe_encode.restype = i64
+            lib.bpe_set_scores.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_float), i64]
+            lib.spm_encode.argtypes = [ctypes.c_void_p, u8p, i64, i32p, i64]
+            lib.spm_encode.restype = i64
             _lib = lib
             return lib
         except Exception:
@@ -96,7 +100,7 @@ class NativeBPE:
     Python merge)."""
 
     def __init__(self, pieces: list[tuple[bytes, int]],
-                 merges: list[tuple[bytes, bytes]]):
+                 merges: list[tuple[bytes, bytes]], scores=None):
         self._lib = get_lib()
         self._ctx = None
         if self._lib is None or not hasattr(self._lib, "bpe_new"):
@@ -122,6 +126,11 @@ class NativeBPE:
             mlo.ctypes.data_as(i64p),
             ctypes.cast(ctypes.c_char_p(mr), ctypes.POINTER(ctypes.c_uint8)),
             mro.ctypes.data_as(i64p), len(merges))
+        if self._ctx is not None and scores is not None:
+            sc = np.asarray(scores, np.float32)
+            self._lib.bpe_set_scores(
+                self._ctx, sc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                len(sc))
 
     @property
     def ok(self) -> bool:
@@ -143,6 +152,21 @@ class NativeBPE:
             ctypes.cast(ctypes.c_char_p(blob), ctypes.POINTER(ctypes.c_uint8)),
             off.ctypes.data_as(i64p), len(words), int(seq_mode),
             out.ctypes.data_as(i32p), cap)
+        if n < 0:
+            return None
+        return out[:n].tolist()
+
+    def encode_sp(self, text: bytes):
+        """SP-score BPE over one span (BPEProcessor1); None on overflow."""
+        if self._ctx is None:
+            return None
+        cap = len(text) + 8
+        out = np.empty(cap, np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n = self._lib.spm_encode(
+            self._ctx,
+            ctypes.cast(ctypes.c_char_p(text), ctypes.POINTER(ctypes.c_uint8)),
+            len(text), out.ctypes.data_as(i32p), cap)
         if n < 0:
             return None
         return out[:n].tolist()

@@ -24,6 +24,7 @@ namespace {
 struct BpeCtx {
     std::unordered_map<std::string, int32_t> vocab;
     std::unordered_map<std::string, int32_t> merge_rank;
+    std::vector<float> scores;     // by token id (SP-score BPE only)
 };
 
 inline std::string pair_key(const char* l, size_t ln, const char* r, size_t rn) {
@@ -86,6 +87,86 @@ void* bpe_new(const uint8_t* pieces, const int64_t* piece_off,
 }
 
 void bpe_free(void* p) { delete (BpeCtx*)p; }
+
+// Attach per-id piece scores (SP-score BPE, processor.py BPEProcessor1).
+void bpe_set_scores(void* pctx, const float* scores, int64_t n) {
+    auto* ctx = (BpeCtx*)pctx;
+    ctx->scores.assign(scores, scores + n);
+}
+
+// SentencePiece-score BPE over ONE text span (llama_sp_tokenizer parity:
+// higher score first, tie -> smaller left index, then insertion order;
+// byte-fallback id = byte + 3).  Returns ids written, -1 on overflow.
+int64_t spm_encode(void* pctx, const uint8_t* text, int64_t tlen,
+                   int32_t* out, int64_t cap) {
+    auto* ctx = (BpeCtx*)pctx;
+    if (tlen == 0) return 0;
+    const char* word = (const char*)text;
+    std::vector<int32_t> starts, length, prev, nxt;
+    for (int64_t off = 0; off < tlen;) {
+        int l = u8len((uint8_t)word[off]);
+        if (off + l > tlen) l = (int)(tlen - off);
+        starts.push_back((int32_t)off);
+        length.push_back(l);
+        off += l;
+    }
+    const int n = (int)starts.size();
+    prev.resize(n); nxt.resize(n);
+    for (int i = 0; i < n; i++) {
+        prev[i] = i - 1;
+        nxt[i] = (starts[i] + length[i] < tlen) ? i + 1 : -1;
+    }
+    struct Cand {
+        float negscore;
+        int32_t left, counter, right, size;
+        bool operator>(const Cand& o) const {
+            if (negscore != o.negscore) return negscore > o.negscore;
+            if (left != o.left) return left > o.left;
+            return counter > o.counter;
+        }
+    };
+    std::priority_queue<Cand, std::vector<Cand>, std::greater<Cand>> heap;
+    int32_t counter = 0;
+    auto try_add = [&](int left, int right) {
+        if (left < 0 || right < 0) return;
+        int32_t sz = starts[right] + length[right] - starts[left];
+        auto it = ctx->vocab.find(std::string(word + starts[left], (size_t)sz));
+        if (it == ctx->vocab.end() ||
+            (size_t)it->second >= ctx->scores.size()) return;
+        heap.push({-ctx->scores[(size_t)it->second], (int32_t)left, counter++,
+                   (int32_t)right, sz});
+    };
+    for (int i = 1; i < n; i++) try_add(i - 1, i);
+    while (!heap.empty()) {
+        Cand c = heap.top();
+        heap.pop();
+        if (length[c.left] == 0 || length[c.right] == 0 ||
+            length[c.left] + length[c.right] != c.size)
+            continue;
+        length[c.left] += length[c.right];
+        length[c.right] = 0;
+        nxt[c.left] = nxt[c.right];
+        if (nxt[c.right] >= 0) prev[nxt[c.right]] = c.left;
+        try_add(prev[c.left], c.left);
+        try_add(c.left, nxt[c.left]);
+    }
+    int64_t n_out = 0;
+    for (int i = 0; i != -1; i = nxt[i]) {
+        if (length[i] == 0) continue;
+        auto it = ctx->vocab.find(
+            std::string(word + starts[i], (size_t)length[i]));
+        if (it != ctx->vocab.end()) {
+            if (n_out >= cap) return -1;
+            out[n_out++] = it->second;
+        } else {
+            for (int j = 0; j < length[i]; j++) {
+                if (n_out >= cap) return -1;
+                out[n_out++] = (int32_t)(uint8_t)word[starts[i] + j] + 3;
+            }
+        }
+    }
+    return n_out;
+}
 
 // Encode a batch of pre-tokenized words.  Returns the number of ids
 // written, or -1 on overflow / unknown fallback unit (caller reverts to

@@ -370,11 +370,37 @@ class BPEProcessor1(Processor):
         start = reader.off
         self.piece_size = load_vocab_list(self.vocab, reader, True, False, 0)
         del self.vocab.id_to_token[self.piece_size :]
+        self._nbpe = None
         return reader.off - start
+
+    def _native_bpe(self):
+        """Lazy C++ SP-score merge (native/bpe.cpp spm_encode)."""
+        if getattr(self, "_nbpe", None) is None:
+            import os
+
+            if os.environ.get("CHATLLM_TPU_NATIVE_BPE", "1") == "0":
+                self._nbpe = False
+            else:
+                try:
+                    from ..native import NativeBPE
+
+                    v = self.vocab
+                    nb = NativeBPE(list(v.token_to_id.items()), [],
+                                   scores=[r.score for r in v.id_to_token])
+                    self._nbpe = nb if nb.ok else False
+                except Exception:
+                    self._nbpe = False
+        return self._nbpe or None
 
     def _do_encode(self, text: bytes, ids: list[int]):
         if not text:
             return
+        nb = self._native_bpe()
+        if nb is not None:
+            got = nb.encode_sp(text)
+            if got is not None:
+                ids.extend(got)
+                return
         v = self.vocab
         # symbols: (start, length) over bytes; linked list via prev/next
         lens = utf8_char_lengths(text)

@@ -133,3 +133,47 @@ def test_native_bpe_matches_python(tmp_path):
     for _ in range(200):
         s = "".join(random.choice(alph) for _ in range(random.randint(0, 64)))
         assert m_nat.tokenizer.encode(s) == m_py.tokenizer.encode(s), repr(s)
+
+
+def test_native_spm_matches_python(tmp_path):
+    """The C++ SP-score merge (spm_encode) matches BPEProcessor1's Python
+    path — score ties, insertion-order tie-break, byte+3 fallback."""
+    import os
+
+    from chatllm_tpu.tokenizer.processor import (BPEProcessor1, TokenRecord,
+                                                 TokenType)
+
+    # tiny SP vocab with deliberate score ties and multi-byte pieces
+    pieces = [(b"<unk>", 0.0), (b"<s>", 0.0), (b"</s>", 0.0)]
+    pieces += [(bytes([b]), -100.0) for b in range(0x20, 0x7F)]
+    pieces += [(b"he", -1.0), (b"ll", -1.0), (b"lo", -1.0), (b"hell", -2.0),
+               (b"hello", -3.0), (b" wo", -1.5), (b"rld", -1.5),
+               (b"\xe4\xbd\xa0", -4.0), (b"\xe5\xa5\xbd", -4.0),
+               (b"\xe4\xbd\xa0\xe5\xa5\xbd", -3.5)]
+
+    def load_proc():
+        tp = BPEProcessor1()
+        for i, (tok, score) in enumerate(pieces):
+            tp.vocab.token_to_id[tok] = i
+            tp.vocab.id_to_token.append(
+                TokenRecord(tok=tok, score=score, type=TokenType.NORMAL))
+        tp._nbpe = None
+        return tp
+
+    import random
+    random.seed(3)
+    alph = ["hello", "hell", "world", "he", "llo", " ", "你", "好", "你好",
+            "x", "~", "\x01"]
+    tp_n = load_proc()
+    assert tp_n._native_bpe() is not None
+    os.environ["CHATLLM_TPU_NATIVE_BPE"] = "0"
+    try:
+        tp_p = load_proc()
+    finally:
+        os.environ.pop("CHATLLM_TPU_NATIVE_BPE")
+    for _ in range(300):
+        s = "".join(random.choice(alph) for _ in range(random.randint(0, 40)))
+        a, b = [], []
+        tp_n._do_encode(s.encode(), a)
+        tp_p._do_encode(s.encode(), b)
+        assert a == b, repr(s)
