@@ -311,6 +311,36 @@ def repack_q5_k_super(data, shape):
     return q, sc, m, d, dmin
 
 
+def repack_q2_k_super(data, shape):
+    """q2_k -> superblock layout: (q int8 [in,out] 0..3 unpacked, sc int8
+    [in/16,out] 0..15, m int8 [in/16,out] 0..15, d f16, dmin f16
+    [in/256,out])."""
+    n = int(np.prod(shape))
+    buf = (np.frombuffer(data, dtype=np.uint8)
+           if isinstance(data, (bytes, bytearray, memoryview)) else data)
+    nb = n // QK_K
+    raw = buf[: nb * 84].reshape(nb, 84)
+    scales = raw[:, 0:16]
+    qs = raw[:, 16:80].reshape(nb, 2, 32)
+    d = raw[:, 80:82].copy().view(np.float16)
+    dmin = raw[:, 82:84].copy().view(np.float16)
+    sc = (scales & 0xF).astype(np.int8)                     # [nb, 16]
+    mn = (scales >> 4).astype(np.int8)
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    q = ((qs[:, :, None, :] >> shifts[None, None, :, None]) & 3) \
+        .reshape(nb, QK_K).astype(np.int8)
+
+    out_shape = tuple(shape)
+    g_shape = out_shape[:-1] + (out_shape[-1] // 16,)
+    sb_shape = out_shape[:-1] + (out_shape[-1] // QK_K,)
+    q = np.ascontiguousarray(np.moveaxis(q.reshape(out_shape), -1, -2))
+    sc = np.ascontiguousarray(np.moveaxis(sc.reshape(g_shape), -1, -2))
+    mn = np.ascontiguousarray(np.moveaxis(mn.reshape(g_shape), -1, -2))
+    d = np.ascontiguousarray(np.moveaxis(d.reshape(sb_shape), -1, -2))
+    dmin = np.ascontiguousarray(np.moveaxis(dmin.reshape(sb_shape), -1, -2))
+    return q, sc, mn, d, dmin
+
+
 def repack_q6_k_super(data, shape):
     """q6_k -> superblock layout: (q int8 [in,out] -32..31, sc int8
     [in/16,out] SIGNED, d f16 [in/256,out]); no min term."""
@@ -367,7 +397,8 @@ def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
     from ..native import native_repack, native_repack_q4k_super
 
     if (len(shape) == 2 and shape[-1] % QK_K == 0 and _superblock_enabled()
-            and t in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K)):
+            and t in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+                      GGMLType.Q2_K)):
         if t == GGMLType.Q4_K:
             nat = native_repack_q4k_super(raw, shape)
             qq, sc, m, d, dmin = (nat if nat is not None
@@ -376,6 +407,11 @@ def linear_from_ggml(raw, t: GGMLType, shape, *, bias: np.ndarray | None = None,
         elif t == GGMLType.Q5_K:
             qq, sc, m, d, dmin = repack_q5_k_super(raw, shape)
             G, packed = 32, False
+        elif t == GGMLType.Q2_K:
+            qq, sc, m, d, dmin = repack_q2_k_super(raw, shape)
+            qq, zero = pack_nibbles(qq, 16)
+            assert zero == 0
+            G, packed = 16, True
         else:                                      # Q6_K: symmetric, no min
             qq, sc, d = repack_q6_k_super(raw, shape)
             m = dmin = None

@@ -188,10 +188,10 @@ def test_q4k_loader_takes_superblock_layout():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("t", [GGMLType.Q5_K, GGMLType.Q6_K])
+@pytest.mark.parametrize("t", [GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q2_K])
 def test_q5k_q6k_superblock_loader(t):
-    """q5_k/q6_k also load into the superblock layout and reconstruct the
-    exact dequantize() weights (q6_k has no min term: b/dm stay None)."""
+    """q5_k/q6_k/q2_k also load into the superblock layout and reconstruct
+    the exact dequantize() weights (q6_k has no min term: b/dm stay None)."""
     import jax.numpy as jnp
 
     from chatllm_tpu.ops.qmm import dequant_weight
@@ -202,17 +202,20 @@ def test_q5k_q6k_superblock_loader(t):
     # no encoder for q5_k/q6_k: synthesize random raw blocks with sane f16
     # scale fields; dequantize() is the oracle for arbitrary block bytes
     nblk = out_dim * in_dim // 256
-    bs = 176 if t == GGMLType.Q5_K else 210
+    bs = {GGMLType.Q5_K: 176, GGMLType.Q6_K: 210, GGMLType.Q2_K: 84}[t]
     raw = rng.integers(0, 256, nblk * bs, dtype=np.uint8)
     blocks = raw.reshape(nblk, bs)
     scale = (rng.random((nblk, 2)) * 0.02 + 1e-4).astype(np.float16)
     if t == GGMLType.Q5_K:
         blocks[:, 0:4] = scale.view(np.uint8)
-    else:
+    elif t == GGMLType.Q6_K:
         blocks[:, 208:210] = scale[:, :1].view(np.uint8)
+    else:
+        blocks[:, 80:84] = scale.view(np.uint8)
     raw = blocks.reshape(-1)
     lin = linear_from_ggml(raw, t, (out_dim, in_dim))
     assert lin.sb == (8 if t == GGMLType.Q5_K else 16)
+    assert lin.packed == (t == GGMLType.Q2_K)
     assert (lin.b is None) == (t == GGMLType.Q6_K)
     ref = dequantize(raw, t, (out_dim, in_dim)).T
     got = np.asarray(dequant_weight(lin, jnp.float32))
