@@ -53,6 +53,10 @@ class ChatLLM:
         model = load_model(a.model_path, rt)
         pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
         pipe.gen_config = build_gen_config(a)
+        if getattr(a, "ai_prefix", ""):
+            pipe.ai_prefix = a.ai_prefix
+        if getattr(a, "reversed_role", False):
+            pipe.reversed_role = True
         if a.system is not None:
             model.tokenizer.sys_prompt = a.system
         for k, v in a.additional.items():

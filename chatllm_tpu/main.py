@@ -16,6 +16,7 @@ class Args:
     system: str | None = None
     prompt: str = "你好"
     ai_prefix: str = ""
+    reversed_role: bool = False
     sampling: str = "top_p"
     extending: str = "restart"
     test_fn: str = ""
@@ -85,6 +86,8 @@ def parse_args(argv: list[str]) -> Args:
             a.system = open(nxt(), encoding="utf-8").read().rstrip("\n")
         elif arg == "--ai_prefix":
             a.ai_prefix = nxt()
+        elif arg == "--reversed_role":
+            a.reversed_role = True
         elif arg in ("-i", "--interactive"):
             a.interactive = True
         elif arg == "--multi":
@@ -276,6 +279,9 @@ def main(argv=None) -> int:
     pipe.gen_config = build_gen_config(a)
     if getattr(a, "ai_prefix", ""):
         pipe.ai_prefix = a.ai_prefix
+    if getattr(a, "reversed_role", False):
+        # reference main.cpp --reversed_role: AI becomes `user`
+        pipe.reversed_role = True
     if a.system is not None:
         model.tokenizer.sys_prompt = a.system
     for k, v in a.additional.items():

@@ -209,7 +209,8 @@ class ChatTokenizer:
         return max(start, 0)
 
     def encode_history(self, history: Messages, max_length: int = 8192, *,
-                       incremental: bool = False, ai_opening: bool = True) -> list[int]:
+                       incremental: bool = False, ai_opening: bool = True,
+                       reversed_role: bool = False) -> list[int]:
         encoder = self.chat_encoder
         if encoder is None:
             ids = self.encode(history[len(history) - 1].content)
@@ -219,16 +220,22 @@ class ChatTokenizer:
 
         ids: list[int] = []
         start = history.cursor
+        skip_role = MsgRole.USER if reversed_role else MsgRole.ASSISTANT
         if not incremental:
             start = self.get_history_start(history, max_length // 2)
         else:
-            while start < len(history) and history[start].role == MsgRole.ASSISTANT:
+            while start < len(history) and history[start].role == skip_role:
                 start += 1
         for i in range(start, len(history)):
             encoder.append_message(history[i], ids)
         if ai_opening:
             rnd = history[start - 1].round if start > 0 else 0
-            encoder.append_ai_opening(rnd, ids)
+            # reversed role (reference chat.cpp:761-767): the model speaks
+            # as the USER, so open a user turn instead of an AI turn
+            if reversed_role:
+                encoder.append_user_opening(rnd, ids)
+            else:
+                encoder.append_ai_opening(rnd, ids)
         history.move_cursor_to_end()
         if not incremental and self.auto_add_bos and self.bos_token_id >= 0:
             if not ids or ids[0] != self.bos_token_id:

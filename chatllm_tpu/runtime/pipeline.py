@@ -87,8 +87,14 @@ class Pipeline:
     def chat(self, user_input: str, streamer: Optional[BaseStreamer] = None,
              gen_config: Optional[GenerationConfig] = None) -> str:
         """One chat round: appends the user message, generates, appends the
-        AI reply to history.  Returns the reply text."""
-        self.history.push_back(MsgRole.USER, user_input)
+        AI reply to history.  Returns the reply text.
+
+        With `reversed_role` (reference main.cpp --reversed_role) the
+        roles swap: the incoming text is recorded as the ASSISTANT turn and
+        the model generates the USER side via append_user_opening."""
+        rev = getattr(self, "reversed_role", False)
+        self.history.push_back(MsgRole.ASSISTANT if rev else MsgRole.USER,
+                               user_input)
         if streamer is not None:
             streamer.tokenizer = self.tokenizer
         gen_config = gen_config or self.gen_config
@@ -107,7 +113,8 @@ class Pipeline:
             # chatllm_set_ai_prefix (libchatllm.h): the AI reply was seeded
             # with this text (injected in _gen) — it is part of the message
             text = prefix + text
-        self.history.push_back(MsgRole.ASSISTANT, text)
+        self.history.push_back(MsgRole.USER if rev else MsgRole.ASSISTANT,
+                               text)
         if streamer is not None:
             streamer.end()
         return text
@@ -120,17 +127,20 @@ class Pipeline:
         # reference src/chat.cpp:1810: if the context would overflow,
         # re-encode a truncated history from scratch
         ids = self.tokenizer.encode_history(self.history, self.model.cfg.max_length,
-                                            incremental=True)
+                                            incremental=True,
+                                            reversed_role=getattr(self, "reversed_role", False))
         if not self._needed_budget(ids):
             self.restart(keep_sys_prompt=True)
             ids = self.tokenizer.encode_history(self.history, self.model.cfg.max_length,
-                                                incremental=False)
+                                                incremental=False,
+                                                reversed_role=getattr(self, "reversed_role", False))
         return self._gen(ids, streamer, gen_config)
 
     def _chat_with_shift(self, streamer, gen_config):
         # reference src/chat.cpp:1870: shift half the KV cache and continue
         ids = self.tokenizer.encode_history(self.history, self.model.cfg.max_length,
-                                            incremental=True)
+                                            incremental=True,
+                                            reversed_role=getattr(self, "reversed_role", False))
         eng = self.model.engine
         while not self._needed_budget(ids):
             keep = self.initial_n_past
@@ -143,7 +153,8 @@ class Pipeline:
 
     def _chat_without_extending(self, streamer, gen_config):
         ids = self.tokenizer.encode_history(self.history, self.model.cfg.max_length,
-                                            incremental=True)
+                                            incremental=True,
+                                            reversed_role=getattr(self, "reversed_role", False))
         return self._gen(ids, streamer, gen_config)
 
     def chat_continue(self, streamer: Optional[BaseStreamer] = None,

@@ -179,3 +179,26 @@ def test_beam_search_pos_delta(tiny_model):
     finally:
         eng.pos_delta = 0
     assert abs(base[0][0] - shifted[0][0]) > 1e-6  # offset is live
+
+
+def test_reversed_role(tiny_model):
+    """--reversed_role (reference main.cpp:1914-1962): incoming text is the
+    ASSISTANT turn, the model opens a USER turn (append_user_opening) and
+    its output is recorded as USER."""
+    from chatllm_tpu.runtime.chat import MsgRole
+    from chatllm_tpu.runtime.generate import GenerationConfig
+    from chatllm_tpu.runtime.pipeline import Pipeline
+
+    pipe = Pipeline(tiny_model)
+    pipe.reversed_role = True
+    out = pipe.chat("Hello", gen_config=GenerationConfig(
+        do_sample=False, max_new_tokens=4))
+    assert isinstance(out, str)
+    roles = [m.role for m in pipe.history.items]
+    assert roles == [MsgRole.ASSISTANT, MsgRole.USER]
+    # prompt must end with a USER opening, not an assistant opening
+    ids = []
+    pipe.tokenizer.chat_encoder.append_user_opening(0, ids)
+    full = pipe.tokenizer.encode_history(pipe.history, 256,
+                                         reversed_role=True)
+    assert full[-len(ids):] == ids
