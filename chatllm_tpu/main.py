@@ -56,6 +56,21 @@ class Args:
     additional: dict = field(default_factory=dict)
     layer_spec: str = ""
     dump_tensors: set = field(default_factory=set)
+    # RAG (reference main.cpp:40-58)
+    embedding_model_path: str = ""
+    reranker_model_path: str = ""
+    vector_stores: list = field(default_factory=list)
+    init_vs: str = ""
+    merge_vs: str = ""
+    distance_strategy: str = "max_inner_product"
+    retrieve_top_n: int = 2
+    rerank_top_n: int = 1
+    rerank_score_thres: float = 0.35
+    rag_template: str = ""
+    rag_context_sep: str = ""
+    retrieve_rewrite_template: str = ""
+    hide_reference: bool = False
+    rag_dump: bool = False
 
 
 def parse_args(argv: list[str]) -> Args:
@@ -88,6 +103,34 @@ def parse_args(argv: list[str]) -> Args:
             a.ai_prefix = nxt()
         elif arg == "--reversed_role":
             a.reversed_role = True
+        elif arg == "--embedding_model":
+            a.embedding_model_path = nxt()
+        elif arg == "--reranker_model":
+            a.reranker_model_path = nxt()
+        elif arg == "--vector_store":
+            a.vector_stores.append(nxt())
+        elif arg == "--init_vs":
+            a.init_vs = nxt()
+        elif arg == "--merge_vs":
+            a.merge_vs = nxt()
+        elif arg == "--distance_strategy":
+            a.distance_strategy = nxt()
+        elif arg == "--retrieve_top_n":
+            a.retrieve_top_n = int(nxt())
+        elif arg == "--rerank_top_n":
+            a.rerank_top_n = int(nxt())
+        elif arg == "--rerank_score_thres":
+            a.rerank_score_thres = float(nxt())
+        elif arg == "--rag_template":
+            a.rag_template = nxt()
+        elif arg == "--rag_context_sep":
+            a.rag_context_sep = nxt()
+        elif arg == "--retrieve_rewrite_template":
+            a.retrieve_rewrite_template = nxt()
+        elif arg == "--hide_reference":
+            a.hide_reference = True
+        elif arg == "--rag_dump":
+            a.rag_dump = True
         elif arg in ("-i", "--interactive"):
             a.interactive = True
         elif arg == "--multi":
@@ -246,7 +289,7 @@ def main(argv=None) -> int:
         print(describe_devices())
         return 0
 
-    if not a.model_path:
+    if not a.model_path and not (a.init_vs or a.merge_vs):
         print(usage())
         return 1
 
@@ -270,12 +313,59 @@ def main(argv=None) -> int:
     from .runtime.pipeline import ExtendingMethod, Pipeline
     from .runtime.streamer import TextStreamer, ThoughtChunkInterceptor
 
+    if a.merge_vs:
+        # reference main.cpp:1313 merge_vector_store
+        from .rag.vectorstore import CVectorStore, parse_distance_strategy
+
+        vs = CVectorStore.load(parse_distance_strategy(a.distance_strategy),
+                               a.vector_stores)
+        vs.export_db(a.merge_vs)
+        print(f"Vector store saved to: {a.merge_vs}")
+        return 0
+
     rt = RuntimeConfig(cache_dtype=a.cache_dtype, compute_dtype=a.compute_dtype,
                        weight_dtype=a.weight_dtype, max_length=a.max_length,
                        re_quantize=a.re_quantize, mla_cache=a.mla_cache,
                        layer_spec=a.layer_spec)
+
+    if a.init_vs:
+        # reference main.cpp:1297 init_vector_store: embed base64
+        # (content, meta) line pairs with --embedding_model, save .vsdb
+        from .rag.vectorstore import CVectorStore, parse_distance_strategy
+
+        emb_path = a.embedding_model_path or a.model_path
+        emb_model = load_model(emb_path, rt)
+        vs = CVectorStore.from_plain_data(
+            parse_distance_strategy(a.distance_strategy),
+            (emb_model.embedding_dim()
+             if callable(emb_model.embedding_dim)
+             else emb_model.embedding_dim),
+            emb_model.embed, a.init_vs)
+        vs.export_db(a.init_vs + ".vsdb")
+        print(f"Vector store saved to: {a.init_vs}.vsdb")
+        return 0
+
     model = load_model(a.model_path, rt)
-    pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
+    if a.embedding_model_path and a.vector_stores:
+        # RAG mode (reference main.cpp RAG args :40-58; src/chat.cpp:2276)
+        from .rag.pipeline import AugmentedQueryComposer, RAGPipeline
+        from .rag.vectorstore import CVectorStore, parse_distance_strategy
+
+        dist = parse_distance_strategy(a.distance_strategy)
+        stores = [CVectorStore.load(dist, f) for f in a.vector_stores]
+        comp = AugmentedQueryComposer(
+            a.rag_template, a.rag_context_sep or "\n```\n")
+        pipe = RAGPipeline(
+            model, embedding_model=load_model(a.embedding_model_path, rt),
+            reranker_model=(load_model(a.reranker_model_path, rt)
+                            if a.reranker_model_path else None),
+            vector_stores=stores, extending=ExtendingMethod(a.extending),
+            retrieve_top_n=a.retrieve_top_n, rerank_top_n=a.rerank_top_n,
+            rerank_score_threshold=a.rerank_score_thres,
+            dump=a.rag_dump, hide_reference=a.hide_reference,
+            composer=comp, rewrite_template=a.retrieve_rewrite_template)
+    else:
+        pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
     pipe.gen_config = build_gen_config(a)
     if getattr(a, "ai_prefix", ""):
         pipe.ai_prefix = a.ai_prefix

@@ -39,18 +39,14 @@ def test_vectorstore_from_plain_data(tmp_path):
     assert vs.get_record(0) == ("hello world", "doc1")
 
 
-def test_xlmroberta_matches_hf(tmp_path):
-    """Tiny XLMRoberta: our bert_forward vs HF XLMRobertaModel hidden."""
-    import struct as _struct
-
-    import jax.numpy as jnp
-
+def make_tiny_bce(path, seed=3):
+    """Tiny XLMRoberta → BCE_Embedding GGMM; returns the HF model."""
     from chatllm_tpu.ggmm.quants import GGMLType
     from chatllm_tpu.ggmm.writer import GGMMWriter
-    from chatllm_tpu.models import ModelType, RuntimeConfig, load_model
+    from chatllm_tpu.models import ModelType
 
     vocab, hidden, heads, layers, inter, max_len = 128, 32, 2, 2, 64, 64
-    torch.manual_seed(3)
+    torch.manual_seed(seed)
     cfg = transformers.XLMRobertaConfig(
         vocab_size=vocab, hidden_size=hidden, num_attention_heads=heads,
         num_hidden_layers=layers, intermediate_size=inter,
@@ -59,7 +55,6 @@ def test_xlmroberta_matches_hf(tmp_path):
     hf = transformers.XLMRobertaModel(cfg, add_pooling_layer=False).eval()
     sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
 
-    path = str(tmp_path / "bce.bin")
     with open(path, "wb") as f:
         w = GGMMWriter(f, int(ModelType.BCE_Embedding), 1, meta={})
         w.write_config([int(GGMLType.F32), vocab, hidden, heads, layers, inter,
@@ -94,7 +89,17 @@ def test_xlmroberta_matches_hf(tmp_path):
             names[f"{pfx}.output.LayerNorm.bias"] = sd[f"{pfx}.output.LayerNorm.bias"]
         for n, arr in names.items():
             w.write_tensor(n, arr, GGMLType.F32)
+    return hf
 
+
+def test_xlmroberta_matches_hf(tmp_path):
+    """Tiny XLMRoberta: our bert_forward vs HF XLMRobertaModel hidden."""
+    import jax.numpy as jnp
+
+    from chatllm_tpu.models import RuntimeConfig, load_model
+
+    path = str(tmp_path / "bce.bin")
+    hf = make_tiny_bce(path)
     rt = RuntimeConfig(weight_dtype="float32", compute_dtype="float32")
     model = load_model(path, rt)
 
@@ -140,3 +145,42 @@ def test_rag_pipeline_augments_prompt(tmp_path):
     assert any(t == TextType.REF for t, _ in refs)
     # augmented prompt entered the history
     assert "Paris" in pipe.history[0].content
+
+
+def test_cli_rag_flow(tmp_path, capsys):
+    """CLI RAG flags end-to-end (reference main.cpp RAG args): --init_vs
+    builds a .vsdb with the embedding model, then a chat run with
+    --vector_store retrieves and augments."""
+    import base64 as b64
+    import os
+
+    from test_model_forward import make_tiny_qwen2
+
+    from chatllm_tpu.main import main
+
+    emb_bin = str(tmp_path / "bce.bin")
+    make_tiny_bce(emb_bin)
+    chat_bin = str(tmp_path / "chat.bin")
+    make_tiny_qwen2(chat_bin)
+
+    plain = str(tmp_path / "corpus.txt")
+    with open(plain, "w") as f:
+        for c, m in [("the capital of France is Paris", "wiki/France"),
+                     ("bananas are yellow", "wiki/Banana")]:
+            f.write(b64.b64encode(c.encode()).decode() + "\n")
+            f.write(b64.b64encode(m.encode()).decode() + "\n")
+
+    rc = main(["--init_vs", plain, "--embedding_model", emb_bin,
+               "--weight_dtype", "float32", "--compute_dtype", "float32"])
+    assert rc == 0
+    assert os.path.isfile(plain + ".vsdb")
+
+    rc = main(["-m", chat_bin, "--embedding_model", emb_bin,
+               "--vector_store", plain + ".vsdb",
+               "--retrieve_top_n", "1", "-p", "capital of France?",
+               "--max_new_tokens", "4", "--temp", "0",
+               "--weight_dtype", "float32", "--compute_dtype", "float32",
+               "--cache_dtype", "float32", "--hide_banner"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "wiki/" in out          # reference line printed
