@@ -71,6 +71,12 @@ class Args:
     retrieve_rewrite_template: str = ""
     hide_reference: bool = False
     rag_dump: bool = False
+    thought_tags: tuple = ()
+    multimedia_file_tags: tuple = ()
+    tts_export: str = ""
+    lens_layers: str = ""
+    lens_fn: str = ""
+    max_proj_length: int = -1
 
 
 def parse_args(argv: list[str]) -> Args:
@@ -131,6 +137,19 @@ def parse_args(argv: list[str]) -> Args:
             a.hide_reference = True
         elif arg == "--rag_dump":
             a.rag_dump = True
+        elif arg == "--thought_tags":
+            a.thought_tags = (nxt(), nxt())
+        elif arg == "--multimedia_file_tags":
+            a.multimedia_file_tags = (nxt(), nxt())
+        elif arg == "--tts_export":
+            a.tts_export = nxt()
+        elif arg == "--lens":
+            a.lens_layers = nxt()
+            # optional lens GGMM file (linear lens); identity lens otherwise
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                a.lens_fn = nxt()
+        elif arg == "--max_proj_length":
+            a.max_proj_length = int(nxt())
         elif arg in ("-i", "--interactive"):
             a.interactive = True
         elif arg == "--multi":
@@ -380,13 +399,62 @@ def main(argv=None) -> int:
             setter({k: v})
 
     streamer = TextStreamer(model.tokenizer)
-    if a.detect_thoughts:
-        streamer.set_interceptor(ThoughtChunkInterceptor())
+    if a.detect_thoughts or a.thought_tags:
+        tags = ((a.thought_tags,) if a.thought_tags
+                else (("<think>", "</think>"),))
+        streamer.set_interceptor(ThoughtChunkInterceptor(tags=tags))
 
     if a.tokenize:
         ids = model.tokenizer.encode(a.prompt)
         print(ids)
         return 0
+
+    if a.lens_layers:
+        # --lens (reference models.h:87-129, docs/lens.md): per-layer
+        # logit-lens view of the prompt's last token, then exit
+        from .tools.lens import format_lens, lens_logits, load_lens_file
+
+        lp = load_lens_file(a.lens_fn) if a.lens_fn else None
+        ids = model.tokenizer.encode(a.prompt)
+        res = lens_logits(model, ids, lens_params=lp)
+        print(format_lens(model, res))
+        return 0
+
+    if a.tts_export and hasattr(model, "speech_synthesis"):
+        # --tts_export (reference main.cpp:263): synthesize `prompt`, save
+        # PCM16 (+ .wav header) and exit
+        import struct as _struct
+
+        pcm = np.asarray(model.speech_synthesis(a.prompt))
+        sr = int(getattr(model, "sample_rate", 24000))
+        data = np.clip(pcm, -1.0, 1.0)
+        raw = (data * 32767.0).astype(np.int16).tobytes()
+        with open(a.tts_export, "wb") as f:
+            f.write(b"RIFF" + _struct.pack("<I", 36 + len(raw)) + b"WAVE")
+            f.write(b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                           sr * 2, 2, 16))
+            f.write(b"data" + _struct.pack("<I", len(raw)) + raw)
+        print(f"PCM saved to: {a.tts_export}")
+        return 0
+
+    if a.multimedia_file_tags:
+        # {{image:/path}} prompt tags (reference main.cpp:260-262) — route
+        # a tagged prompt through the model's one-shot multimodal chat
+        import re as _re
+
+        o, c = (_re.escape(t) for t in a.multimedia_file_tags)
+        m = _re.search(o + r"(image|video|audio):(.+?)" + c, a.prompt)
+        if m is not None:
+            kind, path = m.group(1), m.group(2)
+            question = (a.prompt[: m.start()] + a.prompt[m.end():]).strip()
+            fn = {"image": "chat_image", "video": "chat_video",
+                  "audio": "chat_audio"}[kind]
+            assert hasattr(model, fn), f"model has no {fn}()"
+            print(f"You  > {a.prompt}")
+            print("A.I. > ", end="", flush=True)
+            getattr(model, fn)(path, question, pipe.gen_config, streamer)
+            print()
+            return 0
 
     if a.load_session:
         pipe.load_session(a.load_session)

@@ -17,6 +17,24 @@ from ..nn.transformer import (TransformerConfig, _norm, decoder_layer,
                               precompute_rope_cache)
 
 
+def load_lens_file(path: str):
+    """Load per-layer linear lenses from a lens GGMM (reference
+    scripts/convert_j_lens.py writes `lens.{i}.weight` [+ .bias]).
+    Returns {layer_idx: {"w": [H,H], "b": [H]|None}}."""
+    from ..ggmm.reader import GGMMFile
+
+    gf = GGMMFile.open(path)
+    out = {}
+    i = 0
+    while gf.has_tensor(f"lens.{i}.weight"):
+        lp = {"w": jnp.asarray(gf.tensor_f32(f"lens.{i}.weight").T)}
+        if gf.has_tensor(f"lens.{i}.bias"):
+            lp["b"] = jnp.asarray(gf.tensor_f32(f"lens.{i}.bias"))
+        out[i] = lp
+        i += 1
+    return out
+
+
 def lens_logits(model, input_ids, *, lens_params=None, top_k: int = 8):
     """Run one forward pass collecting per-layer logits for the LAST token.
 
@@ -47,8 +65,10 @@ def lens_logits(model, input_ids, *, lens_params=None, top_k: int = 8):
                 kss[i], vss[i])
             h = x[:, -1:, :]
             if lens_params is not None:
-                lp = lens_params[i]
-                h = jnp.dot(h, lp["w"]) + lp.get("b", 0.0)
+                lp = (lens_params.get(i) if hasattr(lens_params, "get")
+                      else lens_params[i])
+                if lp is not None:
+                    h = jnp.dot(h, lp["w"]) + lp.get("b", 0.0)
             h = _norm(cfg, h, params["final_norm"])
             per_layer.append(lm_logits(cfg, params, h)[:, 0, :])
         x = _norm(cfg, x, params["final_norm"])

@@ -202,3 +202,25 @@ def test_reversed_role(tiny_model):
     full = pipe.tokenizer.encode_history(pipe.history, 256,
                                          reversed_role=True)
     assert full[-len(ids):] == ids
+
+
+def test_cli_lens_and_thought_tags(tmp_path, capsys):
+    """--lens prints a per-layer logit-lens table (reference docs/lens.md);
+    --thought_tags overrides the thought-interceptor tag pair."""
+    from test_model_forward import make_tiny_qwen2
+
+    from chatllm_tpu.main import main, parse_args
+
+    path = str(tmp_path / "m.bin")
+    make_tiny_qwen2(path)
+    rc = main(["-m", path, "--lens", "all", "-p", "hi",
+               "--weight_dtype", "float32", "--compute_dtype", "float32",
+               "--cache_dtype", "float32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "layer   0" in out and "final" in out
+
+    a = parse_args(["--thought_tags", "<reason>", "</reason>",
+                    "--multimedia_file_tags", "{{", "}}"])
+    assert a.thought_tags == ("<reason>", "</reason>")
+    assert a.multimedia_file_tags == ("{{", "}}")
