@@ -370,16 +370,19 @@ class BPEProcessor1(Processor):
         start = reader.off
         self.piece_size = load_vocab_list(self.vocab, reader, True, False, 0)
         del self.vocab.id_to_token[self.piece_size :]
-        self._nbpe = None
+        self._nbpe_sp = None
         return reader.off - start
 
-    def _native_bpe(self):
-        """Lazy C++ SP-score merge (native/bpe.cpp spm_encode)."""
-        if getattr(self, "_nbpe", None) is None:
+    def _native_bpe_sp(self):
+        """Lazy C++ SP-score merge (native/bpe.cpp spm_encode).  Named
+        separately from BPEProcessor2's ranked engine so BPEProcessor3
+        (BPE2 subclass delegating here) builds the SCORE engine, not the
+        rank one."""
+        if getattr(self, "_nbpe_sp", None) is None:
             import os
 
             if os.environ.get("CHATLLM_TPU_NATIVE_BPE", "1") == "0":
-                self._nbpe = False
+                self._nbpe_sp = False
             else:
                 try:
                     from ..native import NativeBPE
@@ -387,15 +390,15 @@ class BPEProcessor1(Processor):
                     v = self.vocab
                     nb = NativeBPE(list(v.token_to_id.items()), [],
                                    scores=[r.score for r in v.id_to_token])
-                    self._nbpe = nb if nb.ok else False
+                    self._nbpe_sp = nb if nb.ok else False
                 except Exception:
-                    self._nbpe = False
-        return self._nbpe or None
+                    self._nbpe_sp = False
+        return self._nbpe_sp or None
 
     def _do_encode(self, text: bytes, ids: list[int]):
         if not text:
             return
-        nb = self._native_bpe()
+        nb = self._native_bpe_sp()
         if nb is not None:
             got = nb.encode_sp(text)
             if got is not None:

@@ -165,7 +165,7 @@ def test_native_spm_matches_python(tmp_path):
     alph = ["hello", "hell", "world", "he", "llo", " ", "你", "好", "你好",
             "x", "~", "\x01"]
     tp_n = load_proc()
-    assert tp_n._native_bpe() is not None
+    assert tp_n._native_bpe_sp() is not None
     os.environ["CHATLLM_TPU_NATIVE_BPE"] = "0"
     try:
         tp_p = load_proc()
