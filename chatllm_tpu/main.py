@@ -391,6 +391,10 @@ def main(argv=None) -> int:
     if getattr(a, "reversed_role", False):
         # reference main.cpp --reversed_role: AI becomes `user`
         pipe.reversed_role = True
+    if a.format == "qa":
+        # QA format (reference chat.cpp:822): each round encodes only the
+        # last user message — no conversational memory
+        pipe.qa_format = True
     if a.system is not None:
         model.tokenizer.sys_prompt = a.system
     for k, v in a.additional.items():

@@ -93,6 +93,11 @@ class Pipeline:
         roles swap: the incoming text is recorded as the ASSISTANT turn and
         the model generates the USER side via append_user_opening."""
         rev = getattr(self, "reversed_role", False)
+        if getattr(self, "qa_format", False) and len(self.history) > 0:
+            # QA format (reference ChatFormat::QA, chat.cpp:822): drop the
+            # conversation — every round stands alone
+            self.history.clear()
+            self.restart(keep_sys_prompt=False)
         self.history.push_back(MsgRole.ASSISTANT if rev else MsgRole.USER,
                                user_input)
         if streamer is not None:

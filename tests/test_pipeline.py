@@ -224,3 +224,19 @@ def test_cli_lens_and_thought_tags(tmp_path, capsys):
                     "--multimedia_file_tags", "{{", "}}"])
     assert a.thought_tags == ("<reason>", "</reason>")
     assert a.multimedia_file_tags == ("{{", "}}")
+
+
+def test_qa_format(tiny_model):
+    """--format qa (reference ChatFormat::QA): every round stands alone —
+    history is dropped between rounds."""
+    from chatllm_tpu.runtime.generate import GenerationConfig
+    from chatllm_tpu.runtime.pipeline import Pipeline
+
+    pipe = Pipeline(tiny_model)
+    pipe.qa_format = True
+    gc = GenerationConfig(do_sample=False, max_new_tokens=3)
+    pipe.chat("first question", gen_config=gc)
+    pipe.chat("second question", gen_config=gc)
+    # only the latest round remains
+    assert len(pipe.history) == 2
+    assert pipe.history[0].content == "second question"
