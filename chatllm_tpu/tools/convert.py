@@ -7,7 +7,7 @@ llama family, convert.py:1360 `permute`), exports the vocab in the reference's
 on-disk formats (SentencePiece pairs / BPE pieces+merges, convert.py:894-1121)
 and writes a GGMM file loadable by chatllm_tpu (and by the reference).
 
-Supported architectures: see ARCH_CONVERTERS at the bottom (49 entries:
+Supported architectures: see ARCH_CONVERTERS at the bottom (51 entries:
 llama 2/3.x/4, qwen2/3 ±MoE ±VL ±audio, mistral/mixtral/mistral3, hunyuan
 ±MoE, gpt-oss, gemma 1/2/3 ±vision, glm-4-9b-hf/glm4-0414/glm-4v,
 olmo2/olmoe, starcoder2, cohere 1/2, granite ±MoE, phi2/phi3 ±LongRoPE/
