@@ -5,6 +5,9 @@ q/k permuted to interleaved rope at conversion (MistralConverter.pp,
 """
 from __future__ import annotations
 
+import numpy as np
+import jax.numpy as jnp
+
 from ..runtime.chat import ChatTokenizer, HistoryEncoder
 from ..tokenizer.processor import BPEProcessor1
 from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
@@ -121,24 +124,6 @@ class Mixtral(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
-@register_model(ModelType.MISTRAL2)
-class Mistral2(BaseLLM):
-    # + head_dim (models/mistral.h:153-159)
-    EXTRA_FMT = "3if"
-
-    @classmethod
-    def load(cls, gf, rt: RuntimeConfig):
-        base, (n_kv, head_dim, sliding_window, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
-        cfg = build_dense_config(
-            base, num_key_value_heads=n_kv, head_dim=head_dim,
-            rope_theta=rope_theta, sliding_window=max(0, sliding_window),
-            max_length=rt.max_length, cache_dtype=rt.cache_dtype)
-        tok = make_mistral_tokenizer(gf, base)
-        pb = ParamBuilder(gf, rt)
-        params = load_llama_family_params(pb, base.num_hidden_layers)
-        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
-
-
 def make_mistral2_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
     """Tekken (BPE2) vocab + [INST] template (mistral2::Tokenizer,
     models/mistral.cpp:259-283)."""
@@ -184,9 +169,9 @@ def _yarn_mscale(scale: float, mscale: float = 1.0) -> float:
 
 @register_model(ModelType.MISTRAL3)
 class Mistral3(BaseLLM):
-    """Ministral-3 text model: YaRN + llama-4-style per-position attention
-    scaling (models/mistral.cpp mistral3:722-1010).  Vision (pixtral) tower
-    not wired yet — text chat works; [THINK] decodes as <think>.
+    """Ministral-3 / Mistral-Small-3.1: YaRN + llama-4-style per-position
+    attention scaling (models/mistral.cpp mistral3:722-1010) + the pixtral
+    vision tower (nn/pixtral_vit.py, HF-golden); [THINK] decodes as <think>.
 
     Disk names are mistral-style: .attn. / .attention_norm. / .ffn_norm.
     (the reference loads via add_tensor_name_translations)."""
@@ -261,4 +246,110 @@ class Mistral3(BaseLLM):
         params["layers"] = tuple(params["layers"])
         if not tie:
             params["lm_head"] = pb.linear("lm_head")
-        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+        self = cls(gf.model_type, cfg, params, tok, native_config=base,
+                   meta=gf.meta)
+
+        # pixtral tower (reference mistral.cpp pixtral:306-640)
+        cfg_json = (gf.meta or {}).get("config.json", {})
+        vis = cfg_json.get("vision_config", {})
+        self.vis_cfg = None
+        self.vis_params = None
+        if vis and gf.has_tensor("vision_model.patch_conv.weight"):
+            from ..nn.pixtral_vit import (PixtralViTConfig,
+                                          load_pixtral_vit_params)
+
+            self.vis_cfg = PixtralViTConfig(
+                hidden_size=int(vis["hidden_size"]),
+                num_hidden_layers=int(vis["num_hidden_layers"]),
+                num_attention_heads=int(vis["num_attention_heads"]),
+                intermediate_size=int(vis["intermediate_size"]),
+                patch_size=int(vis.get("patch_size", 16)),
+                head_dim=int(vis.get("head_dim") or
+                             vis["hidden_size"] // vis["num_attention_heads"]),
+                rope_theta=float(vis.get("rope_theta", 10000.0)),
+                spatial_merge_size=int(cfg_json.get("spatial_merge_size", 2)),
+                norm_eps=1e-5)
+            self.vis_params = load_pixtral_vit_params(pb, self.vis_cfg)
+            self.vis_params["projector"]["norm_eps"] = float(
+                cfg_json.get("text_config", {}).get("rms_norm_eps", 1e-5))
+            pp = (gf.meta or {}).get("processor_config.json", {})
+            self.image_mean = pp.get("image_mean",
+                                     [0.48145466, 0.4578275, 0.40821073])
+            self.image_std = pp.get("image_std",
+                                    [0.26862954, 0.26130258, 0.27577711])
+        return self
+
+    # ------------------------------------------------------------------
+    def encode_image(self, img) -> tuple:
+        """PIL image → (projected embeddings [n, lm_hidden],
+        merged grid (gh/m, gw/m)) — single-tile pixtral path."""
+        from ..nn.pixtral_vit import pixtral_vit_forward
+        from ..runtime.vision import load_image
+
+        assert self.vis_cfg is not None, "pixtral tower not loaded"
+        vc = self.vis_cfg
+        img = load_image(img)
+        unit = vc.patch_size * vc.spatial_merge_size
+        w, h = img.size
+        scale = min(1.0, 1540.0 / max(w, h))
+        nw = max(unit, int(round(w * scale / unit)) * unit)
+        nh = max(unit, int(round(h * scale / unit)) * unit)
+        img = img.resize((nw, nh))
+        arr = (np.asarray(img.convert("RGB"), np.float32) / 255.0
+               - np.asarray(self.image_mean, np.float32)) \
+            / np.asarray(self.image_std, np.float32)
+        emb = pixtral_vit_forward(vc, self.vis_params, jnp.asarray(arr))
+        m = vc.spatial_merge_size
+        return emb, (nh // vc.patch_size // m, nw // vc.patch_size // m)
+
+    def chat_image(self, image, question: str, gen_config=None,
+                   streamer=None) -> str:
+        """[INST][IMG]…[IMG_BREAK]…[IMG_END]{q}[/INST] one-shot VQA
+        (reference mistral.cpp pixtral ChatHistoryEncoder)."""
+        from ..nn.transformer import embed_tokens
+        from ..runtime.generate import GenerationConfig
+
+        gen_config = gen_config or GenerationConfig(do_sample=False,
+                                                    max_new_tokens=256)
+        media, (gh, gw) = self.encode_image(image)
+        tok = self.tokenizer
+        img_id = tok.tp.piece_to_id("[IMG]")
+        brk_id = tok.tp.piece_to_id("[IMG_BREAK]")
+        end_id = tok.tp.piece_to_id("[IMG_END]")
+
+        pre = [tok.bos_token_id]
+        pre.extend(tok.encode("[INST]"))
+        # the media embeddings REPLACE the [IMG] slots row by row; breaks
+        # and the end marker stay as real tokens
+        order = []
+        for r in range(gh):
+            order.extend(range(r * gw, (r + 1) * gw))
+        mid: list[int] = []
+        mid.extend(tok.encode(question))
+        mid.extend(tok.encode("[/INST]"))
+
+        emb_pre = embed_tokens(self.cfg, self.params,
+                               jnp.asarray(np.asarray([pre], np.int32)))[0]
+        emb_mid = embed_tokens(self.cfg, self.params,
+                               jnp.asarray(np.asarray([mid], np.int32)))[0]
+        rows = []
+        brk = embed_tokens(self.cfg, self.params,
+                           jnp.asarray([[brk_id]], np.int32))[0]
+        endv = embed_tokens(self.cfg, self.params,
+                            jnp.asarray([[end_id]], np.int32))[0]
+        for r in range(gh):
+            rows.append(media[r * gw:(r + 1) * gw])
+            rows.append(brk if r + 1 < gh else endv)
+        embeds = jnp.concatenate([emb_pre] + rows + [emb_mid],
+                                 axis=0)[None].astype(emb_pre.dtype)
+
+        eng = self.engine
+        cache = eng.new_cache(1, eng.max_length)
+        logits, cache, n_past = eng.prefill_embeds(embeds, cache, 0)
+        out, cache, n_past = eng.generate_from_logits(
+            logits, cache, n_past, gen_config,
+            is_terminator=tok.is_terminate_token,
+            on_token=(lambda t: streamer.put([t])) if streamer else None)
+        if streamer:
+            streamer.end()
+        return tok.decode(out)

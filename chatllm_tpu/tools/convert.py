@@ -1430,7 +1430,8 @@ def convert_mistral3(w, f, cfg, sd, dtype):
     Mistral3Converter; models/mistral.cpp mistral3:722-1010): text model on
     mistral-style disk names (.attn./.attention_norm./.ffn_norm.), YaRN +
     llama4-style attention scaling carried when configured; q/k permuted.
-    The pixtral tower is not consumed by the loader yet and is skipped."""
+    The pixtral tower is emitted on the reference's names
+    (vision_model.* / multi_modal_projector.*, mistral.cpp:500-540)."""
     tcfg = dict(cfg)
     for k, v in (cfg.get("text_config") or {}).items():
         tcfg[k] = v
@@ -1481,6 +1482,15 @@ def convert_mistral3(w, f, cfg, sd, dtype):
         elif n.endswith("attn.k_proj.weight"):
             arr = permute_rope(arr, kv)
         w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+    for k in sorted(sd):
+        if k.startswith("model.vision_tower."):
+            k2 = (k.replace("model.vision_tower.", "vision_model.")
+                   .replace(".transformer.layers.", ".layers."))
+            w.write_tensor(k2, sd[k],
+                           dtype if sd[k].ndim == 2 else GGMLType.F32)
+        elif k.startswith("model.multi_modal_projector."):
+            w.write_tensor(k.replace("model.", ""), sd[k],
+                           dtype if sd[k].ndim == 2 else GGMLType.F32)
 
 
 def convert_qwen3_vl(w, f, cfg, sd, dtype, moe=False):

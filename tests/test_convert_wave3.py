@@ -338,16 +338,19 @@ def test_convert_mistral3(tmp_path):
     cfg = transformers.Mistral3Config(
         text_config=tc,
         vision_config=dict(hidden_size=32, intermediate_size=48,
-                           num_hidden_layers=1, num_attention_heads=2,
-                           patch_size=4, image_size=32),
-        image_token_index=V - 1)
+                           num_hidden_layers=2, num_attention_heads=2,
+                           head_dim=16, patch_size=4, image_size=32,
+                           rope_theta=10000.0, hidden_act="silu"),
+        image_token_index=V - 1, spatial_merge_size=2,
+        multimodal_projector_bias=False)
     hf = transformers.Mistral3ForConditionalGeneration(cfg).eval()
     from test_convert_wave2 import RT32, _save_dir
     from chatllm_tpu.models import RuntimeConfig, load_model
     from chatllm_tpu.tools.convert import convert
 
     d = _save_dir(tmp_path, hf, cfg, "Mistral3ForConditionalGeneration",
-                  ["<unk>", "<s>", "</s>", "[INST]", "[/INST]"])
+                  ["<unk>", "<s>", "</s>", "[INST]", "[/INST]", "[IMG]",
+                   "[IMG_BREAK]", "[IMG_END]"])
     out = str(tmp_path / "m3.bin")
     convert(d, out, "f32")
     m = load_model(out, RuntimeConfig(**RT32))
@@ -357,6 +360,23 @@ def test_convert_mistral3(tmp_path):
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
                                rtol=3e-3)
+    # pixtral tower + merger + projector golden vs HF get_image_features
+    import jax.numpy as jnp
+    from chatllm_tpu.nn.pixtral_vit import pixtral_vit_forward
+
+    assert m.vis_params is not None
+    rng = np.random.default_rng(10)
+    px = rng.standard_normal((16, 24, 3)).astype(np.float32)   # 4x6 grid
+    mine = np.asarray(pixtral_vit_forward(m.vis_cfg, m.vis_params,
+                                          jnp.asarray(px)))
+    pv = torch.from_numpy(px.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        ref_v = hf.model.get_image_features(
+            pixel_values=pv, image_sizes=torch.tensor([[16, 24]]))
+    ref_v = (ref_v[0] if isinstance(ref_v, (tuple, list)) else ref_v)
+    ref_v = ref_v.reshape(-1, 64).numpy()
+    err = np.linalg.norm(mine - ref_v) / np.linalg.norm(ref_v)
+    assert err < 2e-3, err
 
 
 def test_convert_glm4v(tmp_path):
