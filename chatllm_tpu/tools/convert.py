@@ -1383,6 +1383,48 @@ def convert_internvl(w, f, cfg, sd, dtype):
         w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
 
 
+def convert_internlm2(w, f, cfg, sd, dtype):
+    """InternLM2ForCausalLM (remote-code checkpoint) → INTERNLM2_1
+    (reference InternLM2Converter, convert.py:1453-1543): fused
+    attention.wqkv is grouped per kv-head as [q×(H/KV), k, v] — split and
+    rope-permute; tok_embeddings/wo/w1-w3/output renamed to llama names."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    H = cfg["hidden_size"]
+    hd = H // heads
+    scaling = cfg.get("rope_scaling") or {}
+    assert not scaling or scaling.get("type") == "dynamic"
+    w.write_config(_base_vals(cfg, dtype) + [kv], fmt="12i")
+    f.write(struct.pack("<ff", float(cfg.get("rope_theta", 1000000.0)),
+                        float(scaling.get("factor",
+                                          scaling.get("scaling_factor", 1.0)))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.INTERNLM2_1))
+    kvg = heads // kv
+    ren = {"model.embed_tokens.weight": sd["model.tok_embeddings.weight"],
+           "model.norm.weight": sd["model.norm.weight"],
+           "lm_head.weight": sd["output.weight"]}
+    for i in range(cfg["num_hidden_layers"]):
+        src = f"model.layers.{i}"
+        dst = f"model.layers.{i}"
+        qkv = sd[f"{src}.attention.wqkv.weight"]
+        v = qkv.reshape(kv, kvg + 2, hd, H)
+        ren[f"{dst}.self_attn.q_proj.weight"] = permute_rope(
+            np.ascontiguousarray(v[:, :kvg].reshape(heads * hd, H)), heads)
+        ren[f"{dst}.self_attn.k_proj.weight"] = permute_rope(
+            np.ascontiguousarray(v[:, -2].reshape(kv * hd, H)), kv)
+        ren[f"{dst}.self_attn.v_proj.weight"] = \
+            np.ascontiguousarray(v[:, -1].reshape(kv * hd, H))
+        ren[f"{dst}.self_attn.o_proj.weight"] = sd[f"{src}.attention.wo.weight"]
+        ren[f"{dst}.mlp.gate_proj.weight"] = sd[f"{src}.feed_forward.w1.weight"]
+        ren[f"{dst}.mlp.down_proj.weight"] = sd[f"{src}.feed_forward.w2.weight"]
+        ren[f"{dst}.mlp.up_proj.weight"] = sd[f"{src}.feed_forward.w3.weight"]
+        ren[f"{dst}.input_layernorm.weight"] = sd[f"{src}.attention_norm.weight"]
+        ren[f"{dst}.post_attention_layernorm.weight"] = sd[f"{src}.ffn_norm.weight"]
+    _emit_all(w, ren, _llama_like_names(cfg["num_hidden_layers"], tie=False),
+              dtype)
+
+
 def convert_smolvlm(w, f, cfg, sd, dtype):
     """SmolVLMForConditionalGeneration → SMOL_VLM (reference
     SmolVLMConverter, convert.py:2222-2310): SmolLM text layout + SigLIP
@@ -2317,6 +2359,7 @@ ARCH_CONVERTERS = {
     "GlmForCausalLM": convert_glm,
     "Qwen3VLMoeForConditionalGeneration": convert_qwen3_vl_moe,
     "JanusForConditionalGeneration": convert_janus,
+    "InternLM2ForCausalLM": convert_internlm2,
 }
 
 

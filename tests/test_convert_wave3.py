@@ -656,3 +656,71 @@ def test_convert_janus(tmp_path):
     err = (np.linalg.norm(mine_img - ref_img)
            / max(np.linalg.norm(ref_img), 1e-9))
     assert err < 2e-3, err
+
+
+def test_convert_internlm2(tmp_path):
+    """InternLM2 (remote-code names): oracle built by PACKING a tiny HF
+    Llama's q/k/v into the fused wqkv layout — the converted model must
+    reproduce the Llama logits exactly (reference InternLM2Converter
+    split + permute, convert.py:1453-1543)."""
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    from test_convert import _byte_vocab_json
+    from test_convert_wave2 import RT32
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    torch.manual_seed(53)
+    heads, kv, hd, H = 4, 2, 16, 64
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=H, num_attention_heads=heads,
+        num_key_value_heads=kv, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=1000000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False, attention_bias=False)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    out_sd = {"model.tok_embeddings.weight": sd["model.embed_tokens.weight"],
+              "model.norm.weight": sd["model.norm.weight"],
+              "output.weight": sd["lm_head.weight"]}
+    kvg = heads // kv
+    for i in range(2):
+        pfx = f"model.layers.{i}"
+        q = sd[f"{pfx}.self_attn.q_proj.weight"].reshape(kv, kvg, hd, H)
+        k = sd[f"{pfx}.self_attn.k_proj.weight"].reshape(kv, 1, hd, H)
+        v = sd[f"{pfx}.self_attn.v_proj.weight"].reshape(kv, 1, hd, H)
+        out_sd[f"{pfx}.attention.wqkv.weight"] = np.ascontiguousarray(
+            np.concatenate([q, k, v], axis=1).reshape((kvg + 2) * kv * hd, H))
+        out_sd[f"{pfx}.attention.wo.weight"] = \
+            sd[f"{pfx}.self_attn.o_proj.weight"]
+        out_sd[f"{pfx}.feed_forward.w1.weight"] = \
+            sd[f"{pfx}.mlp.gate_proj.weight"]
+        out_sd[f"{pfx}.feed_forward.w2.weight"] = \
+            sd[f"{pfx}.mlp.down_proj.weight"]
+        out_sd[f"{pfx}.feed_forward.w3.weight"] = sd[f"{pfx}.mlp.up_proj.weight"]
+        out_sd[f"{pfx}.attention_norm.weight"] = \
+            sd[f"{pfx}.input_layernorm.weight"]
+        out_sd[f"{pfx}.ffn_norm.weight"] = \
+            sd[f"{pfx}.post_attention_layernorm.weight"]
+
+    d = tmp_path / "hf"
+    d.mkdir()
+    save_file(out_sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(_json.dumps(
+        {**cfg.to_dict(), "architectures": ["InternLM2ForCausalLM"],
+         "bias": False}))
+    import json
+    (d / "tokenizer.json").write_text(json.dumps(
+        {"model": {"type": "Unigram",
+                   "vocab": [[f"<s{i}>", -float(i)] for i in range(V)]}}))
+    out = str(tmp_path / "ilm2.bin")
+    convert(str(d), out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
