@@ -57,6 +57,8 @@ class ChatLLM:
             pipe.ai_prefix = a.ai_prefix
         if getattr(a, "reversed_role", False):
             pipe.reversed_role = True
+        if a.format == "qa":
+            pipe.qa_format = True
         if a.system is not None:
             model.tokenizer.sys_prompt = a.system
         for k, v in a.additional.items():
@@ -127,8 +129,13 @@ class ChatLLM:
             self.streamer.end()
         return text
 
-    def ai_continue(self) -> str:
-        """chatllm_ai_continue (libchatllm.h:305)."""
+    def ai_continue(self, suffix: str = "") -> str:
+        """chatllm_ai_continue (libchatllm.h:305): optionally append
+        `suffix` to the last AI message, then continue generating it."""
+        if suffix:
+            hist = self.pipeline.history
+            assert len(hist) > 0
+            hist.items[-1].content += suffix
         return self.pipeline.chat_continue(self.streamer)
 
     def tool_completion(self, content: str) -> str:

@@ -180,3 +180,32 @@ class MixtureOfExperts:
     def chat(self, prompt: str) -> str:
         domain = self.classify(prompt)
         return self.experts[domain].chat(prompt)
+
+
+class R1ThoughtAgent:
+    """ya_r1-style continued-generation thinking (scripts/ya_r1.py
+    ThoughtLLM): one chat seeded with an opening thought, then the SAME
+    reply is extended via ai-continue with escalating "Wait," nudges,
+    finishing with a forced "Final answer:" continuation."""
+
+    PROCEDURES = [
+        "Okay, let me think step by step. The question is",
+        "Hmm,",
+        "But wait,",
+        "Wait,",
+    ]
+    FINAL = "Final answer:"
+
+    def __init__(self, llm):
+        self.llm = llm
+
+    def think(self, prompt: str) -> str:
+        self.llm.restart()
+        procs = list(self.PROCEDURES)
+        self.llm.set_ai_prefix(procs.pop(0))
+        out = [self.llm.chat(prompt)]
+        self.llm.set_ai_prefix("")
+        for nudge in procs:
+            out.append(self.llm.ai_continue(nudge))
+        out.append(self.llm.ai_continue(self.FINAL))
+        return "".join(out)

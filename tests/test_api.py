@@ -307,3 +307,32 @@ def test_set_ai_prefix(tmp_path):
 
 
 import os  # noqa: E402
+
+
+def test_r1_thought_agent():
+    """ya_r1 port: one chat + escalating ai_continue nudges ending in a
+    forced Final answer continuation (reference scripts/ya_r1.py)."""
+    from chatllm_tpu.tools.agents import R1ThoughtAgent
+
+    class Fake:
+        def __init__(self):
+            self.prefix = ""
+            self.continues = []
+
+        def restart(self, sys_prompt=None):
+            pass
+
+        def set_ai_prefix(self, p):
+            self.prefix = p
+
+        def chat(self, s):
+            return " t0"
+
+        def ai_continue(self, suffix=""):
+            self.continues.append(suffix)
+            return suffix + " more"
+
+    f = Fake()
+    out = R1ThoughtAgent(f).think("why?")
+    assert f.continues == ["Hmm,", "But wait,", "Wait,", "Final answer:"]
+    assert out.endswith("Final answer: more")
