@@ -1383,6 +1383,42 @@ def convert_internvl(w, f, cfg, sd, dtype):
         w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
 
 
+def convert_baichuan(w, f, cfg, sd, dtype):
+    """BaichuanForCausalLM (remote-code) → BAICHUANLLAMA (≤32 layers, rope)
+    or BAICHUAN (13B+, ALiBi) — reference BaiChuanConverter
+    convert.py:3424-3492: W_pack split in thirds (q/k permuted),
+    lm_head rows L2-normalized, user/assistant ids appended."""
+    heads = cfg["num_attention_heads"]
+    is_7b = cfg["num_hidden_layers"] <= 32
+    if not is_7b:
+        cfg = dict(cfg)
+        cfg["max_position_embeddings"] = cfg.get(
+            "model_max_length", cfg["max_position_embeddings"])
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<2i", int(cfg.get("user_token_id", 195)),
+                        int(cfg.get("assistant_token_id", 196))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.BAICHUANLLAMA if is_7b
+                           else ModelType.BAICHUAN))
+    lm = sd["lm_head.weight"]
+    sd["lm_head.weight"] = lm / np.maximum(
+        np.linalg.norm(lm, axis=-1, keepdims=True), 1e-12)
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"model.layers.{i}"
+        pack = sd.pop(f"{pfx}.self_attn.W_pack.weight")
+        third = pack.shape[0] // 3
+        q, k, v = pack[:third], pack[third:2 * third], pack[2 * third:]
+        # the reference permutes BOTH variants (for ALiBi the common
+        # per-head permutation cancels in q·kᵀ, so it is file-format parity)
+        q = permute_rope(q, heads)
+        k = permute_rope(k, heads)
+        sd[f"{pfx}.self_attn.q_proj.weight"] = np.ascontiguousarray(q)
+        sd[f"{pfx}.self_attn.k_proj.weight"] = np.ascontiguousarray(k)
+        sd[f"{pfx}.self_attn.v_proj.weight"] = np.ascontiguousarray(v)
+    _emit_all(w, sd, _llama_like_names(cfg["num_hidden_layers"], tie=False),
+              dtype)
+
+
 def convert_internlm2(w, f, cfg, sd, dtype):
     """InternLM2ForCausalLM (remote-code checkpoint) → INTERNLM2_1
     (reference InternLM2Converter, convert.py:1453-1543): fused
@@ -2360,6 +2396,7 @@ ARCH_CONVERTERS = {
     "Qwen3VLMoeForConditionalGeneration": convert_qwen3_vl_moe,
     "JanusForConditionalGeneration": convert_janus,
     "InternLM2ForCausalLM": convert_internlm2,
+    "BaichuanForCausalLM": convert_baichuan,
 }
 
 

@@ -724,3 +724,53 @@ def test_convert_internlm2(tmp_path):
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
                                rtol=3e-3)
+
+
+def test_convert_baichuan(tmp_path):
+    """Baichuan-7B (remote-code W_pack): oracle by packing a tiny full-MHA
+    HF Llama's q/k/v into W_pack; logits must match (+ the normalized
+    lm_head transform applied to the oracle too)."""
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    from test_convert_wave2 import RT32
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    torch.manual_seed(54)
+    H = 64
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=H, num_attention_heads=4,
+        num_key_value_heads=4, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False, attention_bias=False)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    with torch.no_grad():   # bake the reference's row-normalized lm_head
+        w_lm = hf.lm_head.weight
+        hf.lm_head.weight.copy_(torch.nn.functional.normalize(w_lm))
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    out_sd = dict(sd)
+    for i in range(2):
+        pfx = f"model.layers.{i}"
+        out_sd[f"{pfx}.self_attn.W_pack.weight"] = np.concatenate(
+            [out_sd.pop(f"{pfx}.self_attn.{n}.weight")
+             for n in ("q_proj", "k_proj", "v_proj")], axis=0)
+    d = tmp_path / "hf"
+    d.mkdir()
+    save_file(out_sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(_json.dumps(
+        {**cfg.to_dict(), "architectures": ["BaichuanForCausalLM"],
+         "user_token_id": 195, "assistant_token_id": 196}))
+    (d / "tokenizer.json").write_text(_json.dumps(
+        {"model": {"type": "Unigram",
+                   "vocab": [[f"<s{i}>", -float(i)] for i in range(V)]}}))
+    out = str(tmp_path / "bc.bin")
+    convert(str(d), out, "f32")
+    m = load_model(out, RuntimeConfig(**RT32))
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
