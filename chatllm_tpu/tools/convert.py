@@ -1383,6 +1383,44 @@ def convert_internvl(w, f, cfg, sd, dtype):
         w.write_tensor(k, arr, dtype if arr.ndim == 2 else GGMLType.F32)
 
 
+def convert_xlmroberta(w, f, cfg, sd, dtype):
+    """XLMRobertaModel / XLMRobertaForSequenceClassification → BCE/BGE
+    embedding & reranker (reference XLMRobertaConverter /
+    XLMRobertaClassificationConverter, convert.py:6411): token_type row 0
+    folded into the position embeddings; classifier head kept for the
+    reranker."""
+    is_ranker = "XLMRobertaForSequenceClassification" in cfg["architectures"]
+    sd = {k.removeprefix("roberta."): v for k, v in sd.items()}
+    vals = [int(dtype), cfg["vocab_size"], cfg["hidden_size"],
+            cfg["num_attention_heads"], cfg["num_hidden_layers"],
+            cfg["intermediate_size"], cfg["max_position_embeddings"] - 2,
+            int(cfg.get("bos_token_id", 0)), int(cfg.get("eos_token_id", 2)),
+            int(cfg.get("pad_token_id", 1)), -1]
+    w.write_config(vals, fmt="11i")
+    w.patch_model_type(int(ModelType.BCE_ReRanker if is_ranker
+                           else ModelType.BCE_Embedding))
+    sd["embeddings.position_embeddings.weight"] = (
+        sd["embeddings.position_embeddings.weight"]
+        + sd["embeddings.token_type_embeddings.weight"][0])
+    names = ["embeddings.word_embeddings.weight",
+             "embeddings.position_embeddings.weight",
+             "embeddings.LayerNorm.weight", "embeddings.LayerNorm.bias"]
+    for i in range(cfg["num_hidden_layers"]):
+        pfx = f"encoder.layer.{i}"
+        for nm in ("attention.self.query", "attention.self.key",
+                   "attention.self.value", "attention.output.dense",
+                   "intermediate.dense", "output.dense"):
+            names += [f"{pfx}.{nm}.weight", f"{pfx}.{nm}.bias"]
+        names += [f"{pfx}.attention.output.LayerNorm.weight",
+                  f"{pfx}.attention.output.LayerNorm.bias",
+                  f"{pfx}.output.LayerNorm.weight",
+                  f"{pfx}.output.LayerNorm.bias"]
+    if is_ranker:
+        names += ["classifier.dense.weight", "classifier.dense.bias",
+                  "classifier.out_proj.weight", "classifier.out_proj.bias"]
+    _emit_all(w, sd, names, dtype)
+
+
 def convert_baichuan(w, f, cfg, sd, dtype):
     """BaichuanForCausalLM (remote-code) → BAICHUANLLAMA (≤32 layers, rope)
     or BAICHUAN (13B+, ALiBi) — reference BaiChuanConverter
@@ -2397,6 +2435,8 @@ ARCH_CONVERTERS = {
     "JanusForConditionalGeneration": convert_janus,
     "InternLM2ForCausalLM": convert_internlm2,
     "BaichuanForCausalLM": convert_baichuan,
+    "XLMRobertaModel": convert_xlmroberta,
+    "XLMRobertaForSequenceClassification": convert_xlmroberta,
 }
 
 

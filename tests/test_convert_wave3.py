@@ -774,3 +774,58 @@ def test_convert_baichuan(tmp_path):
         ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
                                rtol=3e-3)
+
+
+def test_convert_xlmroberta_embedding_and_reranker(tmp_path):
+    """bge/bce embedding + reranker through the converter: our
+    bert_forward must match HF XLMRoberta hidden states, and the
+    reranker's qa_rank must match the HF classifier logit."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from test_convert_wave2 import RT32
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    torch.manual_seed(55)
+    cfg = transformers.XLMRobertaConfig(
+        vocab_size=V, hidden_size=32, num_attention_heads=2,
+        num_hidden_layers=2, intermediate_size=64,
+        max_position_embeddings=66, layer_norm_eps=1e-12, num_labels=1,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2)
+    for arch, cls in [("XLMRobertaModel",
+                       lambda c: transformers.XLMRobertaModel(
+                           c, add_pooling_layer=False)),
+                      ("XLMRobertaForSequenceClassification",
+                       transformers.XLMRobertaForSequenceClassification)]:
+        hf = cls(cfg).eval()
+        d = tmp_path / arch
+        d.mkdir()
+        from safetensors.numpy import save_file
+
+        save_file({k: v.detach().float().numpy()
+                   for k, v in hf.state_dict().items()},
+                  str(d / "model.safetensors"))
+        (d / "config.json").write_text(_json.dumps(
+            {**cfg.to_dict(), "architectures": [arch]}))
+        (d / "tokenizer.json").write_text(_json.dumps(
+            {"model": {"type": "Unigram",
+                       "vocab": [[f"<s{i}>", -float(i)]
+                                 for i in range(V)]}}))
+        out = str(tmp_path / f"{arch}.bin")
+        convert(str(d), out, "f32")
+        m = load_model(out, RuntimeConfig(**RT32))
+        ids = np.array([[0, 5, 17, 42, 99, 2]], np.int32)
+        from chatllm_tpu.nn.bert import bert_forward
+
+        ours = np.asarray(bert_forward(m.cfg, m.params, jnp.asarray(ids)))
+        with torch.no_grad():
+            t = torch.from_numpy(ids.astype(np.int64))
+            if arch == "XLMRobertaModel":
+                ref = hf(t).last_hidden_state.numpy()
+                np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-4)
+            else:
+                ref = hf.roberta(t).last_hidden_state.numpy()
+                np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-4)
+                assert hasattr(m, "qa_rank")
