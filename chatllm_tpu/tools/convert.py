@@ -2447,15 +2447,67 @@ def _strip_prefixes(sd: dict) -> dict:
             for k, v in sd.items()}
 
 
+def convert_yi(w, f, cfg, sd, dtype):
+    """yi / map-neo (-a aliases; reference YiConverter): llama weights with
+    the yi.h "iff" extra (n_kv, rope_scaling factor, rope_theta)."""
+    heads = cfg["num_attention_heads"]
+    kv = cfg.get("num_key_value_heads", heads)
+    scaling = (cfg.get("rope_scaling") or {}).get("factor", 1.0)
+    w.write_config(_base_vals(cfg, dtype), fmt="11i")
+    f.write(struct.pack("<iff", kv, float(scaling),
+                        float(cfg.get("rope_theta", 5000000.0))))
+    w._patch_offset(12)
+    w.patch_model_type(int(ModelType.YI))
+    for n in _llama_like_names(cfg["num_hidden_layers"], tie=False):
+        arr = sd[n]
+        if n.endswith("q_proj.weight"):
+            arr = permute_rope(arr, heads)
+        elif n.endswith("k_proj.weight"):
+            arr = permute_rope(arr, kv)
+        w.write_tensor(n, arr, dtype if arr.ndim == 2 else GGMLType.F32)
+
+
+# `-a NAME` template aliases (reference convert.py:10750-11180 dispatch):
+# same weights/layout as a base family, different model type → different
+# chat template / tokenizer behavior at load.
+ARCH_ALIASES = {
+    "yi": (convert_yi, ModelType.YI),
+    "map-neo": (convert_yi, ModelType.MAP_NEO),
+    "tigerbot": ("LlamaForCausalLM", ModelType.TIGERBOT),
+    "codellama": ("LlamaForCausalLM", ModelType.CODELLAMA),
+    "wizardlm": ("LlamaForCausalLM", ModelType.WIZARDLM),
+    "wizardmath": ("LlamaForCausalLM", ModelType.WIZARDMATH),
+    "megrez": ("LlamaForCausalLM", ModelType.MEGREZ),
+    "falcon3": ("LlamaForCausalLM", ModelType.FALCON3),
+    "openchat": ("MistralForCausalLM", ModelType.OPENCHAT),
+    "starling": ("MistralForCausalLM", ModelType.STARLING),
+    "neuralbeagle": ("MistralForCausalLM", ModelType.NEURALBEAGLE),
+    "wizardlm-2-moe": ("MixtralForCausalLM", ModelType.WIZARDLM2_MOE),
+}
+
+
 def convert(model_dir: str, out_path: str, quant: str = "q8_0",
-            name: str = "", lora_dir: str = "", tensor_types=()) -> str:
+            name: str = "", lora_dir: str = "", tensor_types=(),
+            arch: str = "") -> str:
     cfg = json.load(open(os.path.join(model_dir, "config.json"),
                          encoding="utf-8"))
+    force_type = None
+    alias_fn = None
+    if arch:
+        if arch in ARCH_ALIASES:
+            base, force_type = ARCH_ALIASES[arch]
+            if callable(base):
+                alias_fn = base
+            else:
+                cfg["architectures"] = [base]
+        else:
+            cfg["architectures"] = [arch]
     arch = (cfg.get("architectures") or ["?"])[0]
-    if arch not in ARCH_CONVERTERS:
+    if alias_fn is None and arch not in ARCH_CONVERTERS:
         raise NotImplementedError(
             f"architecture {arch} not supported (have: "
-            f"{', '.join(sorted(ARCH_CONVERTERS))})")
+            f"{', '.join(sorted(ARCH_CONVERTERS))} "
+            f"+ -a aliases {', '.join(sorted(ARCH_ALIASES))})")
     dtype = QUANT_MAP[quant]
     sd = load_state_dict(model_dir)
     if lora_dir:
@@ -2478,7 +2530,7 @@ def convert(model_dir: str, out_path: str, quant: str = "q8_0",
                 pass
     with open(out_path, "wb") as f:
         w = GGMMWriter(f, 0, 1, meta=meta)   # model type patched per arch
-        conv = ARCH_CONVERTERS[arch]
+        conv = alias_fn if alias_fn is not None else ARCH_CONVERTERS[arch]
         # container order is config → vocab → tensors (GGMMHeader offsets);
         # the emitter writes config immediately, so buffer its tensor writes
         # until the vocab section is out
@@ -2486,6 +2538,8 @@ def convert(model_dir: str, out_path: str, quant: str = "q8_0",
         orig_write_tensor = w.write_tensor
         w.write_tensor = lambda nm, arr, dt: pending.append((nm, arr, dt))
         conv(w, f, cfg, sd, dtype)
+        if force_type is not None:
+            w.patch_model_type(int(force_type))
         w.write_tensor = orig_write_tensor
         export_vocab(w, model_dir)
         for nm, arr, dt in pending:
@@ -2511,9 +2565,13 @@ def main(argv=None):
                     help="per-tensor storage type override (regex, repeatable;"
                          " later flags win): -tt 'lm_head.*' q8_0")
     ap.add_argument("--name", default="")
+    ap.add_argument("-a", "--arch", default="",
+                    help="architecture override / template alias "
+                         "(reference convert.py -a): e.g. yi, openchat, "
+                         "tigerbot, falcon3, wizardlm")
     a = ap.parse_args(argv)
     out = convert(a.model, a.out, a.type, a.name, lora_dir=a.lora,
-                  tensor_types=a.tensor_type)
+                  tensor_types=a.tensor_type, arch=a.arch)
     print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
 
 

@@ -829,3 +829,41 @@ def test_convert_xlmroberta_embedding_and_reranker(tmp_path):
                 ref = hf.roberta(t).last_hidden_state.numpy()
                 np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-4)
                 assert hasattr(m, "qa_rank")
+
+
+def test_convert_arch_alias(tmp_path):
+    """-a template aliases (reference convert.py -a dispatch): same llama
+    weights, different model type → different template at load."""
+    import json as _json
+
+    from test_convert import _save_hf_dir
+    from test_convert_wave2 import RT32
+    from chatllm_tpu.models import ModelType, RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+
+    torch.manual_seed(56)
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=64, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
+        max_position_embeddings=128, rope_theta=5000000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    import json as _json2
+
+    d = _save_hf_dir(tmp_path, hf,
+                     {**cfg.to_dict(), "architectures": ["LlamaForCausalLM"]},
+                     [])
+    # yi loads an SP-score vocab (BPEProcessor1)
+    (tmp_path / "hf" / "tokenizer.json").write_text(_json2.dumps(
+        {"model": {"type": "Unigram",
+                   "vocab": [[f"<s{i}>", -float(i)] for i in range(V)]}}))
+    out = str(tmp_path / "yi.bin")
+    convert(d, out, "f32", arch="yi")
+    m = load_model(out, RuntimeConfig(**RT32))
+    assert m.model_type == int(ModelType.YI)
+    ids = np.array([[7, 30, 102, 89, 5]], dtype=np.int32)
+    logits, _ = m.forward_logits(ids)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, atol=3e-3,
+                               rtol=3e-3)
