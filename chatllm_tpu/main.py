@@ -77,6 +77,7 @@ class Args:
     lens_layers: str = ""
     lens_fn: str = ""
     max_proj_length: int = -1
+    dump_dot: str = ""
 
 
 def parse_args(argv: list[str]) -> Args:
@@ -150,6 +151,8 @@ def parse_args(argv: list[str]) -> Args:
                 a.lens_fn = nxt()
         elif arg == "--max_proj_length":
             a.max_proj_length = int(nxt())
+        elif arg == "--dump_dot":
+            a.dump_dot = nxt()
         elif arg in ("-i", "--interactive"):
             a.interactive = True
         elif arg == "--multi":
@@ -411,6 +414,26 @@ def main(argv=None) -> int:
     if a.tokenize:
         ids = model.tokenizer.encode(a.prompt)
         print(ids)
+        return 0
+
+    if a.dump_dot:
+        # --dump_dot (reference main.cpp:281 dumps ggml sched splits) —
+        # the XLA analog: dump the compiled forward step's HLO text
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .nn.transformer import init_cache, transformer_forward
+
+        ids = jnp.asarray(np.asarray([model.tokenizer.encode(a.prompt)],
+                                     np.int32))
+        cache = init_cache(model.cfg, 1, max(32, ids.shape[1]))
+        lowered = jax.jit(
+            lambda p, i, c: transformer_forward(model.cfg, p, i, c, 0)
+        ).lower(model.params, ids, cache)
+        with open(a.dump_dot, "w") as fh:
+            fh.write(lowered.compiler_ir("hlo").as_hlo_text())
+        print(f"HLO dumped to: {a.dump_dot}")
         return 0
 
     if a.lens_layers:

@@ -240,3 +240,22 @@ def test_qa_format(tiny_model):
     # only the latest round remains
     assert len(pipe.history) == 2
     assert pipe.history[0].content == "second question"
+
+
+def test_cli_dump_dot(tmp_path, capsys):
+    """--dump_dot writes the compiled forward's HLO text (XLA analog of the
+    reference's ggml sched-split DOT dump, main.cpp:281)."""
+    import os
+
+    from test_model_forward import make_tiny_qwen2
+
+    from chatllm_tpu.main import main
+
+    path = str(tmp_path / "m.bin")
+    make_tiny_qwen2(path)
+    hlo = str(tmp_path / "f.hlo")
+    rc = main(["-m", path, "--dump_dot", hlo, "-p", "hi",
+               "--weight_dtype", "float32", "--compute_dtype", "float32",
+               "--cache_dtype", "float32"])
+    assert rc == 0 and os.path.getsize(hlo) > 1000
+    assert "HloModule" in open(hlo).read()[:200]
