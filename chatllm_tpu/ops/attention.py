@@ -47,17 +47,18 @@ def update_kv_cache(k_cache, v_cache, k, v, n_past, k_scale=None, v_scale=None):
         B, T = k.shape[:2]
         b_idx = jnp.arange(B)[:, None]                         # [B,1]
         pos = n_past[:, None] + jnp.arange(T)[None, :]         # [B,T]
-        pos = jnp.minimum(pos, k_cache.shape[1] - 1)
+        # rows past capacity are DROPPED (not clamped onto slot S-1, which
+        # would silently overwrite the newest cache entry)
         if k_scale is not None:
             kq, ks = quantize_kv(k)
             vq, vs = quantize_kv(v)
-            k_cache = k_cache.at[b_idx, pos].set(kq)
-            v_cache = v_cache.at[b_idx, pos].set(vq)
-            k_scale = k_scale.at[b_idx, pos].set(ks)
-            v_scale = v_scale.at[b_idx, pos].set(vs)
+            k_cache = k_cache.at[b_idx, pos].set(kq, mode="drop")
+            v_cache = v_cache.at[b_idx, pos].set(vq, mode="drop")
+            k_scale = k_scale.at[b_idx, pos].set(ks, mode="drop")
+            v_scale = v_scale.at[b_idx, pos].set(vs, mode="drop")
             return k_cache, v_cache, k_scale, v_scale
-        k_cache = k_cache.at[b_idx, pos].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[b_idx, pos].set(v.astype(v_cache.dtype))
+        k_cache = k_cache.at[b_idx, pos].set(k.astype(k_cache.dtype), mode="drop")
+        v_cache = v_cache.at[b_idx, pos].set(v.astype(v_cache.dtype), mode="drop")
         return k_cache, v_cache, None, None
     if k_scale is not None:
         kq, ks = quantize_kv(k)

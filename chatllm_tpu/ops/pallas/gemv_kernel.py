@@ -40,13 +40,18 @@ def f16_bits_to_f32(bits_i32):
     Mosaic rejects the f16 dtype outright ("Unsupported type in mosaic
     dialect: 'f16'"), so f16 scale arrays are bitcast to uint16 OUTSIDE the
     kernel and decoded here: ~6 VPU ops per SCALE element = /group per
-    weight.  Handles normals, subnormals and +-0 (scales are never inf/nan)."""
+    weight.  Handles normals, subnormals, +-0, and inf/NaN (exp==31 maps to
+    f32 inf/NaN so a corrupted checkpoint scale propagates instead of
+    decoding as a finite ~2^16 value)."""
     bits = bits_i32 & 0xFFFF
     sign = (bits >> 15) & 1
     exp = (bits >> 10) & 0x1F
     man = bits & 0x3FF
     normal = ((exp + 112) << 23) | (man << 13)
     fn = jax.lax.bitcast_convert_type(normal, jnp.float32)
+    special = jax.lax.bitcast_convert_type((0xFF << 23) | (man << 13),
+                                           jnp.float32)
+    fn = jnp.where(exp == 31, special, fn)
     fsub = man.astype(jnp.float32) * jnp.float32(2.0 ** -24)
     mag = jnp.where(exp == 0, fsub, fn)
     return jnp.where(sign == 1, -mag, mag)

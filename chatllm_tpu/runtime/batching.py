@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn.transformer import TransformerConfig, init_cache, transformer_forward
-from ..ops.sampling import (PenaltyState, SamplerConfig,
+from ..ops.sampling import (PenaltyState, SamplerConfig, penalty_accept,
                             penalty_accept_batched, sample_token)
 from .generate import _fit_bucket
 
@@ -85,6 +85,7 @@ class BatchedEngine:
     def __init__(self, cfg: TransformerConfig, params, *, max_slots: int = 4,
                  max_length: int | None = None, decode_block: int = 8,
                  scfg: SamplerConfig | None = None):
+        self._validate_config(cfg)
         self.cfg = cfg
         self.params = params
         self.max_slots = max_slots
@@ -112,6 +113,30 @@ class BatchedEngine:
         self._stop = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    @staticmethod
+    def _validate_config(cfg: TransformerConfig):
+        """Reject configs outside the v1 scope up front — otherwise the
+        vector-n_past asserts in nn/transformer.py fire at decode TRACE time
+        inside the worker thread and every consumer blocks forever."""
+        bad = []
+        if cfg.mla_compressed:
+            bad.append("compressed-MLA cache")
+        if getattr(cfg, "num_loops", 1) > 1:
+            bad.append("looped stacks (num_loops > 1)")
+        for i in range(cfg.num_hidden_layers):
+            spec = cfg.layer_spec(i)
+            if spec.sliding_window > 0:
+                bad.append(f"sliding-window ring cache (layer {i})")
+                break
+            if spec.linear_attn:
+                bad.append(f"linear attention (layer {i})")
+                break
+        if bad:
+            raise ValueError(
+                "BatchedEngine v1 supports dense full-attention models only; "
+                "unsupported: " + ", ".join(bad) +
+                ". Serve this model single-slot (serve/server.py falls back).")
 
     # -- public ------------------------------------------------------------
     def submit(self, ids: list[int], *, max_new: int = -1,
@@ -228,10 +253,22 @@ class BatchedEngine:
                                     jnp.int32(slot), jnp.int32(n_past),
                                     jnp.int32(n))
             n_past += n
-        tok0, _ = sample_token(np.asarray(logits), self.scfg,
-                               jax.random.fold_in(jax.random.key(1), seed),
-                               None)
+        # Sample tok0 from the SLOT's RNG stream and penalty row (freshly
+        # reset above) so penalties see the first generated token and the
+        # sample stream matches the single-stream engine for the same seed.
+        k0, sub = jax.random.split(self.keys[slot])
+        self.keys = self.keys.at[slot].set(k0)
+        row = PenaltyState(token_count=self.penalty.token_count[slot],
+                           history=self.penalty.history[slot],
+                           write_pos=self.penalty.write_pos[slot])
+        tok0, _ = sample_token(jnp.asarray(np.asarray(logits)), self.scfg,
+                               sub, row if self.scfg.do_sample else None)
         tok0 = int(tok0)
+        row = penalty_accept(row, jnp.int32(tok0))
+        self.penalty = PenaltyState(
+            token_count=self.penalty.token_count.at[slot].set(row.token_count),
+            history=self.penalty.history.at[slot].set(row.history),
+            write_pos=self.penalty.write_pos.at[slot].set(row.write_pos))
         s = _Slot(req_id=h.req_id, out=h._q, n_past=n_past, max_new=max_new,
                   is_terminator=is_term, last_tok=tok0)
         if is_term(tok0) or max_new <= 0:
@@ -273,7 +310,21 @@ class BatchedEngine:
                 active_any = any(s is not None for s in self.slots)
             if not active_any:
                 continue
-            self._decode_block_once()
+            try:
+                self._decode_block_once()
+            except Exception:
+                # Drain every in-flight consumer before the worker dies so
+                # no StreamHandle blocks forever on q.get().
+                with self._cv:
+                    for b, s in enumerate(self.slots):
+                        if s is not None:
+                            s.out.put(None)
+                            self.slots[b] = None
+                            self._handles[b] = None
+                    for h, *_ in self._pending:
+                        h._q.put(None)
+                    self._pending.clear()
+                raise
 
     def _decode_block_once(self):
         with self._lock:

@@ -75,9 +75,15 @@ class ApiServer:
             # serialize behind the lock
             from ..runtime.batching import BatchedEngine
 
-            self.batch = BatchedEngine(
-                model.cfg, model.params, max_slots=max_slots,
-                scfg=self.gen_config.sampler_config())
+            try:
+                self.batch = BatchedEngine(
+                    model.cfg, model.params, max_slots=max_slots,
+                    scfg=self.gen_config.sampler_config())
+            except ValueError as e:
+                # model outside BatchedEngine's v1 scope (SWA ring cache,
+                # compressed MLA, ...) -> serve single-slot behind the lock
+                print(f"[serve] continuous batching disabled: {e}")
+                self.batch = None
 
     # ------------------------------------------------------------------
     def _fresh_pipeline(self) -> Pipeline:
