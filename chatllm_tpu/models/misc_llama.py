@@ -364,17 +364,18 @@ class ExaoneEncoder(HistoryEncoder):
 
 @register_model(ModelType.EXAONE)
 class Exaone(BaseLLM):
-    """EXAONE 3.x (models/exaone.cpp:92-102): llama arch + llama3.1-style
-    rope scaling + [|role|] template."""
-    EXTRA_FMT = "3ififff"
+    """EXAONE 3.x (models/exaone.cpp:5-86): llama arch + llama3.1-style
+    rope scaling + [|role|] template.  Config IS llama::v3_2::Config
+    (exaone.cpp:7 `typedef llama::v3_2::Config Config`): {n_kv}i {theta}f
+    {orig_max}i {factor,low,high}3f {tie}i."""
+    EXTRA_FMT = "ifi3fi"
 
     @classmethod
     def load(cls, gf, rt: RuntimeConfig):
         from .llama import _llama31_factors
 
         base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
-        (n_kv, sliding_window, tie_flag, rope_theta, orig_max,
-         factor, low_f, high_f) = extra
+        (n_kv, rope_theta, orig_max, factor, low_f, high_f, tie_flag) = extra
         tie = bool(tie_flag)
         ff = None
         if factor > 1.0 and orig_max > 0:
@@ -382,7 +383,6 @@ class Exaone(BaseLLM):
             ff = _llama31_factors(rot, rope_theta, factor, low_f, high_f, orig_max)
         cfg = build_dense_config(base, num_key_value_heads=n_kv,
                                  rope_theta=rope_theta, freq_factors=ff,
-                                 sliding_window=max(0, sliding_window),
                                  tie_lm_head=tie, norm_eps=1e-5,
                                  max_length=rt.max_length, cache_dtype=rt.cache_dtype)
         tok = _bpe2_tokenizer(

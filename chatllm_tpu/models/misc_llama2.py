@@ -404,17 +404,20 @@ class BlueLMEncoder(HistoryEncoder):
 
 @register_model(ModelType.BLUELM)
 class BlueLM(BaseLLM):
-    EXTRA_FMT = "3f"   # rope_theta, rope_scaling_factor, rope_scaling_power
-    #                    (bluelm.cpp:5-11)
+    # {n_kv}i + {rope_theta, rope_scaling_factor, rope_scaling_power}3f —
+    # the reference BlueLMConverter writes num_key_value_heads as the 12th
+    # int before the three floats (convert.py:3628-3648)
+    EXTRA_FMT = "i3f"
 
     @classmethod
     def load(cls, gf, rt: RuntimeConfig):
-        base, (theta, factor, power) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        base, (n_kv, theta, factor, power) = BaseConfig.parse(gf, cls.EXTRA_FMT)
         ff = None
         if power > 0:
             d = base.hidden_size // base.num_attention_heads
             ff = ntk_mix_freq_factors(d, factor, power)
-        cfg = build_dense_config(base, rope_theta=theta, freq_factors=ff,
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=theta, freq_factors=ff,
                                  max_length=rt.max_length,
                                  cache_dtype=rt.cache_dtype)
         tp = BPEProcessor1()

@@ -9,6 +9,7 @@ from dataclasses import replace
 
 import numpy as np
 
+from ..ops.rope import ROPE_NEOX
 from ..runtime.chat import ChatTokenizer, HistoryEncoder
 from ..tokenizer.processor import BPEProcessor2
 from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
@@ -437,8 +438,11 @@ class PanguEmbedded(BaseLLM):
     @classmethod
     def load(cls, gf, rt: RuntimeConfig):
         base, (n_kv, tie_flag, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
+        # FullBiasedSelfAttention hardcodes RoPEMode::Original (NEOX,
+        # layers.h:2505) and PanguEmbeddedConverter does NOT permute q/k —
+        # file-format parity requires the NEOX layout here
         cfg = build_dense_config(base, num_key_value_heads=n_kv,
-                                 rope_theta=rope_theta,
+                                 rope_theta=rope_theta, rope_layout=ROPE_NEOX,
                                  tie_lm_head=bool(tie_flag),
                                  max_length=rt.max_length,
                                  cache_dtype=rt.cache_dtype)
@@ -816,8 +820,11 @@ class Ouro(BaseLLM):
 
         base, (n_kv, rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
         steps = int(rt.additional.get("total_ut_steps", 4))
+        # ouro.cpp uses LlamaSelfAttention (Interleaved rope) and the
+        # reference OuroConverter permutes q/k (Llama3Converter.pp) — the
+        # on-disk layout is therefore the permuted/interleaved one
         cfg = build_dense_config(base, num_key_value_heads=n_kv,
-                                 rope_theta=rope_theta, rope_layout="neox",
+                                 rope_theta=rope_theta,
                                  norm_eps=1e-6, max_length=rt.max_length,
                                  cache_dtype=rt.cache_dtype)
         cfg = replace(cfg, num_loops=max(1, steps), post_norms=True)
@@ -868,8 +875,10 @@ class PanguMoE(BaseLLM):
         base, (n_kv, moe_inter, n_active, n_experts,
                rope_theta) = BaseConfig.parse(gf, cls.EXTRA_FMT)
         n_layers = base.num_hidden_layers
+        # NEOX rope: see PanguEmbedded (FullBiasedSelfAttention,
+        # layers.h:2505; converter does not permute)
         cfg = build_dense_config(base, num_key_value_heads=n_kv,
-                                 rope_theta=rope_theta,
+                                 rope_theta=rope_theta, rope_layout="neox",
                                  max_length=rt.max_length,
                                  cache_dtype=rt.cache_dtype)
         cfg = replace(cfg, qkv_bias=True, o_bias=True,

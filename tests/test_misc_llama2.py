@@ -196,7 +196,7 @@ def test_aquila2_freq_scale(tmp_path):
 def test_bluelm_ntk_mix(tmp_path):
     path = str(tmp_path / "blm.bin")
     _write_sp_model(path, ModelType.BLUELM,
-                    struct.pack("<3f", 10000.0, 16.0, 0.3))
+                    struct.pack("<i3f", 4, 10000.0, 16.0, 0.3))
     model = load_model(path, RuntimeConfig(**RT32))
     ff = model.cfg.rope.freq_factors
     assert ff is not None and len(ff) == 8  # head_dim 16 → 8 dividers

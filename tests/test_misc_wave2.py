@@ -294,7 +294,7 @@ def test_pangu_embedded_template(tmp_path):
         pieces[V - 2] = ("[unused16]".encode(), -903.0)
         pieces[V - 1] = ("[unused17]".encode(), -904.0)
         w.write_vocab_sp(pieces)
-        _llama_weights(w, sd, 2, permute_heads=(4, 2))
+        _llama_weights(w, sd, 2)   # NEOX rope: weights land unpermuted
     model = load_model(path, RuntimeConfig(**RT32))
     assert model.cfg.qkv_bias and model.cfg.o_bias
     tok = model.tokenizer
