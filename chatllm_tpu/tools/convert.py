@@ -2486,9 +2486,19 @@ ARCH_ALIASES = {
 }
 
 
+def _load_extra_converters():
+    """Round-3 wave converters live in convert_extra*.py (same emitter
+    contract); merge their registries on first use."""
+    from . import convert_extra
+
+    ARCH_CONVERTERS.update(convert_extra.EXTRA_CONVERTERS)
+    ARCH_ALIASES.update(convert_extra.EXTRA_ALIASES)
+
+
 def convert(model_dir: str, out_path: str, quant: str = "q8_0",
             name: str = "", lora_dir: str = "", tensor_types=(),
             arch: str = "") -> str:
+    _load_extra_converters()
     cfg = json.load(open(os.path.join(model_dir, "config.json"),
                          encoding="utf-8"))
     force_type = None
