@@ -71,7 +71,7 @@ class DeepSeekV1MoE(BaseLLM):
     EXTRA_FMT = "8if"
 
     @classmethod
-    def load(cls, gf, rt: RuntimeConfig):
+    def load(cls, gf, rt: RuntimeConfig, *, skip_tokenizer=False):
         from .base import load_moe_experts
 
         base, extra = BaseConfig.parse(gf, cls.EXTRA_FMT)
@@ -88,7 +88,9 @@ class DeepSeekV1MoE(BaseLLM):
             norm_eps=1e-6, max_length=rt.max_length, cache_dtype=rt.cache_dtype)
         cfg = replace(cfg, layer_specs=specs, moe_num_experts=n_routed,
                       moe_top_k=n_active, moe_norm_topk_prob=bool(norm_topk))
-        tok = make_deepseek_v1_tokenizer(gf, base)
+        # GigaChat reuses the arch with a BPE2 vocab — its loader owns the
+        # tokenizer then (misc_llama2.py GigaChat.load)
+        tok = None if skip_tokenizer else make_deepseek_v1_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = {
             "embed": pb.embedding("model.embed_tokens.weight"),

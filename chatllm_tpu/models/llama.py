@@ -196,8 +196,7 @@ class Llama2(BaseLLM):
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
-@register_model(ModelType.LLAMA3, ModelType.LLAMA3_GROQ_TOOL,
-                ModelType.DEEPSEEK_R1_DISTILL_LLAMA)
+@register_model(ModelType.LLAMA3, ModelType.LLAMA3_GROQ_TOOL)
 class Llama3(BaseLLM):
     EXTRA_FMT = "if"   # num_key_value_heads, rope_theta (models/llama.h:103)
 
@@ -251,6 +250,31 @@ class Llama32(Llama31):
         tok = make_llama3_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers, tie_lm_head=tie)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.DEEPSEEK_R1_DISTILL_LLAMA)
+class DSR1DistillLlama(Llama32):
+    """DeepSeek-R1-Distill-Llama: llama v3_2 config + the DeepSeek chat
+    template/tokenizer (llama.cpp ds_r1_distill:611-700)."""
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        from .qwen import make_ds_r1_tokenizer
+
+        base, extra = BaseConfig.parse(gf, "ififffi")
+        n_kv, rope_theta, orig_ctx, factor, low_f, high_f, tie_flag = extra
+        rot = base.hidden_size // base.num_attention_heads
+        ff = _llama31_factors(rot, rope_theta, factor, low_f, high_f, orig_ctx)
+        tie = bool(tie_flag) or not gf.has_tensor("lm_head.weight")
+        cfg = build_dense_config(base, num_key_value_heads=n_kv,
+                                 rope_theta=rope_theta, freq_factors=ff,
+                                 tie_lm_head=tie, max_length=rt.max_length,
+                                 cache_dtype=rt.cache_dtype)
+        tok = make_ds_r1_tokenizer(gf, base, llama=True)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers,
+                                          tie_lm_head=tie)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 

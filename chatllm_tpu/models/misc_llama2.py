@@ -1013,7 +1013,8 @@ class GigaChat(BaseLLM):
     def load(cls, gf, rt: RuntimeConfig):
         from .deepseek import DeepSeekV1MoE
 
-        lm = DeepSeekV1MoE.load.__func__(DeepSeekV1MoE, gf, rt)
+        lm = DeepSeekV1MoE.load.__func__(DeepSeekV1MoE, gf, rt,
+                                         skip_tokenizer=True)
         tp = BPEProcessor2()
         tp.load(gf.tokenizer_reader(), lm.native_config.vocab_size)
         tp.enable_return_special_token(True)

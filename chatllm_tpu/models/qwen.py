@@ -40,9 +40,64 @@ def make_qwen_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
     return tok
 
 
+# qwen.cpp ds_r1_distill::Tokenizer::load regex (qwen.cpp:840); the llama
+# distill variant (llama.cpp:630) groups digits {1,3}
+DS_R1_REGEX = [
+    r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+DS_R1_LLAMA_REGEX = [
+    r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+]
+
+
+from ..runtime.chat import HistoryEncoder  # noqa: E402
+
+
+class DeepSeekR1Encoder(HistoryEncoder):
+    """[bos]{sys}  <｜User｜>{user}  <｜Assistant｜>{ai}[eos]
+    (reference qwen.cpp ds_r1_distill ChatHistoryEncoder:866-896,
+    llama.cpp ds_r1_distill:657-690)."""
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        ids.append(tok.bos_token_id)
+        if tok.sys_prompt:
+            ids.extend(tok.encode(tok.sys_prompt))
+
+    def append_user(self, round_idx, user, ids):
+        tok = self.tokenizer
+        ids.append(tok.user_token_id)
+        ids.extend(tok.encode(user))
+
+    def append_ai(self, round_idx, ai, ids):
+        tok = self.tokenizer
+        ids.append(tok.assistant_token_id)
+        ids.extend(tok.encode(ai))
+        ids.append(tok.eos_token_id)
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.append(self.tokenizer.assistant_token_id)
+
+
+def make_ds_r1_tokenizer(gf, base: BaseConfig, *, llama=False) -> ChatTokenizer:
+    tp = BPEProcessor2(DS_R1_LLAMA_REGEX if llama else DS_R1_REGEX)
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tp.enable_return_special_token(True)
+    tok = ChatTokenizer(tp, DeepSeekR1Encoder(), sys_prompt="")
+    tok.user_token_id = tp.piece_to_id("<｜User｜>")
+    tok.assistant_token_id = tp.piece_to_id("<｜Assistant｜>")
+    tok.bos_token_id = tp.piece_to_id("<｜begin▁of▁sentence｜>")
+    tok.eos_token_id = tp.piece_to_id("<｜end▁of▁sentence｜>")
+    nl = tp.encode("\n")
+    tok.nl_token_id = nl[0] if len(nl) == 1 else -1
+    tok.is_special_id = lambda i: i in (tok.user_token_id,
+                                        tok.assistant_token_id,
+                                        tok.bos_token_id, tok.eos_token_id)
+    return tok
+
+
 @register_model(ModelType.QWEN2, ModelType.QWEN2TIE, ModelType.MARCO_O1,
-                ModelType.QWQ, ModelType.READERLM2,
-                ModelType.DEEPSEEK_R1_DISTILL_QWEN)
+                ModelType.QWQ, ModelType.READERLM2)
 class Qwen2(BaseLLM):
     # Config: BaseConfig + {num_key_value_heads, sliding_window} + rope_theta
     # (models/qwen.h:76-81)
@@ -59,6 +114,30 @@ class Qwen2(BaseLLM):
         tok = make_qwen_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers, tie_lm_head=tie)
+        return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
+
+
+@register_model(ModelType.DEEPSEEK_R1_DISTILL_QWEN)
+class Qwen2DSR1Distill(BaseLLM):
+    """DeepSeek-R1-Distill-Qwen: qwen v2 arch + explicit tie flag + the
+    DeepSeek chat template (qwen.h:330-335 Config{v2 + int tie},
+    qwen.cpp ds_r1_distill:821-901)."""
+    EXTRA_FMT = "2ifi"
+
+    @classmethod
+    def load(cls, gf, rt: RuntimeConfig):
+        base, (n_kv, _sw, rope_theta, tie_flag) = BaseConfig.parse(
+            gf, cls.EXTRA_FMT)
+        tie = bool(tie_flag)
+        cfg = build_dense_config(
+            base, num_key_value_heads=n_kv, rope_theta=rope_theta,
+            rope_layout=ROPE_NEOX, tie_lm_head=tie, norm_eps=1e-6,
+            qkv_bias=True, max_length=rt.max_length,
+            cache_dtype=rt.cache_dtype)
+        tok = make_ds_r1_tokenizer(gf, base)
+        pb = ParamBuilder(gf, rt)
+        params = load_llama_family_params(pb, base.num_hidden_layers,
+                                          tie_lm_head=tie)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
 
 
@@ -157,7 +236,12 @@ class Qwen3(BaseLLM):
                 cfg.rope, freq_scale=1.0 / yarn_factor, ext_factor=1.0,
                 orig_ctx=yarn_orig))
 
-        tok = make_qwen_tokenizer(gf, base)
+        if gf.model_type == int(ModelType.DEEPSEEK_R1_DISTILL_QWEN3):
+            # ds_r1_distill_v3 reuses the v3 Config but swaps in the
+            # DeepSeek tokenizer/template (qwen.h:797-808)
+            tok = make_ds_r1_tokenizer(gf, base)
+        else:
+            tok = make_qwen_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = {
             "embed": pb.embedding("model.embed_tokens.weight"),

@@ -839,7 +839,13 @@ def convert_phi3(w, f, cfg, sd, dtype):
     kv = cfg.get("num_key_value_heads", heads)
     scaling = cfg.get("rope_scaling") or {}
     stype = scaling.get("type", scaling.get("rope_type"))
-    if not scaling:
+    if not scaling and cfg.get("sliding_window") is None:
+        # Phi-4: plain llama-v3 config (reference Phi4Converter:4537)
+        w.write_config(_base_vals(cfg, dtype) + [kv], fmt="12i")
+        f.write(struct.pack("<f", float(cfg.get("rope_theta", 10000.0))))
+        w._patch_offset(12)
+        w.patch_model_type(int(ModelType.PHI4))
+    elif not scaling:
         w.write_config(
             _base_vals(cfg, dtype)
             + [kv, int(cfg.get("original_max_position_embeddings",
@@ -2518,8 +2524,14 @@ def convert(model_dir: str, out_path: str, quant: str = "q8_0",
             f"architecture {arch} not supported (have: "
             f"{', '.join(sorted(ARCH_CONVERTERS))} "
             f"+ -a aliases {', '.join(sorted(ARCH_ALIASES))})")
+    conv = alias_fn
+    if conv is None:
+        conv = ARCH_CONVERTERS[arch]
+        while isinstance(conv, str):   # arch-name alias (e.g. MiMo → Qwen2)
+            conv = ARCH_CONVERTERS[conv]
     dtype = QUANT_MAP[quant]
-    sd = load_state_dict(model_dir)
+    sd = ({} if getattr(conv, "_no_sd", False)
+          else load_state_dict(model_dir))
     if lora_dir:
         lora = LoRAMerge(lora_dir)
         sd = {k: lora.merge(k, v) for k, v in sd.items()}
@@ -2540,7 +2552,7 @@ def convert(model_dir: str, out_path: str, quant: str = "q8_0",
                 pass
     with open(out_path, "wb") as f:
         w = GGMMWriter(f, 0, 1, meta=meta)   # model type patched per arch
-        conv = alias_fn if alias_fn is not None else ARCH_CONVERTERS[arch]
+        w._model_dir = model_dir
         # container order is config → vocab → tensors (GGMMHeader offsets);
         # the emitter writes config immediately, so buffer its tensor writes
         # until the vocab section is out
@@ -2551,7 +2563,13 @@ def convert(model_dir: str, out_path: str, quant: str = "q8_0",
         if force_type is not None:
             w.patch_model_type(int(force_type))
         w.write_tensor = orig_write_tensor
-        export_vocab(w, model_dir)
+        # converters with non-standard vocab formats (tiktoken mergeable
+        # ranks, SNAC-paired TTS vocabs…) install an override
+        vocab_fn = getattr(w, "_vocab_override", None)
+        if vocab_fn is not None:
+            vocab_fn(w, model_dir)
+        else:
+            export_vocab(w, model_dir)
         for nm, arr, dt in pending:
             # -tt rules only override the run's default quant choice — a
             # tensor the emitter forces to another type stays forced

@@ -171,9 +171,12 @@ def test_convert_phi3(tmp_path):
         num_key_value_heads=2, num_hidden_layers=2, intermediate_size=96,
         max_position_embeddings=128,
         original_max_position_embeddings=128, rope_theta=10000.0,
-        rms_norm_eps=1e-5, sliding_window=None, rope_scaling=None,
+        rms_norm_eps=1e-5, sliding_window=256, rope_scaling=None,
         tie_word_embeddings=False, pad_token_id=0, eos_token_id=1,
         bos_token_id=2)
+    # sliding_window set: rope_scaling=None + sliding_window=None is the
+    # Phi-4 shape (reference dispatch convert.py:10897) — covered by
+    # test_convert_wave5.test_convert_phi4
     hf = transformers.Phi3ForCausalLM(cfg).eval()
     _check(tmp_path, hf, cfg, "Phi3ForCausalLM",
            ["<|system|>", "<|user|>", "<|assistant|>", "<|end|>"],

@@ -37,7 +37,7 @@ def _save_named(tmp_path, sd, cfg_dict, unigram=True, specials=()):
     from safetensors.numpy import save_file
 
     d = tmp_path / "hf"
-    d.mkdir()
+    d.mkdir(parents=True)
     save_file({k: np.asarray(v, dtype=np.float32) for k, v in sd.items()},
               str(d / "model.safetensors"))
     (d / "config.json").write_text(json.dumps(cfg_dict))
