@@ -36,6 +36,13 @@ class GGMMWriter:
         self.f.write(struct.pack("<i", int(model_type)))
         self.f.seek(end)
 
+    def patch_file_version(self, version: int):
+        """QWen-v1 files carry FILE_VERSION 2 (reference QWenConverter)."""
+        end = self.f.tell()
+        self.f.seek(self._type_pos + 4)
+        self.f.write(struct.pack("<i", int(version)))
+        self.f.seek(end)
+
     def _patch_offset(self, pos: int):
         size = self.f.tell()
         self.f.seek(pos)

@@ -245,8 +245,10 @@ class HunyuanV3(BaseLLM):
                 "k": pb.linear(f"{pfx}.self_attn.k_proj"),
                 "v": pb.linear(f"{pfx}.self_attn.v_proj"),
                 "o": pb.linear(f"{pfx}.self_attn.o_proj"),
-                "q_norm": pb.norm(f"{pfx}.self_attn.query_layernorm"),
-                "k_norm": pb.norm(f"{pfx}.self_attn.key_layernorm"),
+                # HYV3 GGMM files store q_norm/k_norm (reference
+                # HunYuanV3Converter.get_weight_names:8712)
+                "q_norm": pb.norm(f"{pfx}.self_attn.q_norm"),
+                "k_norm": pb.norm(f"{pfx}.self_attn.k_norm"),
             }
             if i < first_k_dense:
                 mlp = {

@@ -63,6 +63,9 @@ def load_state_dict(model_dir: str, weights_glob: str = "") -> dict:
     bins = sorted(f for f in os.listdir(model_dir)
                   if f.startswith(weights_glob or "pytorch_model")
                   and f.endswith(".bin"))
+    if not bins:   # consolidated.*.pth checkpoints (llama-multi, mistral)
+        bins = sorted(f for f in os.listdir(model_dir)
+                      if f.endswith(".pth"))
     if bins:
         import torch
 
@@ -478,10 +481,16 @@ def convert_gemma3(w, f, cfg, sd, dtype):
     """Gemma3ForCausalLM (text) → GEMMA3 (models/gemma.h:255-266): 5:1 SWA
     pattern w/ dual rope bases, qk norms (stored 1+w), NEOX rope — no
     permutation."""
+    scaling = cfg.get("rope_scaling") or {}
+    if scaling.get("rope_type") == "yarn":
+        # RNJ-1 publishes under the Gemma3 arch with yarn rope (reference
+        # dispatch convert.py:11057)
+        from .convert_extra2 import convert_rnj
+
+        return convert_rnj(w, f, cfg, sd, dtype)
     heads = cfg["num_attention_heads"]
     kv = cfg.get("num_key_value_heads", heads)
     hd = cfg.get("head_dim", cfg["hidden_size"] // heads)
-    scaling = cfg.get("rope_scaling") or {}
     w.write_config(
         _base_vals(cfg, dtype)
         + [kv, hd, int(cfg.get("query_pre_attn_scalar", hd)),
@@ -2495,18 +2504,22 @@ ARCH_ALIASES = {
 def _load_extra_converters():
     """Round-3 wave converters live in convert_extra*.py (same emitter
     contract); merge their registries on first use."""
-    from . import convert_extra
+    from . import convert_extra, convert_extra2
 
     ARCH_CONVERTERS.update(convert_extra.EXTRA_CONVERTERS)
     ARCH_ALIASES.update(convert_extra.EXTRA_ALIASES)
+    ARCH_CONVERTERS.update(convert_extra2.EXTRA_CONVERTERS2)
+    ARCH_ALIASES.update(convert_extra2.EXTRA_ALIASES2)
 
 
 def convert(model_dir: str, out_path: str, quant: str = "q8_0",
             name: str = "", lora_dir: str = "", tensor_types=(),
             arch: str = "") -> str:
     _load_extra_converters()
-    cfg = json.load(open(os.path.join(model_dir, "config.json"),
-                         encoding="utf-8"))
+    cfg_fn = "config.json"
+    if arch == "llama-multi-token-prediction-ckpt":
+        cfg_fn = "params.json"   # reference convert.py:10710
+    cfg = json.load(open(os.path.join(model_dir, cfg_fn), encoding="utf-8"))
     force_type = None
     alias_fn = None
     if arch:

@@ -317,8 +317,8 @@ def test_hunyuan_v3_forward_and_eos(tmp_path):
               rng.standard_normal((n_kv * head_dim, hidden)) * 0.05)
             t(f"{pfx}.self_attn.o_proj.weight",
               rng.standard_normal((hidden, heads * head_dim)) * 0.05)
-            t(f"{pfx}.self_attn.query_layernorm.weight", np.ones(head_dim))
-            t(f"{pfx}.self_attn.key_layernorm.weight", np.ones(head_dim))
+            t(f"{pfx}.self_attn.q_norm.weight", np.ones(head_dim))
+            t(f"{pfx}.self_attn.k_norm.weight", np.ones(head_dim))
             if i == 0:
                 for n in ("gate_proj", "up_proj", "down_proj"):
                     shp = ((hidden, 96) if n == "down_proj" else (96, hidden))
