@@ -9,6 +9,7 @@ q4_k byte footprint (~4.5 bits/weight) at this chip's HBM bandwidth — i.e.
 quantized model.  (BASELINE.md: the reference publishes no numbers; roofline
 is the driver-defined target.)
 """
+import functools
 import json
 import os
 import sys
@@ -53,7 +54,7 @@ def main():
     # the whole greedy decode loop runs on device (lax.scan); the timing
     # sync is a data readback because the axon tunnel's block_until_ready
     # does not wait for real execution
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_n(params, cache, tok, n_past):
         def body(carry, _):
             tok, cache, n_past = carry
@@ -103,10 +104,13 @@ def main():
     # batched decode (continuous-batching throughput shape): B=8 streams
     BB = int(os.environ.get("BENCH_BATCH", "8"))
     del cache, toks, tok      # free the single-stream buffers
-    batched_len = min(max_len, 2048)
+    # cap the batched KV footprint so params+cache fit HBM (B=32 x 2048 f16
+    # cache alone is 8.6 GB on the 8B config)
+    batched_len = min(max_len, 2048 if BB <= 8 else 1024)
+    batched_len = int(os.environ.get("BENCH_BATCH_CTX", batched_len))
     cache_b = init_cache(cfg, BB, batched_len)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_n_b(params, cache, tok, n_past):
         def body(carry, _):
             tok, cache, n_past = carry
@@ -126,7 +130,9 @@ def main():
         _ = np.asarray(tb)
         dt_b = time.perf_counter() - t0
         tok_s_batched = BB * n_decode / dt_b
-    except Exception:
+    except Exception as e:
+        print(f"batched decode failed: {type(e).__name__}: {str(e)[:400]}",
+              file=sys.stderr)
         tok_s_batched = -1.0
 
     # roofline for ideal q4_k packing (4.5 bits/weight + f16 embed read ~0)

@@ -225,7 +225,9 @@ def load_glm_audio_params(pb, cfg: GlmAudioConfig, prefix: str = "audio.") -> di
             "norm2": pb.norm(f"{pfx}.post_attention_layernorm", bias=True),
             "attn": {
                 "q": pb.linear(f"{pfx}.self_attn.q_proj", bias=True),
-                "k": pb.linear(f"{pfx}.self_attn.k_proj", bias=True),
+                # GLM-ASR files carry no k_proj bias (GLMASRConverter
+                # weight list, reference convert.py:4975)
+                "k": pb.linear(f"{pfx}.self_attn.k_proj", bias="auto"),
                 "v": pb.linear(f"{pfx}.self_attn.v_proj", bias=True),
                 "o": pb.linear(f"{pfx}.self_attn.o_proj", bias=True),
             },

@@ -138,7 +138,16 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         tile_n //= 2
     # largest tile sizes that divide the problem (lane/sublane-aligned)
     tile_n = _pick_tile(N, tile_n, 128)
-    tile_k = _pick_tile(K, tile_k, group * max(1, sb))
+    # the superblock d/dm blocks are [tile_k/(group*sb), tile_n] — Mosaic
+    # needs their sublane count divisible by 8 (or the block to cover the
+    # whole array), so the k tile must align to group*sb*8
+    k_unit = group * max(1, sb) * (8 if sb else 1)
+    tile_k = _pick_tile(K, max(tile_k, k_unit), k_unit)
+    if sb and (tile_k // (group * sb)) % 8 and tile_k != K:
+        tile_k = K  # full-K block is always legal
+    # keep the weight scratch tile within VMEM budget
+    while tile_n > 128 and tile_k * tile_n * 2 > 8 * 2 ** 20:
+        tile_n = _pick_tile(N, tile_n // 2, 128)
     assert tile_k % group == 0
     n_kt = K // tile_k
     qdiv = 2 if packed else 1

@@ -152,6 +152,17 @@ def _pallas_local(x2, q, s, b, bias, *, group, packed, zero_point,
         return qgemv_pallas(x2, q, s, b, bias, group=group, packed=packed,
                             zero_point=zero_point, d=d, dm=dm, sb=sb,
                             interpret=interpret)
+    if x2.shape[0] <= 64 and os.environ.get("CHATLLM_TPU_QMM_V2", "0") == "1":
+        # pipelined no-relayout kernel: 1.6x v1 on an ISOLATED B=32 mlp
+        # shape, but slower at the model level (891 vs 1114 agg tok/s at
+        # B=32 — the model pipeline overlaps v1's DMA across kernels
+        # already) — opt-in for further kernel work, not the default
+        from .pallas.qmm_decode import qmm_decode_pallas
+
+        return qmm_decode_pallas(x2, q, s, b, bias, group=group,
+                                 packed=packed, zero_point=zero_point,
+                                 compute_dtype=compute_dtype,
+                                 d=d, dm=dm, sb=sb, interpret=interpret)
     from .pallas.qmm_kernel import qmm_pallas
 
     return qmm_pallas(x2, q, s, b, bias, group=group, packed=packed,

@@ -70,10 +70,13 @@ def load_state_dict(model_dir: str, weights_glob: str = "") -> dict:
         import torch
 
         for fn in bins:
-            for k, v in torch.load(os.path.join(model_dir, fn),
-                                   map_location="cpu",
-                                   weights_only=True).items():
-                sd[k] = v.float().numpy()
+            d = torch.load(os.path.join(model_dir, fn), map_location="cpu",
+                           weights_only=True)
+            if "state_dict" in d and not hasattr(d["state_dict"], "shape"):
+                d = d["state_dict"]   # DAC-style packaged checkpoints
+            for k, v in d.items():
+                if hasattr(v, "float"):
+                    sd[k] = v.float().numpy()
         return sd
     raise FileNotFoundError(f"no weights found in {model_dir}")
 
@@ -2510,11 +2513,14 @@ def _load_extra_converters():
     ARCH_ALIASES.update(convert_extra.EXTRA_ALIASES)
     ARCH_CONVERTERS.update(convert_extra2.EXTRA_CONVERTERS2)
     ARCH_ALIASES.update(convert_extra2.EXTRA_ALIASES2)
+    from . import convert_extra3
+    ARCH_CONVERTERS.update(convert_extra3.EXTRA_CONVERTERS3)
+    ARCH_ALIASES.update(convert_extra3.EXTRA_ALIASES3)
 
 
 def convert(model_dir: str, out_path: str, quant: str = "q8_0",
             name: str = "", lora_dir: str = "", tensor_types=(),
-            arch: str = "") -> str:
+            arch: str = "", snac_dir: str = "", dac_dir: str = "") -> str:
     _load_extra_converters()
     cfg_fn = "config.json"
     if arch == "llama-multi-token-prediction-ckpt":
@@ -2553,12 +2559,34 @@ def convert(model_dir: str, out_path: str, quant: str = "q8_0",
     rules = [(pat, QUANT_MAP[t.lower()]) for pat, t in reversed(tensor_types)]
     meta = {"model_name": name or os.path.basename(os.path.abspath(model_dir)),
             "config.json": cfg}
-    # side configs some loaders need (vision preprocessing, added tokens…) —
-    # the reference bundles every *.json into the GGMM meta (load_some_info)
-    for side in ("preprocessor_config.json", "processor_config.json",
-                 "tokenizer_config.json", "generation_config.json"):
+    # TTS neural-codec side models (--snac_model / --dac_model; reference
+    # convert.py:10749-10760): their config rides GGMM meta and their
+    # weights merge into the state dict under decoder./quantizer. names
+    if snac_dir:
+        scfg = json.load(open(os.path.join(snac_dir, "config.json"),
+                              encoding="utf-8"))
+        cfg["snac_model"] = meta["snac_config.json"] = scfg
+        sd.update(_strip_prefixes(load_state_dict(snac_dir)))
+    if dac_dir:
+        dcfg_p = os.path.join(dac_dir, "config.json")
+        dcfg = (json.load(open(dcfg_p, encoding="utf-8"))
+                if os.path.isfile(dcfg_p) else {})
+        dcfg["n_codebooks"] = 2        # reference convert.py:10759
+        cfg["dac_model"] = meta["dac_config.json"] = dcfg
+        dsd = load_state_dict(dac_dir)
+        if "state_dict" in dsd and not hasattr(dsd["state_dict"], "shape"):
+            dsd = dsd["state_dict"]
+        sd.update(_strip_prefixes(dsd))
+    # side configs some loaders need (vision preprocessing, added tokens,
+    # speech-tokenizer configs…) — like the reference, bundle every
+    # top-level *.json into the GGMM meta (load_some_info, convert.py:10745)
+    for side in sorted(os.listdir(model_dir)):
+        if (not side.endswith(".json") or side == "config.json"
+                or side.endswith(".index.json")
+                or side.startswith("tokenizer.")):
+            continue
         sp = os.path.join(model_dir, side)
-        if os.path.isfile(sp):
+        if os.path.isfile(sp) and os.path.getsize(sp) < 32 * 2 ** 20:
             try:
                 meta[side] = json.load(open(sp, encoding="utf-8"))
             except (json.JSONDecodeError, UnicodeDecodeError):
@@ -2610,9 +2638,14 @@ def main(argv=None):
                     help="architecture override / template alias "
                          "(reference convert.py -a): e.g. yi, openchat, "
                          "tigerbot, falcon3, wizardlm")
+    ap.add_argument("--snac_model", default="",
+                    help="SNAC codec model dir (orpheus-tts / maya1)")
+    ap.add_argument("--dac_model", default="",
+                    help="DAC codec model dir (outetts)")
     a = ap.parse_args(argv)
     out = convert(a.model, a.out, a.type, a.name, lora_dir=a.lora,
-                  tensor_types=a.tensor_type, arch=a.arch)
+                  tensor_types=a.tensor_type, arch=a.arch,
+                  snac_dir=a.snac_model, dac_dir=a.dac_model)
     print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
 
 
