@@ -2516,6 +2516,8 @@ def _load_extra_converters():
     from . import convert_extra3
     ARCH_CONVERTERS.update(convert_extra3.EXTRA_CONVERTERS3)
     ARCH_ALIASES.update(convert_extra3.EXTRA_ALIASES3)
+    from . import convert_extra4
+    ARCH_CONVERTERS.update(convert_extra4.EXTRA_CONVERTERS4)
 
 
 def convert(model_dir: str, out_path: str, quant: str = "q8_0",
