@@ -162,6 +162,10 @@ class GGMMFile:
     def has_tensor(self, name: str) -> bool:
         return name in self.tensors
 
+    def tensor_shape(self, name: str) -> tuple[int, ...]:
+        """Shape (numpy/torch order) without reading the data."""
+        return self.tensors[name].shape
+
     def raw_tensor(self, name: str) -> np.ndarray:
         """Raw quantized bytes of a tensor (zero-copy view into the mmap)."""
         e = self.tensors[name]

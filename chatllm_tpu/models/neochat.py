@@ -234,11 +234,19 @@ class NeoChat(BaseLLM):
         self.vis_params = None
         self.vis_cfg = None
         if vis and gf.has_tensor("vision.embeddings.patch_embedding.weight"):
+            # Real checkpoints carry hidden_size / downsample_ratio /
+            # rope_theta_vision (reference models/neochat.cpp:305-314 reads
+            # them without defaults); derive/default missing keys so minimal
+            # configs still load: hidden_size and patch_size come from the
+            # patch-embedding conv weight [H, 3, p, p].
+            pw_shape = gf.tensor_shape(
+                "vision.embeddings.patch_embedding.weight")
             self.vis_cfg = {
-                "hidden_size": int(vis["hidden_size"]),
-                "patch_size": int(vis["patch_size"]),
-                "merge_size": int(round(1 / float(vis["downsample_ratio"]))),
-                "rope_theta": float(vis["rope_theta_vision"]),
+                "hidden_size": int(vis.get("hidden_size", pw_shape[0])),
+                "patch_size": int(vis.get("patch_size", pw_shape[-1])),
+                "merge_size": int(round(
+                    1 / float(vis.get("downsample_ratio", 0.5)))),
+                "rope_theta": float(vis.get("rope_theta_vision", 10000.0)),
             }
             self.vis_params = {
                 "patch_w": pb.raw_f32("vision.embeddings.patch_embedding.weight"),

@@ -14,12 +14,36 @@ shardings, let XLA insert collectives"):
   - KV cache:          kv-head dim sharded over "tp"
   - batch dims:        sharded over "dp" when present
 
+Beyond the llama tree, per-arch rules (round-4 VERDICT item #2):
+
+  - MLA (reference models/deepseek.h:251-327): the kv/q LoRA *down*
+    projections and the decoupled k_pe produce per-token latents shared by
+    every head — replicated; the *up* projections (u_q / u_k_nope / u_v)
+    fan out to heads — head-sharded; o in-sharded.  The absorbed
+    wk_abs/wv_abs [rank, h, d] tensors shard over their head axis.  The
+    compressed latent cache [B, S, 1, rank+dr] has no head axis → only dp.
+  - Gated DeltaNet (reference models/qwen3_5.cpp:198-485): the fused
+    in_proj_qkv feeds a depthwise causal conv over the concatenated
+    [q|k|v] channel layout, whose unequal segments cannot be contiguously
+    head-sharded — qkv + conv stay replicated; the recurrence (the O(T)
+    hot loop) shards over v-heads via b/a/z/A_log/dt_bias out-sharding and
+    o in-sharding, with the recurrent state S [B, nv, dk, dv] sharded on
+    nv.
+  - Gemma4 PLE / per-layer projections: tiny by design (that is their
+    point) — replicated.  KV-shared layers write 1-wide dummy caches —
+    replicated.  The cascaded-MoE branch shards only its experts.
+  - Vision/audio towers: replicated (encoder weights are <5% of LLM
+    weights and run once per image; ICI bandwidth is better spent on the
+    decode path).
+
+Anything whose sharded dim does not divide `tp` falls back to replication —
+GSPMD keeps semantics either way; the rules only steer layout.
+
 QuantLinear shards q/s/b along the same logical dim (group axis follows the
 `in` axis).  DenseLinear stores w as [in, out], so "output sharding" is dim 1.
 """
 from __future__ import annotations
 
-import re
 from typing import Optional
 
 import jax
@@ -51,13 +75,26 @@ def describe_devices() -> str:
     return "\n".join(lines)
 
 
+def _divides(n: int, tp: int) -> bool:
+    return tp > 0 and n % tp == 0
+
+
 def _linear_spec(lin, shard_dim: str, tp: int = 0):
     """Build the matching sharding pytree for one linear layer.
-    shard_dim: 'out' | 'in' | 'expert' | 'none'.  `tp` (when known) lets
-    row-sharded superblock d/dm arrays fall back to replication when their
-    row count (in/(G*sb)) doesn't divide — only reachable on toy shapes,
-    where the XLA path handles the matmul anyway."""
+    shard_dim: 'out' | 'in' | 'none'.  Falls back to replication when the
+    sharded dim does not divide tp (toy shapes / odd head counts)."""
     # both layouts are [in, out] (QuantLinear: q [in,out], s/b [in//G,out])
+    if isinstance(lin, QuantLinear):
+        n_in = lin.q.shape[0] * (2 if lin.packed else 1)
+        n_out = lin.q.shape[1]
+    elif isinstance(lin, DenseLinear):
+        n_in, n_out = lin.w.shape
+    else:
+        raise TypeError(type(lin))
+    if shard_dim == "out" and not _divides(n_out, tp):
+        shard_dim = "none"
+    if shard_dim == "in" and not _divides(n_in, tp):
+        shard_dim = "none"
     if shard_dim == "out":
         ws = P(None, "tp")
         bias = P("tp")
@@ -80,61 +117,136 @@ def _linear_spec(lin, shard_dim: str, tp: int = 0):
             zero_point=lin.zero_point,
             d=None if lin.d is None else dspec,
             dm=None if lin.dm is None else dspec, sb=lin.sb)
-    if isinstance(lin, DenseLinear):
-        return DenseLinear(w=ws, bias=None if lin.bias is None else bias)
-    raise TypeError(type(lin))
+    return DenseLinear(w=ws, bias=None if lin.bias is None else bias)
 
 
-def _norm_spec(p: dict) -> dict:
-    return {k: P(None) for k in p}
+def _rep_tree(sub):
+    """Fully-replicated spec matching an arbitrary subtree."""
+    return jax.tree.map(lambda _: P(), sub)
+
+
+# role of each linear inside an attention subtree: 'out' = head/column
+# sharded, 'in' = row sharded (psum after), 'none' = replicated
+_ATTN_ROLE = {
+    # GQA (llama family) + gated attention (qwen3.5 full-attn layers)
+    "q": "out", "k": "out", "v": "out", "o": "in", "gate": "out",
+    # MLA (deepseek.h:251-327): latent down-projs replicated, per-head
+    # up-projs sharded
+    "d_q": "none", "u_q": "out", "d_kv": "none", "k_pe": "none",
+    "u_k_nope": "out", "u_v": "out",
+    # Gated DeltaNet (qwen3_5.cpp): fused conv input replicated, the
+    # recurrence head-sharded through b/a/z
+    "qkv": "none", "z": "out", "b": "out", "a": "out",
+}
+
+
+def _attn_spec(sub: dict, tp: int) -> dict:
+    a = {}
+    for k, v in sub.items():
+        if isinstance(v, (QuantLinear, DenseLinear)):
+            a[k] = _linear_spec(v, _ATTN_ROLE.get(k, "none"), tp)
+        elif isinstance(v, dict):
+            # q_norm / k_norm / kv_norm: per-head-dim vectors, replicated
+            a[k] = _rep_tree(v)
+        elif k in ("A_log", "dt_bias"):
+            # [n_v_heads] vectors feeding the head-sharded GDN recurrence
+            a[k] = P("tp") if _divides(v.shape[0], tp) else P()
+        elif k in ("wk_abs", "wv_abs"):
+            # absorbed MLA up-projections [rank, heads, d]: shard heads
+            a[k] = (P(None, "tp", None) if _divides(v.shape[1], tp)
+                    else P())
+        elif k == "sinks":
+            # per-head attention sinks
+            a[k] = P("tp") if _divides(v.shape[0], tp) else P()
+        else:
+            # conv_w, norm_w, scalar oddities: replicate
+            a[k] = _rep_tree(v)
+    return a
+
+
+def _experts_spec(ex: dict, tp: int) -> dict:
+    # stacked dense experts [E, ...]: expert-parallel over tp
+    out = {}
+    for n, v in ex.items():
+        if _divides(v.shape[0], tp):
+            out[n] = P(*(("tp",) + (None,) * (v.ndim - 1)))
+        else:
+            out[n] = P()
+    return out
+
+
+def _mlp_spec(sub: dict, tp: int) -> dict:
+    m = {}
+    for k, v in sub.items():
+        if k == "experts":
+            m[k] = _experts_spec(v, tp)
+        elif k == "shared":
+            m[k] = {"gate": _linear_spec(v["gate"], "out", tp),
+                    "up": _linear_spec(v["up"], "out", tp),
+                    "down": _linear_spec(v["down"], "in", tp)}
+        elif k in ("up", "gate") and isinstance(v, (QuantLinear,
+                                                    DenseLinear)):
+            m[k] = _linear_spec(v, "out", tp)
+        elif k == "down":
+            m[k] = _linear_spec(v, "in", tp)
+        elif isinstance(v, (QuantLinear, DenseLinear)):
+            # shared_gate, router projections: replicated
+            m[k] = _linear_spec(v, "none", tp)
+        else:
+            # gate_bias and friends
+            m[k] = _rep_tree(v)
+    # router gate of a MoE layer must be replicated (every device routes)
+    if "experts" in sub and "gate" in sub:
+        m["gate"] = _linear_spec(sub["gate"], "none", tp)
+    return m
+
+
+def _moe_branch_spec(sub: dict, tp: int) -> dict:
+    """Gemma4 cascaded-MoE branch (models/gemma4.py lay['moe'])."""
+    out = {}
+    for k, v in sub.items():
+        if k == "experts":
+            out[k] = _experts_spec(v, tp)
+        elif isinstance(v, (QuantLinear, DenseLinear)):
+            out[k] = _linear_spec(v, "none", tp)
+        else:
+            out[k] = _rep_tree(v)
+    return out
+
+
+def _layer_spec_tree(lp: dict, tp: int) -> dict:
+    ls = {}
+    for key, sub in lp.items():
+        if key == "attn":
+            ls[key] = _attn_spec(sub, tp)
+        elif key == "mlp":
+            ls[key] = _mlp_spec(sub, tp)
+        elif key == "moe":
+            ls[key] = _moe_branch_spec(sub, tp)
+        elif isinstance(sub, (QuantLinear, DenseLinear)):
+            # ple_gate / ple_proj and other per-layer extras: replicated
+            ls[key] = _linear_spec(sub, "none", tp)
+        else:
+            # norms, layer_scalar, misc arrays
+            ls[key] = _rep_tree(sub)
+    return ls
 
 
 def tp_param_sharding(params: dict, tp: int = 0) -> dict:
-    """PartitionSpec pytree matching a llama-family param tree."""
-    spec = {"embed": P(None, None)}
-    if "lm_head" in params:
-        spec["lm_head"] = _linear_spec(params["lm_head"], "out", tp)
-    spec["final_norm"] = _norm_spec(params["final_norm"])
-    layers = []
-    for lp in params["layers"]:
-        ls = {}
-        for key, sub in lp.items():
-            if key == "attn":
-                a = {}
-                for k2, v2 in sub.items():
-                    if k2 in ("q", "k", "v"):
-                        a[k2] = _linear_spec(v2, "out", tp)
-                    elif k2 == "o":
-                        a[k2] = _linear_spec(v2, "in", tp)
-                    elif k2 in ("q_norm", "k_norm"):
-                        a[k2] = _norm_spec(v2)
-                    else:  # sinks etc: per-head vectors shard over tp
-                        a[k2] = P("tp")
-                ls[key] = a
-            elif key == "mlp":
-                m = {}
-                for k2, v2 in sub.items():
-                    if k2 == "experts":
-                        # stacked dense experts [E, ...]: expert-parallel
-                        m[k2] = {n: P("tp", None, None) for n in v2}
-                    elif k2 == "shared":
-                        m[k2] = {"gate": _linear_spec(v2["gate"], "out", tp),
-                                 "up": _linear_spec(v2["up"], "out", tp),
-                                 "down": _linear_spec(v2["down"], "in", tp)}
-                    elif k2 in ("up", "gate"):
-                        m[k2] = _linear_spec(v2, "out", tp)
-                    elif k2 == "down":
-                        m[k2] = _linear_spec(v2, "in", tp)
-                    else:
-                        m[k2] = _linear_spec(v2, "none", tp)
-                # router gate of a MoE layer must be replicated
-                if "experts" in sub:
-                    m["gate"] = _linear_spec(sub["gate"], "none", tp)
-                ls[key] = m
-            else:  # norms
-                ls[key] = _norm_spec(sub)
-        layers.append(ls)
-    spec["layers"] = tuple(layers)
+    """PartitionSpec pytree matching a model param tree (llama-family, MLA,
+    Gated-DeltaNet hybrids, Gemma4 PLE/cascade — any tree built from the
+    shared layer vocabulary; unknown subtrees replicate)."""
+    spec = {}
+    for key, sub in params.items():
+        if key == "embed":
+            spec[key] = P(None, None)
+        elif key == "lm_head":
+            spec[key] = _linear_spec(sub, "out", tp)
+        elif key == "layers":
+            spec[key] = tuple(_layer_spec_tree(lp, tp) for lp in sub)
+        else:
+            # final_norm, ple, vision/audio towers, projectors…
+            spec[key] = _rep_tree(sub)
     return spec
 
 
@@ -155,11 +267,51 @@ def cache_spec() -> P:
     return P("dp", None, "tp", None)
 
 
-def shard_cache(cache, mesh: Mesh):
+def _cache_entry_spec(arr, tp: int, *, linear_attn: bool = False) -> P:
+    """Per-layer cache sharding.  Normal KV [B,S,Hkv,D] shards kv-heads;
+    GDN conv state [B,K-1,1,conv] replicates (fused channel layout), GDN
+    recurrent state [B,nv,dk,dv] shards v-heads; MLA-compressed latent and
+    shared-kv dummy caches [B,*,1,*] have nothing to shard."""
+    if linear_attn:
+        # conv history [B,K-1,1,C] (axis-2 == 1) replicates; recurrent
+        # state [B,nv,dk,dv] shards the v-head axis
+        if arr.shape[2] != 1 and _divides(arr.shape[1], tp):
+            return P("dp", "tp", None, None)
+        return P("dp", None, None, None)
+    if arr.ndim == 3:                             # q8 scales [B,S,Hkv]
+        return (P("dp", None, "tp") if _divides(arr.shape[2], tp)
+                else P("dp", None, None))
+    if arr.shape[2] != 1 and _divides(arr.shape[2], tp):
+        return P("dp", None, "tp", None)
+    return P("dp", None, None, None)
+
+
+def shard_cache(cache, mesh: Mesh, cfg=None):
+    """Place a KVCache onto the mesh.  When `cfg` is given, per-layer specs
+    honor linear-attention (GDN) state layouts and headless (MLA-compressed /
+    shared-kv) caches; without it, every entry is assumed [B,S,Hkv,D]."""
     from ..nn.transformer import KVCache
 
-    sh = NamedSharding(mesh, cache_spec())
+    tp = mesh.shape.get("tp", 1)
+
+    def layer_flags(n):
+        if cfg is None:
+            return [False] * n
+        L = cfg.num_hidden_layers
+        return [cfg.layer_spec(i % L).linear_attn for i in range(n)]
+
+    flags = layer_flags(len(cache.k))
+
+    def put(arr, la):
+        return jax.device_put(
+            arr, NamedSharding(mesh, _cache_entry_spec(arr, tp,
+                                                       linear_attn=la)))
+
     return KVCache(
-        k=tuple(jax.device_put(k, sh) for k in cache.k),
-        v=tuple(jax.device_put(v, sh) for v in cache.v),
+        k=tuple(put(k, la) for k, la in zip(cache.k, flags)),
+        v=tuple(put(v, la) for v, la in zip(cache.v, flags)),
+        k_scale=None if cache.k_scale is None else tuple(
+            put(s, False) for s in cache.k_scale),
+        v_scale=None if cache.v_scale is None else tuple(
+            put(s, False) for s in cache.v_scale),
     )

@@ -430,10 +430,16 @@ def test_convert_neochat(tmp_path):
         sd[f"language_model.{p}.self_attn.{n}_mot_gen.weight"] = _t(rows, H)
     sd[f"language_model.{p}.self_attn.o_proj_mot_gen.weight"] = \
         _t(H, HEADS * HD)
+    # NEOChat qk-norms span half a head each (reference models/neochat.cpp:
+    # 457-464 constructs them with head_dim/2): the base q_norm/k_norm from
+    # the qwen3 fixture are resized, and the hw/mot_gen variants added.
     for n in ("q_norm", "k_norm"):
-        sd[f"language_model.{p}.self_attn.{n}_hw.weight"] = _ones(HD)
-        sd[f"language_model.{p}.self_attn.{n}_hw_mot_gen.weight"] = _ones(HD)
-        sd[f"language_model.{p}.self_attn.{n}_mot_gen.weight"] = _ones(HD)
+        sd[f"language_model.{p}.self_attn.{n}.weight"] = _ones(HD // 2)
+        sd[f"language_model.{p}.self_attn.{n}_hw.weight"] = _ones(HD // 2)
+        sd[f"language_model.{p}.self_attn.{n}_hw_mot_gen.weight"] = \
+            _ones(HD // 2)
+        sd[f"language_model.{p}.self_attn.{n}_mot_gen.weight"] = \
+            _ones(HD // 2)
     sd["language_model.model.norm_mot_gen.weight"] = _ones(H)
     # flow-matching modules + vision embedders
     pd = 4 * 4 * 3
@@ -517,7 +523,7 @@ def test_convert_paddle_ocr_vl(tmp_path):
         _t(vh, 3, T.PATCH, T.PATCH)
     sd["visual.vision_model.embeddings.patch_embedding.bias"] = _t(vh)
     sd["visual.vision_model.embeddings.position_embedding.weight"] = \
-        _t((T.IMG // T.PATCH) ** 2, vh)
+        _t(T.POSGRID ** 2, vh)
     cfg = {"architectures": ["PaddleOCRVLForConditionalGeneration"],
            **_qwen3_txt_cfg(tie_word_embeddings=True),
            "use_bias": False,
@@ -525,9 +531,18 @@ def test_convert_paddle_ocr_vl(tmp_path):
            "vision_config": {
                "hidden_size": vh, "num_hidden_layers": vd,
                "num_attention_heads": T.V_HEADS, "intermediate_size": vi,
-               "patch_size": T.PATCH, "image_size": T.IMG,
+               "patch_size": T.PATCH, "image_size": T.POSGRID * T.PATCH,
                "spatial_merge_size": 2}}
     d = _save_hf(tmp_path, sd, cfg)
+    # PaddleOCR-VL ships a sentencepiece tokenizer (reference ernie.cpp:39
+    # loads the llama-v2 SP processor); replace the default byte-BPE
+    # tokenizer.json with a Unigram one so the converter emits SP records.
+    specials = ["<|begin_of_sentence|>", "<|end_of_sentence|>", "</s>",
+                "<|IMAGE_START|>", "<|IMAGE_END|>"]
+    pieces = [[f"<s{i}>", -float(i)] for i in range(V - len(specials))]
+    pieces += [[t, -1000.0] for t in specials]
+    (tmp_path / "hf" / "tokenizer.json").write_text(
+        json.dumps({"model": {"type": "Unigram", "vocab": pieces}}))
     out = str(tmp_path / "paddle.bin")
     convert(d, out, "f32")
     gf = GGMMFile.open(out)
@@ -604,9 +619,9 @@ def test_convert_gemma4_pack_oracle(tmp_path):
                for j in range(T.NEXP)]
         downs = [hf.pop(f"{p}.mlp.experts.{j}.down_proj.weight")
                  for j in range(T.NEXP)]
-        hf[f"{p}.mlp.experts.gate_up_proj"] = np.stack(
+        hf[f"{p}.experts.gate_up_proj"] = np.stack(
             [np.concatenate([g, u], axis=0) for g, u in zip(gates, ups)])
-        hf[f"{p}.mlp.experts.down_proj"] = np.stack(downs)
+        hf[f"{p}.experts.down_proj"] = np.stack(downs)
     cfg = _gemma4_cfg_json(T, layers, swa, shared)
     d = _save_hf(tmp_path, hf, cfg)
     out = str(tmp_path / "conv.bin")
@@ -640,9 +655,9 @@ def test_convert_gemma4_unified(tmp_path):
                for j in range(T.NEXP)]
         downs = [hf.pop(f"{p}.mlp.experts.{j}.down_proj.weight")
                  for j in range(T.NEXP)]
-        hf[f"{p}.mlp.experts.gate_up_proj"] = np.stack(
+        hf[f"{p}.experts.gate_up_proj"] = np.stack(
             [np.concatenate([g, u], axis=0) for g, u in zip(gates, ups)])
-        hf[f"{p}.mlp.experts.down_proj"] = np.stack(downs)
+        hf[f"{p}.experts.down_proj"] = np.stack(downs)
     # unified embedders
     pos = _t(16, 2, T.HID)
     hf["model.vision_embedder.pos_embedding"] = pos

@@ -139,3 +139,89 @@ def test_superblock_shard_map(monkeypatch, shard):
         assert qmm.kernel_dispatch_stats().get("pallas_shard_map", 0) == 1
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 1e-5, rel
+
+
+@pytest.mark.parametrize("arch", ["deepseek-v2-lite(MLA+MoE)",
+                                  "qwen3.5-hybrid(GDN+MoE)",
+                                  "gemma4(PLE+KVshared+cascadeMoE)",
+                                  "grok-1(MoE)"])
+def test_tp_real_arch_parity(arch):
+    """Per-arch sharding rules (MLA latents/up-projs, GDN recurrence,
+    Gemma4 PLE/KV-shared/cascade-MoE, Grok sandwich norms) keep the sharded
+    forward numerically equal to single-device (round-4 VERDICT item #2)."""
+    from chatllm_tpu.models.synthetic import REAL_ARCH_BUILDERS
+    from chatllm_tpu.nn.transformer import init_cache, transformer_forward
+    from chatllm_tpu.parallel.mesh import make_mesh, shard_cache, shard_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, params = REAL_ARCH_BUILDERS[arch]()
+    rng = np.random.default_rng(7)
+    B, T = 4, 16
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T), dtype=np.int32))
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 1), dtype=np.int32))
+    cache = init_cache(cfg, B, 64, dtype=jnp.float32)
+    ref1, cache = transformer_forward(cfg, params, ids, cache, 0)
+    ref2, _ = transformer_forward(cfg, params, tok, cache, T)
+
+    mesh = make_mesh(tp=4, dp=2)
+    with mesh:
+        sp = shard_params(params, mesh)
+        sc = shard_cache(init_cache(cfg, B, 64, dtype=jnp.float32), mesh, cfg)
+        sids = jax.device_put(ids, NamedSharding(mesh, P("dp", None)))
+        stok = jax.device_put(tok, NamedSharding(mesh, P("dp", None)))
+
+        @jax.jit
+        def step(p, c, i, t):
+            l1, c = transformer_forward(cfg, p, i, c, 0)
+            l2, _ = transformer_forward(cfg, p, t, c, i.shape[1])
+            return l1, l2
+
+        out1, out2 = step(sp, sc, sids, stok)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_tp_mla_compressed_cache_sharded():
+    """The compressed (latent) MLA cache has no head axis: the sharding
+    rules must replicate it over tp while still sharding the MLA up-projs;
+    parity vs the single-device compressed path."""
+    from dataclasses import replace as _replace
+
+    from chatllm_tpu.models.synthetic import build_deepseek_v2_lite
+    from chatllm_tpu.nn.transformer import init_cache, transformer_forward
+    from chatllm_tpu.ops.qmm import dense_weight
+    from chatllm_tpu.parallel.mesh import make_mesh, shard_cache, shard_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, params = build_deepseek_v2_lite()
+    m = cfg.mla
+    cfg = _replace(cfg, mla_compressed=True)
+    layers = []
+    for lp in params["layers"]:
+        attn = dict(lp["attn"])
+        h = cfg.num_attention_heads
+        attn["wk_abs"] = dense_weight(attn["u_k_nope"]).reshape(
+            m.kv_lora_rank, h, m.qk_nope_head_dim)
+        attn["wv_abs"] = dense_weight(attn["u_v"]).reshape(
+            m.kv_lora_rank, h, m.v_head_dim)
+        layers.append({**lp, "attn": attn})
+    params = {**params, "layers": tuple(layers)}
+
+    rng = np.random.default_rng(8)
+    B, T = 4, 16
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T), dtype=np.int32))
+    cache = init_cache(cfg, B, 64, dtype=jnp.float32)
+    ref, _ = transformer_forward(cfg, params, ids, cache, 0)
+
+    mesh = make_mesh(tp=4, dp=2)
+    with mesh:
+        sp = shard_params(params, mesh)
+        sc = shard_cache(init_cache(cfg, B, 64, dtype=jnp.float32), mesh, cfg)
+        sids = jax.device_put(ids, NamedSharding(mesh, P("dp", None)))
+        out = jax.jit(
+            lambda p, c, i: transformer_forward(cfg, p, i, c, 0)[0]
+        )(sp, sc, sids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
