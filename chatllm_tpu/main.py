@@ -78,6 +78,11 @@ class Args:
     lens_fn: str = ""
     max_proj_length: int = -1
     dump_dot: str = ""
+    # multi-host (UX analog of the reference's --serve_rpc/--rpc_endpoints,
+    # /root/reference/src/backend.cpp:409-466 — see parallel/distributed.py)
+    coordinator: str = ""
+    num_processes: int = 1
+    process_id: int = 0
 
 
 def parse_args(argv: list[str]) -> Args:
@@ -241,10 +246,23 @@ def parse_args(argv: list[str]) -> Args:
             a.additional[arg[1:]] = "1"
         elif arg == "--layer_spec":
             a.layer_spec = nxt()
+        elif arg == "--coordinator":
+            a.coordinator = nxt()
+        elif arg == "--num_processes":
+            a.num_processes = int(nxt())
+        elif arg == "--process_id":
+            a.process_id = int(nxt())
+        elif arg in ("--rpc_endpoints", "--serve_rpc"):
+            # the reference's RPC remote-device model has no TPU analog —
+            # every host runs THIS program with a shared coordinator instead
+            nxt()
+            print("note: on TPU use --coordinator HOST:PORT --num_processes N "
+                  "--process_id I on every host instead of RPC endpoints "
+                  "(see docs/distributed.md)", file=sys.stderr)
         elif arg in ("--threads", "-n", "--flash_attn", "-fa", "--ggml_dir",
-                     "--rpc_endpoints", "--serve_rpc", "-ngl", "--n_gpu_layers",
-                     "-mgl", "--model_gpu_layers"):
-            # accepted for compatibility; meaningless or not-yet-wired on TPU
+                     "-ngl", "--n_gpu_layers", "-mgl", "--model_gpu_layers"):
+            # accepted for compatibility; meaningless on TPU (XLA owns
+            # threading and placement)
             if arg not in ("--flash_attn", "-fa"):
                 nxt()
         else:
@@ -263,6 +281,7 @@ def usage() -> str:
         "--repeat_penalty, --frequency_penalty, --presence_penalty, --seed,\n"
         "--test FILE, --save_session/--load_session FILE, --cache_dtype,\n"
         "--max_new_tokens, --show, --show_devices, --tokenize, --set K V, +flag\n"
+        "multi-host: --coordinator HOST:PORT --num_processes N --process_id I\n"
     )
 
 
@@ -304,6 +323,16 @@ def main(argv=None) -> int:
 
         argv = preprocess_args(argv)
     a = parse_args(argv)
+
+    if a.coordinator:
+        # multi-host startup: every host runs the same command with its own
+        # --process_id; jax.distributed wires the pod (SURVEY.md §5.8)
+        from .parallel.distributed import init_distributed
+
+        info = init_distributed(a.coordinator, a.num_processes, a.process_id)
+        print(f"distributed: process {info['process_index']}/"
+              f"{info['process_count']}, {info['global_devices']} global "
+              f"device(s)", file=sys.stderr)
 
     if a.show_devices:
         from .parallel.mesh import describe_devices

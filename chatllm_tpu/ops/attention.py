@@ -196,6 +196,66 @@ def _flash_sharded(mesh, q, k_cache, v_cache, n_past, n_tokens, *, scale,
         jnp.asarray(n_tokens, jnp.int32))
 
 
+def _flash_decode_enabled() -> bool:
+    """Pallas flash decode on TPU (env CHATLLM_TPU_FLASH_DECODE overrides)."""
+    import os
+
+    env = os.environ.get("CHATLLM_TPU_FLASH_DECODE", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
+    return _flash_enabled()
+
+
+def _flash_decode_sharded(mesh, q, k_cache, v_cache, n_past, n_tokens, *,
+                          scale, sliding_window, logit_softcap,
+                          k_scale, v_scale, sinks, block_k):
+    """shard_map flash_decode over the mesh: kv heads over 'tp', batch over
+    'dp' (same layout as _flash_sharded).  Returns None when the head/batch
+    counts don't divide the mesh."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .pallas.flash_decode import flash_decode
+
+    B, _, Hq, _ = q.shape
+    Hkv = k_cache.shape[2]
+    tp = mesh.shape.get("tp", 1)
+    dp = mesh.shape.get("dp", 1)
+    if Hq % tp or Hkv % tp or B % dp:
+        return None
+    dp_ax = "dp" if "dp" in mesh.shape else None
+    spec = P(dp_ax, None, "tp", None)
+    sc_spec = P(dp_ax, None, "tp")
+    interp = jax.default_backend() == "cpu"
+    np_vec = jnp.broadcast_to(
+        jnp.asarray(n_past, jnp.int32).reshape(-1), (B,))
+
+    quant = k_scale is not None
+    has_sinks = sinks is not None
+
+    def per_shard(ql, kl, vl, np_, nt_, ksl, vsl, skl):
+        return flash_decode(
+            ql, kl, vl, np_, nt_, scale=scale,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+            k_scale=ksl if quant else None,
+            v_scale=vsl if quant else None,
+            sinks=skl if has_sinks else None,
+            block_k=block_k, interpret=interp)
+
+    dummy_sc = (k_scale if quant
+                else jnp.zeros((B, 1, Hkv), jnp.float32))
+    dummy_vs = v_scale if quant else dummy_sc
+    sk = (jnp.asarray(sinks, jnp.float32) if has_sinks
+          else jnp.zeros((Hq,), jnp.float32))
+    return shard_map(per_shard, mesh=mesh,
+                     in_specs=(spec, spec, spec, P(dp_ax), P(),
+                               sc_spec, sc_spec, P("tp")),
+                     out_specs=spec, check_vma=False)(
+        q, k_cache, v_cache, np_vec, jnp.asarray(n_tokens, jnp.int32),
+        dummy_sc, dummy_vs, sk)
+
+
 def attention_with_cache(
     q: jax.Array,                 # [B, T, Hq, D]
     k_cache: jax.Array,           # [B, S, Hkv, D] (already holds new keys)
@@ -244,6 +304,35 @@ def attention_with_cache(
                     q, k_cache, v_cache, n_past, n_tokens, scale=scale,
                     causal=causal, sliding_window=sliding_window,
                     logit_softcap=logit_softcap, block_q=bq, block_k=bk)
+
+    if (T <= 8 and S >= 512 and causal and alibi_slopes is None
+            and mask_extra is None and _flash_decode_enabled()):
+        bk = _pick_block(S, 512, lo=128)
+        if bk >= 128:
+            from .pallas.flash_decode import flash_decode
+            from .qmm import active_kernel_mesh
+
+            from .qmm import _count
+
+            mesh = active_kernel_mesh()
+            if mesh is not None:
+                out = _flash_decode_sharded(
+                    mesh, q, k_cache, v_cache, n_past, n_tokens, scale=scale,
+                    sliding_window=sliding_window,
+                    logit_softcap=logit_softcap, k_scale=k_scale,
+                    v_scale=v_scale, sinks=sinks, block_k=bk)
+                if out is not None:
+                    _count("flash_decode:pallas_sharded")
+                    return out
+            else:
+                _count("flash_decode:pallas"
+                       + (":q8kv" if k_scale is not None else ""))
+                return flash_decode(
+                    q, k_cache, v_cache, n_past, n_tokens, scale=scale,
+                    sliding_window=sliding_window,
+                    logit_softcap=logit_softcap, k_scale=k_scale,
+                    v_scale=v_scale, sinks=sinks, block_k=bk,
+                    interpret=jax.default_backend() == "cpu")
 
     qg = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
 

@@ -1,0 +1,200 @@
+"""Fused flash-decode attention with IN-KERNEL quantized-KV reads.
+
+Decode attention is bandwidth-bound on the KV cache.  The reference streams
+its (possibly q8_0-quantized) cache straight through flash attention
+(/root/reference/src/layers.cpp:2916-3044); until round 4 our decode steps
+went through the XLA einsum with the int8 cache converted outside any
+kernel, reading 4x the bytes at 4k+ contexts.
+
+This kernel keeps the cache int8 end-to-end: each [block_k, D] K/V tile is
+DMA'd to VMEM as int8 (1 byte/elem off HBM), converted on-chip, and the
+per-(token, head) scale is folded AFTER the q·k dot (a [R, block_k] multiply
+instead of [block_k, D]).  The same kernel serves unquantized caches.
+
+Shapes/design:
+  - q [B, T, Hq, D] with small T (decode steps, T*G rows per KV head).  GQA
+    is folded into the row dimension: rows = G*T per (b, h_kv) program, so
+    the score dot is one [R, D] x [D, block_k] MXU op per tile.
+  - grid (B, Hkv, S/block_k), KV innermost ("arbitrary"), running
+    max/denominator/accumulator in VMEM scratch, exactly like the prefill
+    kernel (ops/pallas/flash.py).
+  - n_past is a PER-ROW [B] vector so the continuous-batching decode path
+    (runtime/batching.py, per-slot positions) uses the same kernel; the
+    single-stream path broadcasts its scalar.
+  - optional attention sinks ([Hq] learned logits that join the softmax
+    denominator but emit no value) are applied at finalization.
+
+Masking semantics match ops/attention.py's XLA paths exactly; all math f32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(np_ref, nt_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   sink_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                   scale, sliding_window, logit_softcap, block_k,
+                   n_kv_blocks, T, quantized, has_sinks):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    n_past = np_ref[b]
+    n_tokens = nt_ref[0]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    R = q_ref.shape[2]
+    k_lo = ki * block_k
+    # newest query row sees keys < n_past + n_tokens; oldest sees >= window lo
+    live = k_lo < n_past + n_tokens
+    if sliding_window > 0:
+        live = jnp.logical_and(
+            live, k_lo + block_k - 1 > n_past - sliding_window)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]                                       # [R, D] f32
+        k = k_ref[0, 0].astype(jnp.float32)                   # [bk, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if quantized:
+            s = s * ks_ref[0, 0][None, :]                     # [1, bk]
+        if logit_softcap > 0.0:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+
+        # row r = g*T + t  →  query position n_past + (r mod T)
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 0)
+        q_pos = n_past + r_idx % T
+        k_pos = k_lo + jax.lax.broadcasted_iota(jnp.int32, (R, block_k), 1)
+        valid = jnp.logical_and(k_pos < n_past + n_tokens, k_pos <= q_pos)
+        if sliding_window > 0:
+            valid = jnp.logical_and(valid, k_pos > q_pos - sliding_window)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)                                # [R, bk]
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[...] = jnp.broadcast_to(
+            l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
+            l_ref.shape)
+        if quantized:
+            p = p * vs_ref[0, 0][None, :]
+        v = v_ref[0, 0].astype(jnp.float32)                   # [bk, Dv]
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * corr + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ki == n_kv_blocks - 1)
+    def _finalize():
+        m = m_ref[:, :1]
+        l = l_ref[:, :1]
+        acc = acc_ref[...]
+        if has_sinks:
+            # sink logit joins the denominator but emits no value
+            # (reference CoreAttention sinks, src/layers.h:1587)
+            sink = sink_ref[0][:, None]                       # [R, 1]
+            m_f = jnp.maximum(m, sink)
+            l = l * jnp.exp(m - m_f) + jnp.exp(sink - m_f)
+            acc = acc * jnp.exp(m - m_f)
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_decode(q, k_cache, v_cache, n_past, n_tokens, *, scale,
+                 sliding_window=0, logit_softcap=0.0,
+                 k_scale=None, v_scale=None, sinks=None,
+                 block_k=512, interpret=False):
+    """Small-Q (decode) attention over the full cache.
+
+    q: [B, T, Hq, D] (T small); k/v_cache: [B, S, Hkv, D(v)] — int8 when
+    k_scale/v_scale ([B, S, Hkv]) are given, any float dtype otherwise.
+    n_past: scalar or [B] vector of per-row frontiers.  Causal within the T
+    new tokens.  Returns [B, T, Hq, Dv].
+    """
+    B, T, Hq, D = q.shape
+    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    Dv = v_cache.shape[-1]
+    G = Hq // Hkv
+    block_k = min(block_k, S)
+    assert S % block_k == 0, (S, block_k)
+    n_kv_blocks = S // block_k
+    quantized = k_scale is not None
+
+    # rows = [G, T] flattened per kv head; pad rows to the f32 sublane tile
+    R = G * T
+    Rp = max(8, -(-R // 8) * 8)
+    qt = jnp.transpose(q.reshape(B, T, Hkv, G, D).astype(jnp.float32),
+                       (0, 2, 3, 1, 4)).reshape(B, Hkv, R, D)
+    if Rp != R:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Rp - R), (0, 0)))
+
+    kt = jnp.transpose(k_cache, (0, 2, 1, 3))                # [B, Hkv, S, D]
+    vt = jnp.transpose(v_cache, (0, 2, 1, 3))
+    if quantized:
+        kst = jnp.transpose(k_scale, (0, 2, 1)).astype(jnp.float32)
+        vst = jnp.transpose(v_scale, (0, 2, 1)).astype(jnp.float32)
+    else:  # 1-element dummies (never read; kernel compiled without scaling)
+        kst = jnp.zeros((B, Hkv, block_k), jnp.float32)
+        vst = kst
+
+    has_sinks = sinks is not None
+    if has_sinks:
+        # per-(kv-head, row) sink logits, row r = g*T + t → head hkv*G + g
+        sk = jnp.asarray(sinks, jnp.float32).reshape(Hkv, G)
+        sk = jnp.repeat(sk, T, axis=1)                        # [Hkv, R]
+        if Rp != R:
+            sk = jnp.pad(sk, ((0, 0), (0, Rp - R)))
+    else:
+        sk = jnp.zeros((Hkv, Rp), jnp.float32)
+
+    np_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (B,))
+    nt = jnp.asarray(n_tokens, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, sliding_window=sliding_window,
+        logit_softcap=logit_softcap, block_k=block_k,
+        n_kv_blocks=n_kv_blocks, T=T, quantized=quantized,
+        has_sinks=has_sinks)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hkv, n_kv_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Rp, D), lambda b, h, ki: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, Dv), lambda b, h, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         (lambda b, h, ki: (b, h, ki)) if quantized
+                         else (lambda b, h, ki: (b, h, 0))),
+            pl.BlockSpec((1, 1, block_k),
+                         (lambda b, h, ki: (b, h, ki)) if quantized
+                         else (lambda b, h, ki: (b, h, 0))),
+            pl.BlockSpec((1, Rp), lambda b, h, ki: (h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Rp, Dv), lambda b, h, ki: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Rp, Dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Rp, Dv), jnp.float32),
+            pltpu.VMEM((Rp, 128), jnp.float32),
+            pltpu.VMEM((Rp, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(np_vec, nt, qt, kt, vt, kst, vst, sk)
+
+    out = out[:, :, :R].reshape(B, Hkv, G, T, Dv)
+    return jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(B, T, Hq, Dv)
