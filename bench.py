@@ -135,6 +135,27 @@ def main():
               file=sys.stderr)
         tok_s_batched = -1.0
 
+    # B=32 aggregate (VERDICT r3 item #6: capture B=32 every round).
+    # ctx capped at 1024 so params + 32-stream cache fit HBM.
+    del cache_b
+    B32 = 32
+    b32_len = int(os.environ.get("BENCH_B32_CTX", "1024"))
+    try:
+        cache_32 = init_cache(cfg, B32, b32_len)
+        tok_32 = jnp.zeros((B32, 1), jnp.int32)
+        t32, cache_32 = decode_n_b(params, cache_32, tok_32, jnp.int32(0))
+        _ = np.asarray(t32)
+        t0 = time.perf_counter()
+        t32, cache_32 = decode_n_b(params, cache_32, tok_32, jnp.int32(0))
+        _ = np.asarray(t32)
+        dt_32 = time.perf_counter() - t0
+        tok_s_b32 = B32 * n_decode / dt_32
+        del cache_32
+    except Exception as e:
+        print(f"B=32 decode failed: {type(e).__name__}: {str(e)[:400]}",
+              file=sys.stderr)
+        tok_s_b32 = -1.0
+
     # roofline for ideal q4_k packing (4.5 bits/weight + f16 embed read ~0)
     n_params = 8.03e9
     ideal_bytes = n_params * 4.5 / 8
@@ -149,7 +170,6 @@ def main():
     # right now (spec HBM BW is not reachable through the axon relay), then
     # divide by the bytes decode actually reads per token (every parameter
     # except the embedding table, which is a 1-row gather)
-    del cache_b
     try:
         probe = jnp.zeros((128, 2048, 2048), jnp.float32)  # 2 GB f32
 
@@ -185,6 +205,7 @@ def main():
         "ttft_ms_512": round(ttft_ms, 1),
         "ttft_ms_2048": round(ttft2k_ms, 1),
         "batched8_tok_s": round(tok_s_batched, 1),
+        "batched32_tok_s": round(tok_s_b32, 1),
         "device": str(dev),
         "param_bytes_actual": pbytes,
         "read_bytes_per_token": read_bytes,
