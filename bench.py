@@ -40,6 +40,13 @@ def main():
     n_decode = int(os.environ.get("BENCH_STEPS", "48"))
 
     cfg = llama3_8b_config(max_length=max_len)
+    # BENCH_CACHE=q8_0 runs the whole bench with the quantized KV cache —
+    # at B=32/ctx-1024 KV reads equal the weight stream, so halving them
+    # moves the composite bandwidth ceiling (BASELINE.md B=32 analysis)
+    cache_env = os.environ.get("BENCH_CACHE", "").strip()
+    if cache_env:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, cache_dtype=cache_env)
     params = build_synthetic_params(cfg, os.environ.get("BENCH_FMT", "q4k"), zeros=True)
     cache = init_cache(cfg, 1, max_len)
     pbytes = param_bytes(params)

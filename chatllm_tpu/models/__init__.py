@@ -50,6 +50,7 @@ from . import dots        # noqa: F401
 from . import step        # noqa: F401
 from . import qwen3_5     # noqa: F401
 from . import neochat     # noqa: F401
+from . import minicpm_o   # noqa: F401
 
 __all__ = [
     "BaseConfig", "BaseLLM", "ParamBuilder", "RuntimeConfig",

@@ -255,6 +255,10 @@ class ModelType(enum.IntEnum):
     GEMMA4 = TAG_ChatImageInVideoInAudioIn + 0x00001
     GEMMA4_Unified = TAG_ChatImageInVideoInAudioIn + 0x00002  # gemma4.cpp:7
 
+    # reference convert.py:294 (MiniCPM_O; converter-only in the reference —
+    # its C++ runtime never registers this id)
+    MINICPM_O = TAG_ChatImageInVideoInAudioInAudioOut + 0x00001
+
     JANUS_PRO = TAG_ChatImageInImageOut + 0x00001
     NEOCHAT = TAG_ChatImageInImageOut + 0x00010
 

@@ -305,8 +305,20 @@ def attention_with_cache(
                     causal=causal, sliding_window=sliding_window,
                     logit_softcap=logit_softcap, block_q=bq, block_k=bk)
 
-    if (T <= 8 and S >= 512 and causal and alibi_slopes is None
-            and mask_extra is None and _flash_decode_enabled()):
+    # Routing tuned on real v5e (2026-08-20 A/B, /tmp/attn_ab.py): the
+    # per-(batch, kv-head) grid only beats XLA's batched einsum when the
+    # total row count is tiny and the cache is long (B=1 S=4096: 1.18x q8,
+    # 1.05x bf16); at B=32 XLA sustains ~675 GB/s effective KV reads and the
+    # kernel loses 2x+.  CHATLLM_TPU_FLASH_DECODE=1 forces it everywhere
+    # (tests / future parts).
+    import os as _os
+
+    _forced = _os.environ.get("CHATLLM_TPU_FLASH_DECODE", "").strip() == "1"
+    _min_s = 512 if _forced else 4096
+    if (T <= 8 and S >= _min_s and causal and alibi_slopes is None
+            and mask_extra is None
+            and (_forced or B * G * T <= 16)
+            and _flash_decode_enabled()):
         bk = _pick_block(S, 512, lo=128)
         if bk >= 128:
             from .pallas.flash_decode import flash_decode

@@ -68,7 +68,7 @@ def _decode_kernel(np_ref, nt_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if quantized:
-            s = s * ks_ref[0, 0][None, :]                     # [1, bk]
+            s = s * ks_ref[0]                                 # [1, bk]
         if logit_softcap > 0.0:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
 
@@ -89,7 +89,7 @@ def _decode_kernel(np_ref, nt_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
             l_ref.shape)
         if quantized:
-            p = p * vs_ref[0, 0][None, :]
+            p = p * vs_ref[0]                                 # [1, bk]
         v = v_ref[0, 0].astype(jnp.float32)                   # [bk, Dv]
         pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -104,7 +104,7 @@ def _decode_kernel(np_ref, nt_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         if has_sinks:
             # sink logit joins the denominator but emits no value
             # (reference CoreAttention sinks, src/layers.h:1587)
-            sink = sink_ref[0][:, None]                       # [R, 1]
+            sink = sink_ref[0]                                # [Rp, 1]
             m_f = jnp.maximum(m, sink)
             l = l * jnp.exp(m - m_f) + jnp.exp(sink - m_f)
             acc = acc * jnp.exp(m - m_f)
@@ -141,22 +141,29 @@ def flash_decode(q, k_cache, v_cache, n_past, n_tokens, *, scale,
 
     kt = jnp.transpose(k_cache, (0, 2, 1, 3))                # [B, Hkv, S, D]
     vt = jnp.transpose(v_cache, (0, 2, 1, 3))
+    # scales laid out [B*Hkv, 1, S] so the (1, block_k) block equals the
+    # array's last-two dims (Mosaic requires block dims divide (8, 128) or
+    # equal the array dims); each program DMAs only its own head's scales
     if quantized:
-        kst = jnp.transpose(k_scale, (0, 2, 1)).astype(jnp.float32)
-        vst = jnp.transpose(v_scale, (0, 2, 1)).astype(jnp.float32)
-    else:  # 1-element dummies (never read; kernel compiled without scaling)
-        kst = jnp.zeros((B, Hkv, block_k), jnp.float32)
+        kst = jnp.transpose(k_scale, (0, 2, 1)).astype(
+            jnp.float32).reshape(B * Hkv, 1, S)
+        vst = jnp.transpose(v_scale, (0, 2, 1)).astype(
+            jnp.float32).reshape(B * Hkv, 1, S)
+    else:  # 1-block dummies (never read; kernel compiled without scaling)
+        kst = jnp.zeros((B * Hkv, 1, block_k), jnp.float32)
         vst = kst
 
     has_sinks = sinks is not None
     if has_sinks:
-        # per-(kv-head, row) sink logits, row r = g*T + t → head hkv*G + g
+        # per-(kv-head, row) sink logits, row r = g*T + t → head hkv*G + g,
+        # laid out [Hkv, Rp, 1] so the block equals the last-two array dims
         sk = jnp.asarray(sinks, jnp.float32).reshape(Hkv, G)
         sk = jnp.repeat(sk, T, axis=1)                        # [Hkv, R]
         if Rp != R:
             sk = jnp.pad(sk, ((0, 0), (0, Rp - R)))
+        sk = sk[:, :, None]                                   # [Hkv, Rp, 1]
     else:
-        sk = jnp.zeros((Hkv, Rp), jnp.float32)
+        sk = jnp.zeros((Hkv, Rp, 1), jnp.float32)
 
     np_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (B,))
     nt = jnp.asarray(n_tokens, jnp.int32).reshape(1)
@@ -177,12 +184,14 @@ def flash_decode(q, k_cache, v_cache, n_past, n_tokens, *, scale,
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, block_k, Dv), lambda b, h, ki: (b, h, ki, 0)),
             pl.BlockSpec((1, 1, block_k),
-                         (lambda b, h, ki: (b, h, ki)) if quantized
-                         else (lambda b, h, ki: (b, h, 0))),
+                         (lambda b, h, ki, H=Hkv: (b * H + h, 0, ki))
+                         if quantized
+                         else (lambda b, h, ki: (0, 0, 0))),
             pl.BlockSpec((1, 1, block_k),
-                         (lambda b, h, ki: (b, h, ki)) if quantized
-                         else (lambda b, h, ki: (b, h, 0))),
-            pl.BlockSpec((1, Rp), lambda b, h, ki: (h, 0)),
+                         (lambda b, h, ki, H=Hkv: (b * H + h, 0, ki))
+                         if quantized
+                         else (lambda b, h, ki: (0, 0, 0))),
+            pl.BlockSpec((1, Rp, 1), lambda b, h, ki: (h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, Rp, Dv), lambda b, h, ki: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Rp, Dv), q.dtype),

@@ -84,16 +84,28 @@ class BatchedEngine:
 
     def __init__(self, cfg: TransformerConfig, params, *, max_slots: int = 4,
                  max_length: int | None = None, decode_block: int = 8,
-                 scfg: SamplerConfig | None = None):
+                 scfg: SamplerConfig | None = None, mesh=None):
         self._validate_config(cfg)
         self.cfg = cfg
-        self.params = params
         self.max_slots = max_slots
         self.max_length = max_length or cfg.max_length
         self.decode_block = decode_block
         self.scfg = scfg or SamplerConfig()
+        self.mesh = mesh
 
         self.cache = init_cache(cfg, max_slots, self.max_length)
+        if mesh is not None:
+            # serving composed with the mesh (SURVEY §2.7 P5 done right):
+            # weights tensor-parallel over 'tp', the shared KV cache and
+            # batch dim over 'dp'.  The input arrays CARRY their
+            # NamedShardings, so the worker thread's jitted prefill/decode
+            # propagate them through GSPMD without needing an active mesh
+            # context on that thread.
+            from ..parallel.mesh import shard_cache, shard_params
+
+            params = shard_params(params, mesh)
+            self.cache = shard_cache(self.cache, mesh, cfg)
+        self.params = params
         self.n_past = np.zeros(max_slots, np.int64)
         self.toks = np.zeros(max_slots, np.int32)
         self.slots: list[Optional[_Slot]] = [None] * max_slots

@@ -59,7 +59,7 @@ class ApiServer:
     def __init__(self, model, *, model_name: str = "default",
                  emb_model=None, rerank_model=None,
                  gen_config: GenerationConfig | None = None,
-                 max_slots: int = 1):
+                 max_slots: int = 1, mesh=None):
         self.model = model
         self.model_name = model_name
         self.emb_model = emb_model
@@ -78,7 +78,7 @@ class ApiServer:
             try:
                 self.batch = BatchedEngine(
                     model.cfg, model.params, max_slots=max_slots,
-                    scfg=self.gen_config.sampler_config())
+                    scfg=self.gen_config.sampler_config(), mesh=mesh)
             except ValueError as e:
                 # model outside BatchedEngine's v1 scope (SWA ring cache,
                 # compressed MLA, ...) -> serve single-slot behind the lock

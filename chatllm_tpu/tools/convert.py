@@ -2518,6 +2518,9 @@ def _load_extra_converters():
     ARCH_ALIASES.update(convert_extra3.EXTRA_ALIASES3)
     from . import convert_extra4
     ARCH_CONVERTERS.update(convert_extra4.EXTRA_CONVERTERS4)
+    from . import convert_extra5
+    ARCH_CONVERTERS.update(convert_extra5.EXTRA_CONVERTERS5)
+    ARCH_ALIASES.update(convert_extra5.EXTRA_ALIASES5)
 
 
 def convert(model_dir: str, out_path: str, quant: str = "q8_0",
