@@ -202,3 +202,93 @@ class ChatLLM:
     def show_statistics(self) -> str:
         """chatllm_show_statistics (libchatllm.h:369-375)."""
         return self.pipeline.show_statistics()
+
+    # -- C-ABI helpers (native/libchatllm.cpp) --------------------------------
+    def set_cursor(self, pos: int) -> int:
+        """chatllm_set_cursor (libchatllm.h:226-231): rewind-and-regenerate.
+        Per the header's own warning, save-session history is unreliable
+        after use."""
+        self.pipeline.n_past = int(pos)
+        return int(pos)
+
+    def token_vocab(self) -> list[bytes]:
+        """chatllm_get_token_vocab (libchatllm.h:480): all token pieces."""
+        tok = self.pipeline.tokenizer
+        return [tok.tp.id_to_piece_bytes(i) for i in range(tok.vocab_size)]
+
+    def multimedia_msg_prepare(self):
+        """chatllm_multimedia_msg_prepare (libchatllm.h:166)."""
+        self._mm_pieces: list[tuple[str, str]] = []
+
+    def multimedia_msg_append(self, kind: str, content: str) -> int:
+        """chatllm_multimedia_msg_append: content is utf8 text or base64
+        media bytes (libchatllm.h:171-178)."""
+        if not hasattr(self, "_mm_pieces"):
+            self._mm_pieces = []
+        self._mm_pieces.append((kind, content))
+        return 0
+
+    def _mm_decode(self):
+        import base64
+        import tempfile
+
+        texts = [c for t, c in getattr(self, "_mm_pieces", []) if t == "text"]
+        media = [(t, c) for t, c in getattr(self, "_mm_pieces", [])
+                 if t != "text"]
+        paths = []
+        for kind, b64 in media:
+            f = tempfile.NamedTemporaryFile(suffix="." + kind, delete=False)
+            f.write(base64.b64decode(b64))
+            f.close()
+            paths.append((kind, f.name))
+        return " ".join(texts), paths
+
+    def user_input_multimedia_msg(self) -> str:
+        """chatllm_user_input_multimedia_msg: run the accumulated message
+        (one media piece routed through the model's one-shot multimodal
+        chat, matching the CLI's {{image:path}} path)."""
+        import os
+
+        text, paths = self._mm_decode()
+        if not paths:
+            return self.chat(text)
+        assert len(paths) == 1, "one media piece per message supported"
+        kind, path = paths[0]
+        fn = {"image": "chat_image", "video": "chat_video",
+              "audio": "chat_audio"}[kind]
+        model = self.pipeline.model
+        assert hasattr(model, fn), f"model has no {fn}()"
+        try:
+            return getattr(model, fn)(path, text, self.pipeline.gen_config,
+                                      self.streamer)
+        finally:
+            os.unlink(path)
+
+    def history_append_multimedia_msg(self, role: int) -> int:
+        """chatllm_history_append_multimedia_msg: records the text pieces
+        (media pieces in restored history are not re-embedded — limitation
+        documented in docs/binding.md)."""
+        text, paths = self._mm_decode()
+        import os
+
+        for _k, p in paths:
+            os.unlink(p)
+        self.pipeline.history.push_back(MsgRole(role), text)
+        return 0
+
+    def embedding(self, text: str, purpose: int = 0):
+        """chatllm_embedding (libchatllm.h:336): purpose 0=doc, 1=query
+        (forwarded when the model distinguishes, e.g. Qwen3-Embedding)."""
+        model = self.pipeline.model
+        assert hasattr(model, "embed"), "not an embedding model"
+        try:
+            return list(model.embed(text, purpose=purpose))
+        except TypeError:
+            return list(model.embed(text))
+
+    def rag_select_store(self, name: str) -> int:
+        """chatllm_rag_select_store: only meaningful on a RAG pipeline."""
+        sel = getattr(self.pipeline, "select_store", None)
+        if sel is None:
+            return -1
+        return int(sel(name))

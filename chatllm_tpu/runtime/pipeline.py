@@ -219,21 +219,35 @@ class Pipeline:
                 for m in self.history.items
             ],
         }
+        def _np(x):
+            a = np.asarray(x)
+            # bf16 has no stable npz representation (round-trips as void);
+            # store those planes f32 — cast back to the cache dtype on load
+            return a.astype(np.float32) if a.dtype.kind not in "fiu" else a
+
         arrays = {}
         if self._cache is not None:
             for i, (k, v) in enumerate(zip(self._cache.k, self._cache.v)):
-                arrays[f"k{i}"] = np.asarray(k[:, : self.n_past])
-                arrays[f"v{i}"] = np.asarray(v[:, : self.n_past])
+                arrays[f"k{i}"] = _np(k[:, : self.n_past])
+                arrays[f"v{i}"] = _np(v[:, : self.n_past])
             if self._cache.k_scale is not None:
                 for i, (ks, vs) in enumerate(zip(self._cache.k_scale,
                                                  self._cache.v_scale)):
                     arrays[f"ks{i}"] = np.asarray(ks[:, : self.n_past])
                     arrays[f"vs{i}"] = np.asarray(vs[:, : self.n_past])
-        np.savez(path, __meta__=json.dumps(meta), **arrays)
+        # write to the EXACT filename (np.savez appends .npz; the reference
+        # saves to the literal path the caller gave, src/chat.cpp:2106)
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, __meta__=json.dumps(meta), **arrays)
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
 
     def load_session(self, path: str):
-        data = np.load(path if path.endswith(".npz") else path + ".npz",
-                       allow_pickle=False)
+        if not os.path.isfile(path) and os.path.isfile(path + ".npz"):
+            path = path + ".npz"   # sessions saved by pre-round-4 builds
+        data = np.load(path, allow_pickle=False)
         meta = json.loads(str(data["__meta__"]))
         assert meta["magic"] == SESSION_MAGIC, "bad session file"
         assert meta["model_type"] == int(self.model.model_type), "session/model mismatch"
@@ -255,8 +269,10 @@ class Pipeline:
             vss = list(self._cache.v_scale) if quant else None
             for i in range(len(ks)):
                 kk = data[f"k{i}"]
-                ks[i] = ks[i].at[:, : kk.shape[1]].set(kk)
-                vs[i] = vs[i].at[:, : kk.shape[1]].set(data[f"v{i}"])
+                ks[i] = ks[i].at[:, : kk.shape[1]].set(
+                    kk.astype(ks[i].dtype))
+                vs[i] = vs[i].at[:, : kk.shape[1]].set(
+                    data[f"v{i}"].astype(vs[i].dtype))
                 if quant and f"ks{i}" in data:
                     kss[i] = kss[i].at[:, : kk.shape[1]].set(data[f"ks{i}"])
                     vss[i] = vss[i].at[:, : kk.shape[1]].set(data[f"vs{i}"])
