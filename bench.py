@@ -163,6 +163,40 @@ def main():
               file=sys.stderr)
         tok_s_b32 = -1.0
 
+    # B=32 with the q8 KV cache: at this shape KV reads equal the weight
+    # stream, so int8 KV moves the composite bandwidth ceiling ~33% up
+    # (BASELINE.md B=32 analysis; serving should prefer --cache_dtype q8_0)
+    try:
+        import dataclasses
+
+        cfg_q8 = dataclasses.replace(cfg, cache_dtype="q8_0")
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode_n_b_q8(params, cache, tok, n_past):
+            def body(carry, _):
+                tok, cache, n_past = carry
+                logits, cache = transformer_forward(cfg_q8, params, tok,
+                                                    cache, n_past)
+                nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+                return (nxt, cache, n_past + 1), None
+            (tok, cache, n_past), _ = jax.lax.scan(
+                body, (tok, cache, n_past), None, length=n_decode)
+            return tok, cache
+
+        cache_q8 = init_cache(cfg_q8, B32, b32_len)
+        tok_32 = jnp.zeros((B32, 1), jnp.int32)
+        t32, cache_q8 = decode_n_b_q8(params, cache_q8, tok_32, jnp.int32(0))
+        _ = np.asarray(t32)
+        t0 = time.perf_counter()
+        t32, cache_q8 = decode_n_b_q8(params, cache_q8, tok_32, jnp.int32(0))
+        _ = np.asarray(t32)
+        tok_s_b32_q8 = B32 * n_decode / (time.perf_counter() - t0)
+        del cache_q8
+    except Exception as e:
+        print(f"B=32 q8-KV decode failed: {type(e).__name__}: {str(e)[:400]}",
+              file=sys.stderr)
+        tok_s_b32_q8 = -1.0
+
     # roofline for ideal q4_k packing (4.5 bits/weight + f16 embed read ~0)
     n_params = 8.03e9
     ideal_bytes = n_params * 4.5 / 8
@@ -213,6 +247,7 @@ def main():
         "ttft_ms_2048": round(ttft2k_ms, 1),
         "batched8_tok_s": round(tok_s_batched, 1),
         "batched32_tok_s": round(tok_s_b32, 1),
+        "batched32_q8kv_tok_s": round(tok_s_b32_q8, 1),
         "device": str(dev),
         "param_bytes_actual": pbytes,
         "read_bytes_per_token": read_bytes,
