@@ -121,7 +121,32 @@ def flash_decode(q, k_cache, v_cache, n_past, n_tokens, *, scale,
     k_scale/v_scale ([B, S, Hkv]) are given, any float dtype otherwise.
     n_past: scalar or [B] vector of per-row frontiers.  Causal within the T
     new tokens.  Returns [B, T, Hq, Dv].
+
+    Dispatches to the batched all-heads kernel (contiguous DMAs of the
+    native [B, S, H, D] cache layout, no transpose copy) whenever the head
+    dims are lane-aligned; the per-(b, h) kernel below is the fallback.
     """
+    D, Dv = q.shape[-1], v_cache.shape[-1]
+    Hkv = k_cache.shape[2]
+    if (D % 128 == 0 and Dv % 128 == 0) or Hkv == 1:
+        return _flash_decode_batched(
+            q, k_cache, v_cache, n_past, n_tokens, scale=scale,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+            k_scale=k_scale, v_scale=v_scale, sinks=sinks,
+            block_k=block_k, interpret=interpret)
+    return _flash_decode_perhead(
+        q, k_cache, v_cache, n_past, n_tokens, scale=scale,
+        sliding_window=sliding_window, logit_softcap=logit_softcap,
+        k_scale=k_scale, v_scale=v_scale, sinks=sinks,
+        block_k=block_k, interpret=interpret)
+
+
+def _flash_decode_perhead(q, k_cache, v_cache, n_past, n_tokens, *, scale,
+                          sliding_window=0, logit_softcap=0.0,
+                          k_scale=None, v_scale=None, sinks=None,
+                          block_k=512, interpret=False):
+    """Original per-(batch, kv-head) grid.  Pays a transposed cache copy on
+    the host side — kept only for head dims that aren't 128-lane aligned."""
     B, T, Hq, D = q.shape
     S, Hkv = k_cache.shape[1], k_cache.shape[2]
     Dv = v_cache.shape[-1]
@@ -206,4 +231,171 @@ def flash_decode(q, k_cache, v_cache, n_past, n_tokens, *, scale,
     )(np_vec, nt, qt, kt, vt, kst, vst, sk)
 
     out = out[:, :, :R].reshape(B, Hkv, G, T, Dv)
+    return jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(B, T, Hq, Dv)
+
+
+def _batched_kernel(np_ref, nt_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                    sink_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                    scale, sliding_window, logit_softcap, block_k,
+                    n_kv_blocks, T, Hkv, Rp, D, Dv, quantized, has_sinks):
+    """All kv heads of one (batch row, KV block) per program.
+
+    The K/V blocks arrive as contiguous [block_k, Hkv*D] tiles of the cache's
+    NATIVE layout (one straight-line DMA off HBM — the whole point); per-head
+    [block_k, D] views are static lane slices.  Rows of every per-row scratch
+    are grouped [h*Rp : (h+1)*Rp]."""
+    b = pl.program_id(0)
+    ki = pl.program_id(1)
+    n_past = np_ref[b]
+    n_tokens = nt_ref[0]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    k_lo = ki * block_k
+    live = k_lo < n_past + n_tokens
+    if sliding_window > 0:
+        live = jnp.logical_and(
+            live, k_lo + block_k - 1 > n_past - sliding_window)
+
+    @pl.when(live)
+    def _compute():
+        # masks are head-independent: build [Rp, block_k] once
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (Rp, block_k), 0)
+        q_pos = n_past + r_idx % T
+        k_pos = k_lo + jax.lax.broadcasted_iota(jnp.int32, (Rp, block_k), 1)
+        valid = jnp.logical_and(k_pos < n_past + n_tokens, k_pos <= q_pos)
+        if sliding_window > 0:
+            valid = jnp.logical_and(valid, k_pos > q_pos - sliding_window)
+
+        kb = k_ref[0]                                         # [bk, Hkv*D]
+        vb = v_ref[0]                                         # [bk, Hkv*Dv]
+        for h in range(Hkv):
+            rows = slice(h * Rp, (h + 1) * Rp)
+            qh = q_ref[0, rows]                               # [Rp, D] f32
+            kh = kb[:, h * D:(h + 1) * D].astype(jnp.float32)  # [bk, D]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            if quantized:
+                s = s * ks_ref[0, h][None, :]                 # [1, bk]
+            if logit_softcap > 0.0:
+                s = jnp.tanh(s / logit_softcap) * logit_softcap
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_prev = m_ref[rows, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_ref[rows] = jnp.broadcast_to(
+                l_ref[rows][:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
+                (Rp, l_ref.shape[1]))
+            if quantized:
+                p = p * vs_ref[0, h][None, :]
+            vh = vb[:, h * Dv:(h + 1) * Dv].astype(jnp.float32)
+            pv = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_ref[rows] = acc_ref[rows] * corr + pv
+            m_ref[rows] = jnp.broadcast_to(m_new, (Rp, m_ref.shape[1]))
+
+    @pl.when(ki == n_kv_blocks - 1)
+    def _finalize():
+        m = m_ref[:, :1]
+        l = l_ref[:, :1]
+        acc = acc_ref[...]
+        if has_sinks:
+            sink = sink_ref[...]                              # [Hkv*Rp, 1]
+            m_f = jnp.maximum(m, sink)
+            l = l * jnp.exp(m - m_f) + jnp.exp(sink - m_f)
+            acc = acc * jnp.exp(m - m_f)
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_decode_batched(q, k_cache, v_cache, n_past, n_tokens, *, scale,
+                          sliding_window=0, logit_softcap=0.0,
+                          k_scale=None, v_scale=None, sinks=None,
+                          block_k=512, interpret=False):
+    B, T, Hq, D = q.shape
+    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    Dv = v_cache.shape[-1]
+    G = Hq // Hkv
+    quantized = k_scale is not None
+
+    # cap the K/V tile at ~1 MB so double-buffered DMA fits VMEM comfortably
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    while block_k > 128 and block_k * Hkv * max(D, Dv) * itemsize > (1 << 20):
+        block_k //= 2
+    block_k = min(block_k, S)
+    assert S % block_k == 0, (S, block_k)
+    n_kv_blocks = S // block_k
+
+    R = G * T
+    Rp = max(8, -(-R // 8) * 8)
+    qt = jnp.transpose(q.reshape(B, T, Hkv, G, D).astype(jnp.float32),
+                       (0, 2, 3, 1, 4)).reshape(B, Hkv, R, D)
+    if Rp != R:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Rp - R), (0, 0)))
+    qt = qt.reshape(B, Hkv * Rp, D)
+
+    kf = k_cache.reshape(B, S, Hkv * D)          # contiguous view — no copy
+    vf = v_cache.reshape(B, S, Hkv * Dv)
+
+    if quantized:
+        kst = jnp.transpose(k_scale, (0, 2, 1)).astype(jnp.float32)  # [B,H,S]
+        vst = jnp.transpose(v_scale, (0, 2, 1)).astype(jnp.float32)
+    else:  # 1-block dummies (never read; kernel compiled without scaling)
+        kst = jnp.zeros((B, Hkv, block_k), jnp.float32)
+        vst = kst
+
+    has_sinks = sinks is not None
+    if has_sinks:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(Hkv, G)
+        sk = jnp.repeat(sk, T, axis=1)                        # [Hkv, R]
+        if Rp != R:
+            sk = jnp.pad(sk, ((0, 0), (0, Rp - R)))
+        sk = sk.reshape(Hkv * Rp, 1)
+    else:
+        sk = jnp.zeros((Hkv * Rp, 1), jnp.float32)
+
+    np_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32).reshape(-1), (B,))
+    nt = jnp.asarray(n_tokens, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _batched_kernel, scale=scale, sliding_window=sliding_window,
+        logit_softcap=logit_softcap, block_k=block_k,
+        n_kv_blocks=n_kv_blocks, T=T, Hkv=Hkv, Rp=Rp, D=D, Dv=Dv,
+        quantized=quantized, has_sinks=has_sinks)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_kv_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hkv * Rp, D), lambda b, ki: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, Hkv * D), lambda b, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, Hkv * Dv), lambda b, ki: (b, ki, 0)),
+            pl.BlockSpec((1, Hkv, block_k),
+                         (lambda b, ki: (b, 0, ki)) if quantized
+                         else (lambda b, ki: (0, 0, 0))),
+            pl.BlockSpec((1, Hkv, block_k),
+                         (lambda b, ki: (b, 0, ki)) if quantized
+                         else (lambda b, ki: (0, 0, 0))),
+            pl.BlockSpec((Hkv * Rp, 1), lambda b, ki: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hkv * Rp, Dv), lambda b, ki: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv * Rp, Dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv * Rp, Dv), jnp.float32),
+            pltpu.VMEM((Hkv * Rp, 128), jnp.float32),
+            pltpu.VMEM((Hkv * Rp, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(np_vec, nt, qt, kf, vf, kst, vst, sk)
+
+    out = out.reshape(B, Hkv, Rp, Dv)[:, :, :R].reshape(B, Hkv, G, T, Dv)
     return jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(B, T, Hq, Dv)

@@ -21,10 +21,13 @@ def _mk(B=2, T=1, Hq=8, Hkv=4, D=64, S=1024, n_past=700, seed=0):
     return q, k, v, n_past
 
 
+# D=64 exercises the per-(b, h) fallback kernel, D=128 the batched
+# all-heads kernel (contiguous native-layout DMA path)
+@pytest.mark.parametrize("D", [64, 128])
 @pytest.mark.parametrize("T", [1, 4])
 @pytest.mark.parametrize("quant", [False, True])
-def test_flash_decode_matches_xla(T, quant):
-    q, k, v, n_past = _mk(T=T)
+def test_flash_decode_matches_xla(T, quant, D):
+    q, k, v, n_past = _mk(T=T, D=D)
     scale = 1.0 / np.sqrt(q.shape[-1])
     kw = {}
     if quant:
@@ -83,6 +86,36 @@ def test_flash_decode_uneven_rows_pad():
     v = jnp.asarray(rng.standard_normal((1, 512, 2, 64)), jnp.float32)
     ref = attention_with_cache(q, k, v, 300, 1, scale=0.125)
     got = flash_decode(q, k, v, 300, 1, scale=0.125, interpret=True,
+                       block_k=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_decode_batched_variants():
+    """Batched all-heads kernel: sliding window + softcap + sinks + per-row
+    n_past + B=8 serving shape, all at lane-aligned D=128."""
+    q, k, v, _ = _mk(B=8, T=1, Hq=8, Hkv=4, D=128, S=512, seed=21)
+    n_past = jnp.asarray([10, 500, 256, 511, 64, 300, 128, 1], jnp.int32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    sinks = jnp.asarray(
+        np.random.default_rng(23).standard_normal(8), jnp.float32)
+    ref = attention_with_cache(q, kq, vq, n_past, 1, scale=0.1,
+                               sliding_window=192, logit_softcap=30.0,
+                               sinks=sinks, k_scale=ks, v_scale=vs)
+    got = flash_decode(q, kq, vq, n_past, 1, scale=0.1, sliding_window=192,
+                       logit_softcap=30.0, sinks=sinks, k_scale=ks,
+                       v_scale=vs, interpret=True, block_k=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_decode_batched_single_head_odd_dim():
+    """Hkv=1 with a non-128-multiple head dim (MLA-compressed-latent shape)
+    still takes the batched kernel (whole-array lane block)."""
+    q, k, v, n_past = _mk(B=2, T=1, Hq=4, Hkv=1, D=192, S=512, seed=29)
+    ref = attention_with_cache(q, k, v, n_past, 1, scale=0.08)
+    got = flash_decode(q, k, v, n_past, 1, scale=0.08, interpret=True,
                        block_k=256)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
