@@ -24,6 +24,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _dot(sub, a, b, bf16_dots):
+    """Attention einsum with MXU-friendly input dtypes.
+
+    When the model computes in bf16 (q arrives bf16 — the production TPU
+    path), run the dot with bf16 inputs and f32 accumulation: full MXU rate,
+    and int8 cache values convert to bf16 EXACTLY so a q8 cache never pays
+    an f32 materialization.  When q is f32 (parity tests, --compute f32),
+    keep the full-precision f32 dot."""
+    if bf16_dots:
+        return jnp.einsum(sub, a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum(sub, a, b.astype(jnp.float32))
+
+
 def quantize_kv(x):
     """Per-(token, head) symmetric int8 quantization of K/V vectors
     (the q8 cache mode; reference quantized KV cache src/layers.cpp:2933).
@@ -100,7 +114,8 @@ def _pick_block(dim: int, want: int, lo: int = 16) -> int:
 
 def _chunked_attention(qg, k_cache, v_cache, n_past, n_tokens, *, scale,
                        causal, sliding_window, logit_softcap,
-                       k_scale=None, v_scale=None, chunk: int = 1024):
+                       k_scale=None, v_scale=None, chunk: int = 1024,
+                       bf16_dots: bool = False):
     """Flash-style attention over KV chunks with a running softmax, so the
     [T, S] score matrix never materializes (long-context prefill).  Exact
     (not approximate); same masking semantics as the dense path."""
@@ -131,7 +146,7 @@ def _chunked_attention(qg, k_cache, v_cache, n_past, n_tokens, *, scale,
         else:
             kc, vc, ci = inp
             ksc = vsc = None
-        scores = jnp.einsum("bthgd,bshd->bhgts", qg, kc.astype(jnp.float32)) * scale
+        scores = _dot("bthgd,bshd->bhgts", qg, kc, bf16_dots) * scale
         if ksc is not None:
             scores = scores * ksc.transpose(0, 2, 1)[:, :, None, None, :]
         if logit_softcap > 0.0:
@@ -151,8 +166,8 @@ def _chunked_attention(qg, k_cache, v_cache, n_past, n_tokens, *, scale,
             p_v = p
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum(
-            "bhgts,bshd->bhgtd", p_v, vc.astype(jnp.float32))
+        acc = acc * corr[..., None] + _dot(
+            "bhgts,bshd->bhgtd", p_v, vc, bf16_dots)
         return (m_new, l, acc), None
 
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), tuple(xs))
@@ -305,19 +320,22 @@ def attention_with_cache(
                     causal=causal, sliding_window=sliding_window,
                     logit_softcap=logit_softcap, block_q=bq, block_k=bk)
 
-    # Routing tuned on real v5e (2026-08-20 A/B, /tmp/attn_ab.py): the
-    # per-(batch, kv-head) grid only beats XLA's batched einsum when the
-    # total row count is tiny and the cache is long (B=1 S=4096: 1.18x q8,
-    # 1.05x bf16); at B=32 XLA sustains ~675 GB/s effective KV reads and the
-    # kernel loses 2x+.  CHATLLM_TPU_FLASH_DECODE=1 forces it everywhere
-    # (tests / future parts).
+    # Routing re-tuned on real v5e (2026-08-20, in-LOOP model-level A/B —
+    # isolated per-op timings are dispatch-floor contaminated through the
+    # axon tunnel): the batched all-heads kernel wins only for QUANTIZED
+    # caches at tiny row counts x long contexts (B=1 q8: +2.5% at 4k,
+    # +2% at 16k vs the XLA einsum); for bf16 caches and for B>=8 XLA's
+    # einsum wins everywhere (its layout freedom inside the decode scan is
+    # decisive — a pallas_call on the scan-carried cache pays a relayout
+    # copy of K/V every step).  CHATLLM_TPU_FLASH_DECODE=1 forces the
+    # kernel everywhere (tests / other TPU generations).
     import os as _os
 
     _forced = _os.environ.get("CHATLLM_TPU_FLASH_DECODE", "").strip() == "1"
     _min_s = 512 if _forced else 4096
     if (T <= 8 and S >= _min_s and causal and alibi_slopes is None
             and mask_extra is None
-            and (_forced or B * G * T <= 16)
+            and (_forced or (B * G * T <= 16 and k_scale is not None))
             and _flash_decode_enabled()):
         bk = _pick_block(S, 512, lo=128)
         if bk >= 128:
@@ -347,6 +365,7 @@ def attention_with_cache(
                     interpret=jax.default_backend() == "cpu")
 
     qg = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
+    bf16_dots = q.dtype == jnp.bfloat16
 
     if jnp.ndim(n_past) == 1:
         # continuous-batching decode: per-slot positions (runtime/batching.py)
@@ -355,6 +374,7 @@ def attention_with_cache(
             causal=causal, logit_softcap=logit_softcap,
             sliding_window=sliding_window, sinks=sinks,
             alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+            bf16_dots=bf16_dots,
         ).reshape(B, T, Hq, v_cache.shape[-1]).astype(q.dtype)
 
     if (S >= CHUNKED_ATTN_THRESHOLD and sinks is None
@@ -363,12 +383,12 @@ def attention_with_cache(
         out = _chunked_attention(
             qg, k_cache, v_cache, n_past, n_tokens, scale=scale,
             causal=causal, sliding_window=sliding_window,
-            logit_softcap=logit_softcap, k_scale=k_scale, v_scale=v_scale)
+            logit_softcap=logit_softcap, k_scale=k_scale, v_scale=v_scale,
+            bf16_dots=bf16_dots)
         return out.reshape(B, T, Hq, v_cache.shape[-1]).astype(q.dtype)
 
-    kf = k_cache.astype(jnp.float32)
     # scores: [B, Hkv, G, T, S]
-    scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * scale
+    scores = _dot("bthgd,bshd->bhgts", qg, k_cache, bf16_dots) * scale
     if k_scale is not None:
         # int8 K: fold per-(token, head) scale into scores
         scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
@@ -408,20 +428,21 @@ def attention_with_cache(
     if v_scale is not None:
         # int8 V: fold per-(token, head) scale into the probabilities
         p = p * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
-    out = jnp.einsum("bhgts,bshd->bthgd", p, v_cache.astype(jnp.float32))
+    out = _dot("bhgts,bshd->bthgd", p, v_cache, bf16_dots)
     return out.reshape(B, T, Hq, v_cache.shape[-1]).astype(q.dtype)
 
 
 def _batched_npast_attention(qg, k_cache, v_cache, n_past, n_tokens, *,
                              scale, causal, logit_softcap, sliding_window,
-                             sinks, alibi_slopes, k_scale, v_scale):
+                             sinks, alibi_slopes, k_scale, v_scale,
+                             bf16_dots=False):
     """Dense attention with a PER-ROW n_past vector [B] — each batch slot
     sees its own causal frontier.  Serving-path analog of the reference's
     per-slot KV state (one C++ model object per stream); here one shared
     [B, S] cache + per-row masks so decode stays a single batched einsum."""
     B, T, Hkv, G, D = qg.shape
     S = k_cache.shape[1]
-    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_cache.astype(jnp.float32)) * scale
+    scores = _dot("bthgd,bshd->bhgts", qg, k_cache, bf16_dots) * scale
     if k_scale is not None:
         scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     if logit_softcap > 0.0:
@@ -453,7 +474,7 @@ def _batched_npast_attention(qg, k_cache, v_cache, n_past, n_tokens, *,
         p = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
         p = p * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
-    out = jnp.einsum("bhgts,bshd->bthgd", p, v_cache.astype(jnp.float32))
+    out = _dot("bhgts,bshd->bthgd", p, v_cache, bf16_dots)
     return out
 
 

@@ -37,7 +37,7 @@ def test_flash_decode_matches_xla(T, quant, D):
         kw = dict(k_scale=ks, v_scale=vs)
     ref = attention_with_cache(q, k, v, n_past, T, scale=scale, **kw)
     got = flash_decode(q, k, v, n_past, T, scale=scale, interpret=True,
-                       block_k=256, **kw)
+                       block_k=256, qk_dtype="float32", **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
@@ -105,9 +105,42 @@ def test_flash_decode_batched_variants():
                                sinks=sinks, k_scale=ks, v_scale=vs)
     got = flash_decode(q, kq, vq, n_past, 1, scale=0.1, sliding_window=192,
                        logit_softcap=30.0, sinks=sinks, k_scale=ks,
-                       v_scale=vs, interpret=True, block_k=256)
+                       v_scale=vs, interpret=True, block_k=256,
+                       qk_dtype="float32")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_decode_batched_bf16_dots_default():
+    """The shipped default runs the MXU dots in bf16 (f32 accumulate) —
+    int8 cache values convert exactly; only q/p rounding.  Verify the
+    error stays at bf16-rounding scale against the f32 XLA path."""
+    q, k, v, n_past = _mk(B=2, T=1, Hq=8, Hkv=4, D=128, S=1024, seed=31)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    ref = attention_with_cache(q, kq, vq, n_past, 1, scale=0.0884,
+                               k_scale=ks, v_scale=vs)
+    got = flash_decode(q, kq, vq, n_past, 1, scale=0.0884, k_scale=ks,
+                       v_scale=vs, interpret=True, block_k=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_flash_decode_batched_int8_dots():
+    """qk_dtype=int8 (s8 MXU dots, ggml's q8 vec_dot strategy): q and p
+    re-quantize per row, so the error budget is ~1% of the row max —
+    far coarser than bf16 but bit-saving on both DMA and MXU retiling."""
+    q, k, v, n_past = _mk(B=4, T=2, Hq=8, Hkv=4, D=128, S=1024, seed=37)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    ref = attention_with_cache(q, kq, vq, n_past, 2, scale=0.0884,
+                               k_scale=ks, v_scale=vs)
+    got = flash_decode(q, kq, vq, n_past, 2, scale=0.0884, k_scale=ks,
+                       v_scale=vs, interpret=True, block_k=256,
+                       qk_dtype="int8")
+    r = np.asarray(ref)
+    np.testing.assert_allclose(np.asarray(got), r,
+                               atol=0.03 * np.abs(r).max(), rtol=0.05)
 
 
 def test_flash_decode_batched_single_head_odd_dim():
@@ -116,7 +149,7 @@ def test_flash_decode_batched_single_head_odd_dim():
     q, k, v, n_past = _mk(B=2, T=1, Hq=4, Hkv=1, D=192, S=512, seed=29)
     ref = attention_with_cache(q, k, v, n_past, 1, scale=0.08)
     got = flash_decode(q, k, v, n_past, 1, scale=0.08, interpret=True,
-                       block_k=256)
+                       block_k=256, qk_dtype="float32")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
@@ -161,6 +194,9 @@ def test_flash_decode_sharded_on_mesh(monkeypatch):
     ref = attention_with_cache(q, kq, vq, n_past, 1, scale=scale,
                                k_scale=ks, v_scale=vs)
     monkeypatch.setenv("CHATLLM_TPU_FLASH_DECODE", "1")
+    # per-shard Hkv=1 takes the batched kernel; force f32 dots so the
+    # strict tolerance checks the sharding logic, not bf16 rounding
+    monkeypatch.setenv("CHATLLM_TPU_FLASH_QK", "f32")
     mesh = make_mesh(tp=4, dp=2)
     qmm.reset_kernel_dispatch_stats()
     with qmm.kernel_mesh(mesh):
