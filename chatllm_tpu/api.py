@@ -250,19 +250,26 @@ class ChatLLM:
         import os
 
         text, paths = self._mm_decode()
-        if not paths:
-            return self.chat(text)
-        assert len(paths) == 1, "one media piece per message supported"
-        kind, path = paths[0]
-        fn = {"image": "chat_image", "video": "chat_video",
-              "audio": "chat_audio"}[kind]
-        model = self.pipeline.model
-        assert hasattr(model, fn), f"model has no {fn}()"
         try:
+            if not paths:
+                return self.chat(text)
+            assert len(paths) == 1, "one media piece per message supported"
+            kind, path = paths[0]
+            fn = {"image": "chat_image", "video": "chat_video",
+                  "audio": "chat_audio"}.get(kind)
+            assert fn is not None, f"unsupported media kind {kind!r}"
+            model = self.pipeline.model
+            assert hasattr(model, fn), f"model has no {fn}()"
             return getattr(model, fn)(path, text, self.pipeline.gen_config,
                                       self.streamer)
         finally:
-            os.unlink(path)
+            # every decoded temp file is unlinked on ANY exit — including
+            # unsupported kinds and multi-piece asserts above
+            for _k, p in paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
 
     def history_append_multimedia_msg(self, role: int) -> int:
         """chatllm_history_append_multimedia_msg: records the text pieces

@@ -29,7 +29,13 @@ def build(out_dir: str | None = None) -> str:
            f"-I{inc}", SRC, "-o", out + ".tmp",
            f"-L{libdir}", f"-l{pyver}", "-ldl",
            f"-Wl,-rpath,{libdir}"]
-    subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    r = subprocess.run(cmd, capture_output=True, timeout=300, text=True)
+    if r.returncode != 0:
+        # surface the compiler diagnostics — CalledProcessError alone
+        # hides the actual g++ error behind "exit status 1"
+        raise RuntimeError(
+            f"libchatllm build failed (rc={r.returncode}):\n"
+            f"$ {' '.join(cmd)}\n{r.stderr}")
     os.replace(out + ".tmp", out)
     return out
 

@@ -28,6 +28,7 @@
 #include <string>
 #include <functional>
 #include <thread>
+#include <chrono>
 #include <vector>
 
 #define API_CALL
@@ -59,7 +60,7 @@ struct Obj {
     void *user_data = nullptr;
     f_chatllm_lens_callback f_lens = nullptr;
     void *lens_user_data = nullptr;
-    std::thread worker;
+    std::atomic<int> inflight{0};      // detached async workers alive
     std::atomic<int> async_result{INT_MIN};
     std::atomic<bool> async_busy{false};
     std::string vocab_buf;             // chatllm_get_token_vocab storage
@@ -238,18 +239,27 @@ int simple_call(Obj *obj, const char *name, const char *fmt, ...) {
     return rc >= 0 ? 0 : rc;
 }
 
-// run a sync op in a worker thread; emit PRINT_EVT_ASYNC_COMPLETED when done
+// run a sync op in a DETACHED worker thread; emit PRINT_EVT_ASYNC_COMPLETED
+// when done.  Detached (matching the reference's ASYNC_FUN_BODY,
+// /root/reference/src/main.cpp:1864) so the host may chain the next
+// chatllm_async_* call from inside the completion callback — a joining
+// design would self-join the worker thread there and std::terminate.
+// busy clears BEFORE the completion event so that chained call succeeds;
+// `inflight` keeps chatllm_destroy from freeing the object while any
+// worker (including one still inside emit) is alive.
 int run_async(Obj *o, std::function<int()> fn) {
-    if (!o || o->async_busy.load()) return -1;
-    if (o->worker.joinable()) o->worker.join();
-    o->async_busy.store(true);
+    bool expected = false;
+    if (!o || !o->async_busy.compare_exchange_strong(expected, true))
+        return -1;
     o->async_result.store(INT_MIN);
-    o->worker = std::thread([o, fn]() {
+    o->inflight.fetch_add(1);
+    std::thread([o, fn]() {
         int r = fn();
         o->async_result.store(r);
         o->async_busy.store(false);
         emit(o, PRINT_EVT_ASYNC_COMPLETED, "");
-    });
+        o->inflight.fetch_sub(1);
+    }).detach();
     return 0;
 }
 
@@ -316,7 +326,8 @@ DLL_DECL struct chatllm_obj *API_CALL chatllm_create(void) {
 DLL_DECL int API_CALL chatllm_destroy(struct chatllm_obj *obj) {
     Obj *o = reinterpret_cast<Obj *>(obj);
     if (!o) return 0;
-    if (o->worker.joinable()) o->worker.join();
+    while (o->inflight.load() > 0)     // wait out detached async workers
+        std::this_thread::sleep_for(std::chrono::milliseconds(1));
     {
         Gil g;
         Py_XDECREF(o->py);

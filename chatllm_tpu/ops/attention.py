@@ -339,10 +339,7 @@ def attention_with_cache(
             and _flash_decode_enabled()):
         bk = _pick_block(S, 512, lo=128)
         if bk >= 128:
-            from .pallas.flash_decode import flash_decode
-            from .qmm import active_kernel_mesh
-
-            from .qmm import _count
+            from .qmm import _count, active_kernel_mesh
 
             mesh = active_kernel_mesh()
             if mesh is not None:
@@ -355,6 +352,8 @@ def attention_with_cache(
                     _count("flash_decode:pallas_sharded")
                     return out
             else:
+                from .pallas.flash_decode import flash_decode
+
                 _count("flash_decode:pallas"
                        + (":q8kv" if k_scale is not None else ""))
                 return flash_decode(

@@ -76,7 +76,11 @@ def describe_devices() -> str:
 
 
 def _divides(n: int, tp: int) -> bool:
-    return tp > 0 and n % tp == 0
+    """tp=0 means "tp size unknown" (the tp_param_sharding(params) default
+    contract): assume divisible so shard_dims are honored — jax itself
+    falls back cleanly if a later mesh disagrees.  Only an explicit tp
+    that does NOT divide n forces replication (toy shapes / odd heads)."""
+    return tp == 0 or (tp > 0 and n % tp == 0)
 
 
 def _linear_spec(lin, shard_dim: str, tp: int = 0):

@@ -178,23 +178,38 @@ class BatchedEngine:
         self._worker.join(timeout=5)
 
     # -- compiled stages ----------------------------------------------------
+    def _kernel_mesh_ctx(self):
+        """Activate the qmm/flash kernel mesh during TRACING of the jitted
+        stages when the engine is mesh-sharded: the Pallas call sites then
+        take their shard_map'd variants instead of issuing a bare
+        pallas_call on GSPMD-sharded operands (which XLA cannot partition —
+        it would all-gather the full KV cache every step)."""
+        import contextlib
+
+        from ..ops import qmm
+
+        return (qmm.kernel_mesh(self.mesh) if self.mesh is not None
+                else contextlib.nullcontext())
+
     def _prefill_fn(self, tpad: int):
         if tpad in self._prefill_fns:
             return self._prefill_fns[tpad]
         cfg = self.cfg
+        mesh_ctx = self._kernel_mesh_ctx
 
         @partial(jax.jit, donate_argnums=(1,), static_argnums=())
         def prefill(params, cache, ids, slot, n_past, n_tokens):
-            # slice out this slot's cache rows -> a B=1 cache view
-            row = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0),
-                cache)
-            logits, row = transformer_forward(cfg, params, ids, row, n_past)
-            cache = jax.tree.map(
-                lambda a, r: jax.lax.dynamic_update_slice_in_dim(a, r, slot, axis=0),
-                cache, row)
-            last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
-            return last[0, 0, :], cache
+            with mesh_ctx():   # trace-time: routes kernels via shard_map
+                # slice out this slot's cache rows -> a B=1 cache view
+                row = jax.tree.map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0),
+                    cache)
+                logits, row = transformer_forward(cfg, params, ids, row, n_past)
+                cache = jax.tree.map(
+                    lambda a, r: jax.lax.dynamic_update_slice_in_dim(a, r, slot, axis=0),
+                    cache, row)
+                last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
+                return last[0, 0, :], cache
 
         self._prefill_fns[tpad] = prefill
         return prefill
@@ -203,6 +218,7 @@ class BatchedEngine:
         if self._decode_fn_c is not None:
             return self._decode_fn_c
         cfg, scfg, block = self.cfg, self.scfg, self.decode_block
+        mesh_ctx = self._kernel_mesh_ctx
 
         @partial(jax.jit, donate_argnums=(1, 4))
         def decode(params, cache, toks, n_past, penalty, keys, active):
@@ -225,8 +241,10 @@ class BatchedEngine:
                 n_past = n_past + active.astype(n_past.dtype)
                 return (nxt, cache, n_past, penalty, keys), nxt
 
-            (toks, cache, n_past, penalty, keys), hist = jax.lax.scan(
-                body, (toks, cache, n_past, penalty, keys), None, length=block)
+            with mesh_ctx():   # trace-time: routes kernels via shard_map
+                (toks, cache, n_past, penalty, keys), hist = jax.lax.scan(
+                    body, (toks, cache, n_past, penalty, keys), None,
+                    length=block)
             return hist, cache, n_past, penalty, keys
 
         self._decode_fn_c = decode

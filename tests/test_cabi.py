@@ -143,6 +143,31 @@ def test_async_chat_completes(ref_binding, tiny_model):
     assert len("".join(llm.chunks)) > 0
 
 
+def test_async_chain_from_completion_callback(ref_binding, tiny_model):
+    """Issuing the NEXT chatllm_async_* from inside the completion callback
+    must work (reference ASYNC_FUN_BODY detaches its worker,
+    /root/reference/src/main.cpp:1864).  A joining run_async self-joins the
+    worker thread here and std::terminates the process."""
+    import time
+
+    binding, lib = ref_binding
+    llm = _mk_llm(binding, lib, ["-m", tiny_model] + BASE)
+    done = []
+
+    def on_done():
+        done.append(1)
+        if len(done) == 1:       # chain the second turn from the callback
+            llm.async_chat("second turn")
+
+    llm.callback_async_done = on_done
+    llm.async_chat("first turn")
+    for _ in range(1200):
+        if len(done) >= 2:
+            break
+        time.sleep(0.1)
+    assert len(done) >= 2, f"chained async never completed ({len(done)}/2)"
+
+
 def test_inspect_model(ref_binding, tiny_model):
     import ctypes
 
