@@ -606,26 +606,31 @@ def attention_block(cfg: TransformerConfig, spec: LayerSpec, p, x,
         q = (q.astype(jnp.float32) * q_mult[:, :, None, None]).astype(q.dtype)
 
     if spec.sliding_window > 0 and k_cache.shape[1] < cfg.max_length:
-        # ring cache write (partial cache, reference src/layers.h:1973)
+        # ring cache write (partial cache, reference src/layers.h:1973);
+        # n_past may be a scalar (chat path) or a per-slot [B] vector
+        # (continuous-batching decode, runtime/batching.py)
         assert mask_extra is None, "mask_extra unsupported with ring cache"
-        assert jnp.ndim(n_past) == 0, (
-            "per-slot n_past (continuous batching) not supported with the "
-            "SWA ring cache; allocate full-length caches for serving")
         from ..ops.attention import quantize_kv
 
         if not shared:
             S = k_cache.shape[1]
-            pos = jnp.mod(n_past + jnp.arange(T), S)
+            if jnp.ndim(n_past) == 1:
+                b_idx = jnp.arange(B)[:, None]                  # [B,1]
+                pos = jnp.mod(n_past[:, None] + jnp.arange(T)[None, :], S)
+                idx = (b_idx, pos)
+            else:
+                pos = jnp.mod(n_past + jnp.arange(T), S)
+                idx = (slice(None), pos)
             if k_scale is not None:
                 kq, ks = quantize_kv(k)
                 vq, vs = quantize_kv(v)
-                k_cache = k_cache.at[:, pos].set(kq)
-                v_cache = v_cache.at[:, pos].set(vq)
-                k_scale = k_scale.at[:, pos].set(ks)
-                v_scale = v_scale.at[:, pos].set(vs)
+                k_cache = k_cache.at[idx].set(kq)
+                v_cache = v_cache.at[idx].set(vq)
+                k_scale = k_scale.at[idx].set(ks)
+                v_scale = v_scale.at[idx].set(vs)
             else:
-                k_cache = k_cache.at[:, pos].set(k.astype(k_cache.dtype))
-                v_cache = v_cache.at[:, pos].set(v.astype(v_cache.dtype))
+                k_cache = k_cache.at[idx].set(k.astype(k_cache.dtype))
+                v_cache = v_cache.at[idx].set(v.astype(v_cache.dtype))
         out = _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T,
                               k_scale, v_scale, sinks=p.get("sinks"))
     else:
@@ -656,29 +661,32 @@ def _ring_attention(cfg, spec, q, k_cache, v_cache, n_past, T,
                     k_scale=None, v_scale=None, sinks=None):
     """Attention over a ring-buffer cache of S = window slots: key absolute
     position reconstructed from ring index for masking + RoPE'd keys stored
-    rotated (keys carry absolute-position rope, as in the reference)."""
+    rotated (keys carry absolute-position rope, as in the reference).
+    n_past: scalar, or per-slot [B] vector (continuous batching) — the mask
+    is computed per batch row either way."""
     B, _, hq, d = q.shape
     S = k_cache.shape[1]
     hkv = k_cache.shape[2]
     scale = cfg.attention_scale if cfg.attention_scale > 0 else d ** -0.5
     # absolute position of each ring slot: the latest write to slot j
-    total = n_past + T
-    slot = jnp.arange(S)
+    np_vec = jnp.broadcast_to(jnp.asarray(n_past).reshape(-1), (B,))
+    total = np_vec[:, None] + T                                # [B,1]
+    slot = jnp.arange(S)[None, :]                              # [1,S]
     # pos ≡ slot (mod S), pos < total, pos > total - S - 1 → unique solve:
-    k_pos = slot + ((total - 1 - slot) // S) * S
+    k_pos = slot + ((total - 1 - slot) // S) * S               # [B,S]
     k_pos = jnp.where(k_pos < 0, -1, k_pos)                    # unwritten
-    q_pos = n_past + jnp.arange(T)
-    valid = (k_pos[None, :] >= 0) & (k_pos[None, :] <= q_pos[:, None])
+    q_pos = np_vec[:, None] + jnp.arange(T)[None, :]           # [B,T]
+    valid = (k_pos[:, None, :] >= 0) & (k_pos[:, None, :] <= q_pos[..., None])
     if spec.sliding_window > 0:
-        valid &= k_pos[None, :] > (q_pos[:, None] - spec.sliding_window)
-    mask = jnp.where(valid, 0.0, -1e30)                        # [T,S]
+        valid &= k_pos[:, None, :] > (q_pos[..., None] - spec.sliding_window)
+    mask = jnp.where(valid, 0.0, -1e30)                        # [B,T,S]
     qg = q.reshape(B, T, hkv, hq // hkv, d).astype(jnp.float32)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, k_cache.astype(jnp.float32)) * scale
     if k_scale is not None:
         scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     if cfg.logit_softcap > 0:
         scores = jnp.tanh(scores / cfg.logit_softcap) * cfg.logit_softcap
-    scores = scores + mask[None, None, None]
+    scores = scores + mask[:, None, None]                      # [B,1,1,T,S]
     if sinks is not None:
         # per-head sink logit joins the softmax denominator, no value
         # (GPT-OSS SWA layers; see ops/attention.py for the dense path)

@@ -138,9 +138,6 @@ class BatchedEngine:
             bad.append("looped stacks (num_loops > 1)")
         for i in range(cfg.num_hidden_layers):
             spec = cfg.layer_spec(i)
-            if spec.sliding_window > 0:
-                bad.append(f"sliding-window ring cache (layer {i})")
-                break
             if spec.linear_attn:
                 bad.append(f"linear attention (layer {i})")
                 break
