@@ -76,10 +76,13 @@ class StreamHandle:
 class BatchedEngine:
     """Slot scheduler + compiled batched decode for one model.
 
-    v1 scope: dense/uniform-attention text models (no SWA ring caches, no
-    compressed-MLA cache, no M-RoPE positions) and one SamplerConfig per
-    engine (per-request max_new/seed are honored; sampling params use the
-    engine's config so the decode step stays one compiled function).
+    Scope: dense-attention text models — full attention AND sliding-window
+    ring caches (per-slot vector-n_past ring writes + per-row ring masks,
+    reference src/layers.h:1973-2016) — but no compressed-MLA cache, no
+    looped stacks, no linear attention, no M-RoPE positions; one
+    SamplerConfig per engine (per-request max_new/seed are honored;
+    sampling params use the engine's config so the decode step stays one
+    compiled function).
     """
 
     def __init__(self, cfg: TransformerConfig, params, *, max_slots: int = 4,
@@ -92,6 +95,17 @@ class BatchedEngine:
         self.decode_block = decode_block
         self.scfg = scfg or SamplerConfig()
         self.mesh = mesh
+        # SWA models: prefill chunks capped to the ring headroom so one
+        # chunk's writes (incl. bucket padding, which lands AHEAD of the
+        # frontier) never wrap onto keys still inside any query's window
+        # (same rule as InferenceEngine._chunk_cap, src/layers.h:1973).
+        from ..nn.transformer import SWA_EXTRA
+        self._chunk_cap = 0
+        for i in range(cfg.num_hidden_layers):
+            w = cfg.layer_spec(i).sliding_window
+            if 0 < w and w + SWA_EXTRA < (max_length or cfg.max_length):
+                self._chunk_cap = SWA_EXTRA
+                break
 
         self.cache = init_cache(cfg, max_slots, self.max_length)
         if mesh is not None:
@@ -269,6 +283,8 @@ class BatchedEngine:
         n_past = 0
         logits = None
         chunk = 1024
+        if self._chunk_cap:
+            chunk = min(chunk, self._chunk_cap)
         while n_past < T:
             n = min(chunk, T - n_past)
             tpad = _fit_bucket(n, self.max_length - n_past, hi=chunk)

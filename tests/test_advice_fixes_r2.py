@@ -30,19 +30,23 @@ from chatllm_tpu.runtime.batching import BatchedEngine
 
 
 def test_batched_engine_rejects_out_of_scope_configs():
+    """SWA ring caches are IN scope since round 4 (vector-n_past ring
+    writes; positive parity tests live in tests/test_batching.py) — the
+    remaining rejections are looped stacks and linear attention."""
     import dataclasses
 
     cfg = tiny_config()
-    swa = dataclasses.replace(
-        cfg, layer_specs=tuple(
-            dataclasses.replace(cfg.layer_spec(i), sliding_window=8)
-            for i in range(cfg.num_hidden_layers)))
-    with pytest.raises(ValueError, match="sliding-window"):
-        BatchedEngine(swa, None, max_slots=2)
 
     looped = dataclasses.replace(cfg, num_loops=2)
     with pytest.raises(ValueError, match="looped"):
         BatchedEngine(looped, None, max_slots=2)
+
+    lin = dataclasses.replace(
+        cfg, layer_specs=tuple(
+            dataclasses.replace(cfg.layer_spec(i), linear_attn=(i == 0))
+            for i in range(cfg.num_hidden_layers)))
+    with pytest.raises(ValueError, match="linear attention"):
+        BatchedEngine(lin, None, max_slots=2)
 
 
 def test_worker_exception_drains_consumers():
