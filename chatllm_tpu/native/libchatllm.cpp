@@ -63,6 +63,8 @@ struct Obj {
     std::atomic<int> inflight{0};      // detached async workers alive
     std::atomic<int> async_result{INT_MIN};
     std::atomic<bool> async_busy{false};
+    std::atomic<std::thread::id> worker_tid{};  // set while a worker runs
+    std::atomic<bool> deferred_destroy{false};  // destroy() from callback
     std::string vocab_buf;             // chatllm_get_token_vocab storage
 };
 
@@ -247,18 +249,37 @@ int simple_call(Obj *obj, const char *name, const char *fmt, ...) {
 // busy clears BEFORE the completion event so that chained call succeeds;
 // `inflight` keeps chatllm_destroy from freeing the object while any
 // worker (including one still inside emit) is alive.
+void destroy_obj(Obj *o) {
+    {
+        Gil g;
+        Py_XDECREF(o->py);
+    }
+    delete o;
+}
+
 int run_async(Obj *o, std::function<int()> fn) {
-    bool expected = false;
-    if (!o || !o->async_busy.compare_exchange_strong(expected, true))
-        return -1;
-    o->async_result.store(INT_MIN);
+    if (!o) return -1;
+    // inflight is raised BEFORE the busy CAS so chatllm_destroy's
+    // inflight==0 wait covers the whole launch window (a destroy racing
+    // the old CAS→fetch_add gap could free the Obj under the new worker)
     o->inflight.fetch_add(1);
+    bool expected = false;
+    if (!o->async_busy.compare_exchange_strong(expected, true)) {
+        o->inflight.fetch_sub(1);
+        return -1;
+    }
+    o->async_result.store(INT_MIN);
     std::thread([o, fn]() {
+        o->worker_tid.store(std::this_thread::get_id());
         int r = fn();
         o->async_result.store(r);
         o->async_busy.store(false);
         emit(o, PRINT_EVT_ASYNC_COMPLETED, "");
-        o->inflight.fetch_sub(1);
+        o->worker_tid.store(std::thread::id());
+        // last worker out performs a teardown that chatllm_destroy
+        // deferred because it was invoked from OUR completion callback
+        if (o->inflight.fetch_sub(1) == 1 && o->deferred_destroy.load())
+            destroy_obj(o);
     }).detach();
     return 0;
 }
@@ -326,13 +347,17 @@ DLL_DECL struct chatllm_obj *API_CALL chatllm_create(void) {
 DLL_DECL int API_CALL chatllm_destroy(struct chatllm_obj *obj) {
     Obj *o = reinterpret_cast<Obj *>(obj);
     if (!o) return 0;
+    if (o->worker_tid.load() == std::this_thread::get_id()) {
+        // destroy called from inside the async worker's own completion
+        // callback (the chaining pattern run_async enables): spinning on
+        // inflight here would never terminate — inflight is decremented
+        // only after emit() returns.  Defer teardown to the worker.
+        o->deferred_destroy.store(true);
+        return 0;
+    }
     while (o->inflight.load() > 0)     // wait out detached async workers
         std::this_thread::sleep_for(std::chrono::milliseconds(1));
-    {
-        Gil g;
-        Py_XDECREF(o->py);
-    }
-    delete o;
+    destroy_obj(o);
     return 0;
 }
 

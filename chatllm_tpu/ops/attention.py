@@ -364,7 +364,12 @@ def attention_with_cache(
                     interpret=jax.default_backend() == "cpu")
 
     qg = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
-    bf16_dots = q.dtype == jnp.bfloat16
+    # bf16 MXU dots only when the CACHE carries no extra precision to lose:
+    # int8 values convert to bf16 exactly, and a bf16 cache is already bf16.
+    # An f32 cache under bf16 compute (--cache f32) keeps full-precision
+    # dots — that combination exists precisely to buy cache precision.
+    bf16_dots = (q.dtype == jnp.bfloat16
+                 and k_cache.dtype in (jnp.int8, jnp.bfloat16))
 
     if jnp.ndim(n_past) == 1:
         # continuous-batching decode: per-slot positions (runtime/batching.py)

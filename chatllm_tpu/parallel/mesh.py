@@ -79,7 +79,14 @@ def _divides(n: int, tp: int) -> bool:
     """tp=0 means "tp size unknown" (the tp_param_sharding(params) default
     contract): assume divisible so shard_dims are honored — jax itself
     falls back cleanly if a later mesh disagrees.  Only an explicit tp
-    that does NOT divide n forces replication (toy shapes / odd heads)."""
+    that does NOT divide n forces replication (toy shapes / odd heads).
+
+    In-repo callers always pass the REAL tp (shard_params below); tp=0 is
+    the bare public-API default only.  If a caller nevertheless shards a
+    non-dividing dim, GSPMD pads the shards — every shard_map'd Pallas
+    entry point re-checks divisibility and falls back to plain XLA in that
+    case (ops/attention.py _flash_sharded/_flash_decode_sharded,
+    ops/qmm.py _pallas_sharded all return None on a % mismatch)."""
     return tp == 0 or (tp > 0 and n % tp == 0)
 
 
