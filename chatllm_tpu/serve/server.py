@@ -1,8 +1,11 @@
 """OpenAI/Ollama/llama.cpp-compatible HTTP server (stdlib http.server).
 
 Routes (parity with /root/reference/bindings/server.nim:849-870):
-  POST /v1/chat/completions    (stream + non-stream)
-  POST /v1/completions         (prompt completion / FIM)
+  POST /v1/chat/completions    (stream + non-stream; image_url parts)
+  POST /v1/completions         (prompt completion; FIM via `suffix` or a
+                                fim-named model — reference
+                                scripts/openai_api.py:188,510-531)
+  POST /infill                 (llama.cpp FIM: input_prefix/input_suffix)
   POST /v1/embeddings
   GET  /v1/models
   GET  /props  /slots  /health (llama.cpp)
@@ -55,15 +58,30 @@ class _QueueStreamer(BaseStreamer):
         self.q.put(None)
 
 
+# FIM special-token triples (prefix, suffix, middle), probed against the
+# model vocab in order; composition is PSM: [pre] prefix [suf] suffix [mid]
+# with the middle generated (llama.cpp /infill convention — the reference
+# instead relies on the client composing these, scripts/openai_api.py:188)
+_FIM_FAMILIES = (
+    ("<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"),  # qwen/starcoder2
+    ("<fim_prefix>", "<fim_suffix>", "<fim_middle>"),        # starcoder
+    ("<fim-prefix>", "<fim-suffix>", "<fim-middle>"),        # refact
+    ("<|fim▁begin|>", "<|fim▁hole|>", "<|fim▁end|>"),        # deepseek-coder
+    ("<PRE>", "<SUF>", "<MID>"),                              # codellama
+)
+
+
 class ApiServer:
     def __init__(self, model, *, model_name: str = "default",
-                 emb_model=None, rerank_model=None,
+                 emb_model=None, rerank_model=None, fim_model=None,
                  gen_config: GenerationConfig | None = None,
                  max_slots: int = 1, mesh=None):
         self.model = model
         self.model_name = model_name
         self.emb_model = emb_model
         self.rerank_model = rerank_model
+        self.fim_model = fim_model
+        self.fim_lock = threading.Lock()
         self.gen_config = gen_config or GenerationConfig()
         self.lock = threading.Lock()
         self.busy = False
@@ -164,8 +182,121 @@ class ApiServer:
         streamer.end()
         return "".join(parts)
 
+    # -- multimodal chat ------------------------------------------------
+    @staticmethod
+    def _extract_media(messages: list[dict]):
+        """Pull image/audio/video refs out of OpenAI content-part arrays
+        (reference bindings/server.nim:229 handles image_url parts) and
+        ollama per-message base64 `images` lists.  Returns
+        [(kind, ref), ...] in message order; refs are data: URIs, file://
+        or bare base64."""
+        media = []
+        for m in messages:
+            c = m.get("content")
+            if isinstance(c, list):
+                for p in c:
+                    if not isinstance(p, dict):
+                        continue
+                    t = p.get("type", "")
+                    if t == "image_url" or (t == "" and "image_url" in p):
+                        u = p.get("image_url")
+                        u = u.get("url", "") if isinstance(u, dict) else u
+                        if u:
+                            media.append(("image", u))
+                    elif t in ("input_audio", "audio_url"):
+                        u = p.get(t) or {}
+                        u = (u.get("data") or u.get("url", "")
+                             if isinstance(u, dict) else u)
+                        if u:
+                            media.append(("audio", u))
+                    elif t == "video_url":
+                        u = p.get("video_url")
+                        u = u.get("url", "") if isinstance(u, dict) else u
+                        if u:
+                            media.append(("video", u))
+            for b64 in m.get("images") or []:     # ollama /api/chat
+                media.append(("image", b64))
+        return media
+
+    @staticmethod
+    def _decode_media_ref(ref: str, kind: str) -> bytes:
+        import base64
+        import binascii
+
+        if ref.startswith("data:"):
+            head, sep, b64 = ref.partition(",")
+            if not sep:
+                raise _BadRequest("malformed data: URI")
+            try:
+                return base64.b64decode(b64)
+            except (binascii.Error, ValueError) as e:
+                raise _BadRequest(f"bad base64 in data URI: {e}")
+        if ref.startswith("file://"):
+            try:
+                with open(ref[7:], "rb") as f:
+                    return f.read()
+            except OSError as e:
+                raise _BadRequest(f"cannot read {ref}: {e}")
+        if ref.startswith("http://") or ref.startswith("https://"):
+            raise _BadRequest(
+                "remote media URLs are not fetched; send a data: URI, "
+                "file:// path, or base64")
+        try:        # bare base64 (ollama images)
+            return base64.b64decode(ref, validate=True)
+        except (binascii.Error, ValueError):
+            raise _BadRequest(f"unrecognized media reference for {kind}")
+
+    def _media_chat(self, messages, media, gen_config, on_chunk=None) -> str:
+        """Route a chat-with-media request through the engine's one-shot
+        multimodal path (models expose chat_image/chat_audio/chat_video —
+        the same surface api.py's multimedia_msg_* uses)."""
+        import os
+        import tempfile
+
+        kind, ref = media[-1]                  # newest media piece wins
+        fn_name = {"image": "chat_image", "audio": "chat_audio",
+                   "video": "chat_video"}[kind]
+        fn = getattr(self.model, fn_name, None)
+        if fn is None:
+            raise _BadRequest(f"model cannot accept {kind} input")
+        # text = the trailing user text (content parts joined)
+        text = ""
+        for m in reversed(messages):
+            if m.get("role") == "user":
+                c = m.get("content", "") or ""
+                if isinstance(c, list):
+                    c = "".join(p.get("text", "") for p in c
+                                if isinstance(p, dict))
+                text = c
+                break
+        data = self._decode_media_ref(ref, kind)
+        f = tempfile.NamedTemporaryFile(
+            suffix={"image": ".png", "audio": ".wav",
+                    "video": ".mp4"}[kind], delete=False)
+        f.write(data)
+        f.close()
+        streamer = None
+        if on_chunk is not None:
+            from ..runtime.streamer import CallbackStreamer
+
+            streamer = CallbackStreamer(
+                self.model.tokenizer, on_chunk=lambda first, c: on_chunk(c))
+        try:
+            with self.lock:
+                return fn(f.name, text, gen_config, streamer)
+        finally:
+            try:
+                os.unlink(f.name)
+            except OSError:
+                pass
+
     def chat(self, messages: list[dict], gen_config, on_chunk=None) -> str:
         """Run one chat request on a fresh pipeline (stateless server)."""
+        media = self._extract_media(messages)
+        if media:
+            # vision/audio requests bypass the batched text engine — the
+            # media tower's embeddings need the single-slot one-shot path
+            return self._media_chat(messages, media, gen_config, on_chunk)
         if self.batch is not None:
             return self._run_batched(self._encode_chat(messages), gen_config,
                                      on_chunk)
@@ -221,6 +352,78 @@ class ApiServer:
                 return pipe.text_completion(prompt, streamer, gen_config)
             finally:
                 self.busy = False
+
+    # -- FIM (fill-in-the-middle) --------------------------------------
+    @staticmethod
+    def is_fim_name(model: str | None) -> bool:
+        """Model-name FIM routing (reference scripts/openai_api.py:188:
+        names starting or ending with 'fim' hit the ---fim section)."""
+        return bool(model) and (model.startswith("fim") or model.endswith("fim"))
+
+    def _fim_token_ids(self, model):
+        """(pre, suf, mid) token ids, probed from the vocab; None when the
+        model has no FIM tokens."""
+        tp = model.tokenizer.tp
+
+        def lookup(s):
+            # piece_to_id returns the UNK id for misses — verify by
+            # round-tripping the piece
+            tid = tp.piece_to_id(s)
+            if tid is None or tid < 0:
+                return None
+            try:
+                return tid if tp.id_to_piece(tid) == s else None
+            except Exception:
+                return None
+
+        for pre, suf, mid in _FIM_FAMILIES:
+            ids = [lookup(s) for s in (pre, suf, mid)]
+            if all(i is not None for i in ids):
+                return tuple(ids)
+        return None
+
+    def fim_completion(self, prefix: str, suffix: str, gen_config,
+                       on_chunk=None) -> str:
+        """Complete between prefix and suffix.  With a ---fim model loaded,
+        generation runs there (completion format, reference
+        scripts/openai_api.py:531); otherwise the chat model is used.  An
+        empty suffix degrades to plain completion."""
+        model = self.fim_model or self.model
+        if not suffix:
+            if model is self.model:
+                return self.completion(prefix, gen_config, on_chunk)
+            ids = model.tokenizer.encode(prefix)
+        else:
+            toks = self._fim_token_ids(model)
+            if toks is None:
+                raise _BadRequest(
+                    "model has no fill-in-middle tokens; send a pre-composed "
+                    "FIM prompt without 'suffix' instead")
+            pre_t, suf_t, mid_t = toks
+            tok = model.tokenizer
+            ids = ([pre_t] + tok.encode(prefix)
+                   + [suf_t] + tok.encode(suffix) + [mid_t])
+        return self._raw_completion(model, ids, gen_config, on_chunk)
+
+    def _raw_completion(self, model, ids: list[int], gen_config,
+                        on_chunk=None) -> str:
+        """Generate from raw ids on `model` (no chat template)."""
+        if model is self.model and self.batch is not None:
+            return self._run_batched(ids, gen_config, on_chunk)
+        lock = self.lock if model is self.model else self.fim_lock
+        with lock:
+            pipe = Pipeline(model)
+            pipe.gen_config = gen_config
+            streamer = None
+            if on_chunk is not None:
+                from ..runtime.streamer import CallbackStreamer
+
+                streamer = CallbackStreamer(
+                    model.tokenizer, on_chunk=lambda first, c: on_chunk(c))
+            out = pipe._gen(ids, streamer, gen_config)
+            if streamer is not None:
+                streamer.end()
+            return model.tokenizer.decode(out)
 
     def embed(self, texts: list[str]):
         model = self.emb_model or self.model
@@ -280,9 +483,14 @@ def _make_handler(api: ApiServer):
         def do_GET(self):
             path = self.path.split("?")[0]
             if path == "/v1/models":
-                self._json({"object": "list", "data": [
-                    {"id": api.model_name, "object": "model",
-                     "created": int(time.time()), "owned_by": "chatllm_tpu"}]})
+                models = [{"id": api.model_name, "object": "model",
+                           "created": int(time.time()),
+                           "owned_by": "chatllm_tpu"}]
+                if api.fim_model is not None:
+                    models.append({"id": "fim", "object": "model",
+                                   "created": int(time.time()),
+                                   "owned_by": "chatllm_tpu"})
+                self._json({"object": "list", "data": models})
             elif path == "/health":
                 self._json({"status": "ok"})
             elif path == "/props":
@@ -355,6 +563,8 @@ def _make_handler(api: ApiServer):
                 self._ollama_chat(body)
             elif path == "/api/generate":
                 self._ollama_generate(body)
+            elif path == "/infill":
+                self._infill(body)
             elif path == "/api/show":
                 self._json({"details": {"family": "chatllm_tpu"},
                             "model_info": {"name": api.model_name}})
@@ -365,6 +575,23 @@ def _make_handler(api: ApiServer):
             msgs = body.get("messages")
             if not msgs or not isinstance(msgs, list):
                 raise _BadRequest("'messages' must be a non-empty array")
+            if api.is_fim_name(body.get("model")) and api.fim_model is not None:
+                # FIM-named model in a chat request: the reference feeds the
+                # aggregated trailing user text to the fim streamer in
+                # completion format (scripts/openai_api.py:188,340-345)
+                parts = []
+                for m in reversed(msgs):
+                    if m.get("role") != "user":
+                        break
+                    c = m.get("content", "") or ""
+                    if isinstance(c, list):
+                        c = "".join(p.get("text", "") for p in c
+                                    if isinstance(p, dict))
+                    parts.append(c)
+                prompt = "".join(reversed(parts))
+                body = dict(body, prompt=prompt)
+                self._completions(body)
+                return
             gen = api._apply_sampling(body)
             rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
             created = int(time.time())
@@ -404,6 +631,16 @@ def _make_handler(api: ApiServer):
             prompt = body.get("prompt", "")
             if isinstance(prompt, list):
                 prompt = prompt[0] if prompt else ""
+            suffix = body.get("suffix") or ""
+            use_fim = (suffix
+                       or (api.is_fim_name(body.get("model"))
+                           and api.fim_model is not None))
+
+            def run(on_chunk=None):
+                if use_fim:
+                    return api.fim_completion(prompt, suffix, gen, on_chunk)
+                return api.completion(prompt, gen, on_chunk)
+
             if body.get("stream"):
                 self._sse_start()
 
@@ -413,14 +650,22 @@ def _make_handler(api: ApiServer):
                                "choices": [{"index": 0, "text": text,
                                             "finish_reason": None}]})
 
-                api.completion(prompt, gen, on_chunk)
+                run(on_chunk)
                 self._sse_done()
             else:
-                text = api.completion(prompt, gen)
+                text = run()
                 self._json({"id": rid, "object": "text_completion",
                             "created": created, "model": api.model_name,
                             "choices": [{"index": 0, "text": text,
                                          "finish_reason": "stop"}]})
+
+        def _infill(self, body):
+            """llama.cpp /infill: {input_prefix, input_suffix} -> content."""
+            gen = api._apply_sampling(body)
+            text = api.fim_completion(body.get("input_prefix", ""),
+                                      body.get("input_suffix", ""), gen)
+            self._json({"content": text, "stop": True,
+                        "model": api.model_name})
 
         def _ollama_chat(self, body):
             gen = api._apply_sampling(body.get("options", {}))
@@ -432,7 +677,14 @@ def _make_handler(api: ApiServer):
 
         def _ollama_generate(self, body):
             gen = api._apply_sampling(body.get("options", {}))
-            text = api.completion(body.get("prompt", ""), gen)
+            suffix = body.get("suffix") or ""
+            if suffix or api.fim_model is not None:
+                # the reference routes /generate to the fim streamer
+                # (scripts/openai_api.py:344-345); ollama's suffix field is
+                # its FIM form
+                text = api.fim_completion(body.get("prompt", ""), suffix, gen)
+            else:
+                text = api.completion(body.get("prompt", ""), gen)
             self._json({"model": api.model_name,
                         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ"),
                         "response": text, "done": True})
@@ -501,11 +753,13 @@ def main(argv=None):
     if chat is None:
         print("usage: python -m chatllm_tpu.serve.server [-m model.bin] "
               "[--host H] [--port P] [--slots N] "
-              "[---chat -m m1.bin] [---emb -m m2.bin] [---rerank -m m3.bin]")
+              "[---chat -m m1.bin] [---fim -m m2.bin] [---emb -m m3.bin] "
+              "[---rerank -m m4.bin]")
         return 1
     serve(chat, host=host, port=port, max_slots=slots,
           emb_model=load_section("emb"),
-          rerank_model=load_section("rerank"))
+          rerank_model=load_section("rerank"),
+          fim_model=load_section("fim"))
     return 0
 
 

@@ -31,7 +31,7 @@ def _sp_vocab(n):
 
 def make_tiny_qwen2(path, *, vocab=256, hidden=64, heads=4, kv_heads=2,
                     layers=2, inter=128, max_len=128, dtype=GGMLType.F32,
-                    seed=0):
+                    seed=0, extra_pieces=None):
     """Write a tiny Qwen2 GGMM file + return the HF model with same weights."""
     torch.manual_seed(seed)
     cfg = transformers.Qwen2Config(
@@ -57,7 +57,10 @@ def make_tiny_qwen2(path, *, vocab=256, hidden=64, heads=4, kv_heads=2,
         from chatllm_tpu.tokenizer.processor import byte_level_encode
         pieces = [byte_level_encode(bytes([b])).decode("utf-8").encode("utf-8")
                   for b in range(256)]
-        pieces += [f"<extra{i}>".encode() for i in range(vocab - 256)]
+        extras = list(extra_pieces or [])
+        pieces += [(extras[i].encode() if i < len(extras)
+                    else f"<extra{i}>".encode())
+                   for i in range(vocab - 256)]
         w.write_vocab_bpe([(p, 1) for p in pieces], [])
         names = ["model.embed_tokens.weight"]
         for i in range(layers):
