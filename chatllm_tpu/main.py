@@ -54,12 +54,14 @@ class Args:
     format: str = "chat"
     profile_dir: str = ""      # jax.profiler trace output dir
     additional: dict = field(default_factory=dict)
+    opt_speed: bool = True
     layer_spec: str = ""
     dump_tensors: set = field(default_factory=set)
     # RAG (reference main.cpp:40-58)
     embedding_model_path: str = ""
     reranker_model_path: str = ""
-    vector_stores: list = field(default_factory=list)
+    vector_stores: dict = field(default_factory=dict)  # name -> [files]
+    cur_vs_name: str = "default"
     init_vs: str = ""
     merge_vs: str = ""
     distance_strategy: str = "max_inner_product"
@@ -69,6 +71,8 @@ class Args:
     rag_template: str = ""
     rag_context_sep: str = ""
     retrieve_rewrite_template: str = ""
+    rag_post_extending: int = 0
+    emb_rank_query_sep: str = ""
     hide_reference: bool = False
     rag_dump: bool = False
     thought_tags: tuple = ()
@@ -120,7 +124,21 @@ def parse_args(argv: list[str]) -> Args:
         elif arg == "--reranker_model":
             a.reranker_model_path = nxt()
         elif arg == "--vector_store":
-            a.vector_stores.append(nxt())
+            # files accumulate into the CURRENT named store
+            # (reference main.cpp:418-423 + --set_vs_name :514)
+            a.vector_stores.setdefault(a.cur_vs_name, []).append(nxt())
+        elif arg == "--set_vs_name":
+            a.cur_vs_name = nxt()
+        elif arg == "--rag_post_extending":
+            a.rag_post_extending = int(nxt())
+        elif arg == "--emb_rank_query_sep":
+            a.emb_rank_query_sep = nxt()
+        elif arg == "--kv":
+            # consume the REST of argv as key/value pairs
+            # (reference main.cpp:405-412; persona models' parameters)
+            while i + 2 < len(argv):
+                a.additional[argv[i + 1]] = argv[i + 2]
+                i += 2
         elif arg == "--init_vs":
             a.init_vs = nxt()
         elif arg == "--merge_vs":
@@ -244,6 +262,10 @@ def parse_args(argv: list[str]) -> Args:
             a.dump_tensors.add(nxt())
         elif arg.startswith("+"):
             a.additional[arg[1:]] = "1"
+        elif arg == "-Os":
+            # prefer memory over speed (reference opt_speed=false,
+            # main.cpp:368): smaller prefill chunks -> lower peak activation
+            a.opt_speed = False
         elif arg == "--layer_spec":
             a.layer_spec = nxt()
         elif arg == "--coordinator":
@@ -368,8 +390,9 @@ def main(argv=None) -> int:
         # reference main.cpp:1313 merge_vector_store
         from .rag.vectorstore import CVectorStore, parse_distance_strategy
 
+        files = [f for fl in a.vector_stores.values() for f in fl]
         vs = CVectorStore.load(parse_distance_strategy(a.distance_strategy),
-                               a.vector_stores)
+                               files)
         vs.export_db(a.merge_vs)
         print(f"Vector store saved to: {a.merge_vs}")
         return 0
@@ -400,10 +423,12 @@ def main(argv=None) -> int:
     if a.embedding_model_path and a.vector_stores:
         # RAG mode (reference main.cpp RAG args :40-58; src/chat.cpp:2276)
         from .rag.pipeline import AugmentedQueryComposer, RAGPipeline
-        from .rag.vectorstore import CVectorStore, parse_distance_strategy
+        from .rag.vectorstore import (CVectorStore, VectorStores,
+                                      parse_distance_strategy)
 
         dist = parse_distance_strategy(a.distance_strategy)
-        stores = [CVectorStore.load(dist, f) for f in a.vector_stores]
+        stores = VectorStores({name: CVectorStore.load(dist, fl)
+                               for name, fl in a.vector_stores.items()})
         comp = AugmentedQueryComposer(
             a.rag_template, a.rag_context_sep or "\n```\n")
         pipe = RAGPipeline(
@@ -414,10 +439,14 @@ def main(argv=None) -> int:
             retrieve_top_n=a.retrieve_top_n, rerank_top_n=a.rerank_top_n,
             rerank_score_threshold=a.rerank_score_thres,
             dump=a.rag_dump, hide_reference=a.hide_reference,
-            composer=comp, rewrite_template=a.retrieve_rewrite_template)
+            composer=comp, rewrite_template=a.retrieve_rewrite_template,
+            rag_post_extending=a.rag_post_extending,
+            emb_rank_query_sep=a.emb_rank_query_sep)
     else:
         pipe = Pipeline(model, extending=ExtendingMethod(a.extending))
     pipe.gen_config = build_gen_config(a)
+    if not a.opt_speed and hasattr(model, "engine"):
+        model.engine.prefill_chunk = 512        # -Os: memory over speed
     if getattr(a, "ai_prefix", ""):
         pipe.ai_prefix = a.ai_prefix
     if getattr(a, "reversed_role", False):

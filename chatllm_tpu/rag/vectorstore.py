@@ -119,3 +119,26 @@ class CVectorStore:
             best_max = True
         order = np.argsort(-scores if best_max else scores, kind="stable")
         return order[:top_n].tolist()
+
+
+class VectorStores:
+    """Named vector-store registry with a selectable default
+    (reference src/chat.cpp:2612-2650 `VectorStores`: first store created
+    becomes the default; `select(name)` switches retrieval to another)."""
+
+    def __init__(self, stores: dict[str, CVectorStore] | None = None):
+        self.stores: dict[str, CVectorStore] = dict(stores or {})
+        self.def_store: CVectorStore | None = next(
+            iter(self.stores.values()), None)
+
+    def get(self, name: str | None = None) -> CVectorStore | None:
+        if name is None:
+            return self.def_store
+        return self.stores.get(name)
+
+    def select(self, name: str) -> bool:
+        p = self.stores.get(name)
+        if p is not None:
+            self.def_store = p
+            return True
+        return False

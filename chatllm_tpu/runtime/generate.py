@@ -296,9 +296,14 @@ class InferenceEngine:
 
         return do_shift(cache, jnp.int32(shift), jnp.int32(keep))
 
-    def prefill(self, ids, cache: KVCache, n_past: int, *, chunk: int = 4096):
+    def prefill(self, ids, cache: KVCache, n_past: int, *,
+                chunk: int | None = None):
         """Feed prompt ids ([T] or [B,T]) through the model in chunks.
         Returns (last-token logits [B,V] f32 on device, cache, n_past)."""
+        # prefill_chunk is the speed/memory dial: the CLI's -Os (reference
+        # opt_speed=false, main.cpp:368) drops it to 512, cutting peak
+        # prefill activation memory at some TTFT cost
+        chunk = chunk or getattr(self, "prefill_chunk", 4096)
         ids = np.atleast_2d(np.asarray(ids, dtype=np.int32))
         B, T = ids.shape
         if self._chunk_cap:

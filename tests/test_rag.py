@@ -184,3 +184,111 @@ def test_cli_rag_flow(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "wiki/" in out          # reference line printed
+
+
+def _mini_store(contents, metas, embs):
+    vs = CVectorStore(DistanceStrategy.MaxInnerProduct, emb_len=len(embs[0]))
+    vs.contents = list(contents)
+    vs.metadata = list(metas)
+    vs.embeddings = np.asarray(embs, np.float32)
+    return vs
+
+
+def test_named_vector_stores_select(tmp_path):
+    """--set_vs_name / VectorStores: retrieval hits only the SELECTED
+    store (reference src/chat.cpp:2612-2650 + select_vector_store)."""
+    from test_model_forward import make_tiny_qwen2
+
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.rag.vectorstore import VectorStores
+    from chatllm_tpu.runtime import GenerationConfig
+
+    path = str(tmp_path / "chat.bin")
+    make_tiny_qwen2(path)
+    model = load_model(path, RuntimeConfig(weight_dtype="float32",
+                                           compute_dtype="float32",
+                                           cache_dtype="float32"))
+
+    class FakeEmb:
+        def embed(self, text):
+            return np.array([1.0, 0, 0, 0], np.float32)
+
+    docs = _mini_store(["Paris is in France"], ["docs"], [[1, 0, 0, 0]])
+    web = _mini_store(["Rome is in Italy"], ["web"], [[1, 0, 0, 0]])
+    stores = VectorStores({"docs": docs, "web": web})
+
+    pipe = RAGPipeline(model, embedding_model=FakeEmb(),
+                       vector_stores=stores)
+    pipe.gen_config = GenerationConfig(do_sample=False, max_new_tokens=2)
+    assert [c for c, _ in pipe.retrieve("q")] == ["Paris is in France"]
+    assert pipe.select_vector_store("web") is True
+    assert [c for c, _ in pipe.retrieve("q")] == ["Rome is in Italy"]
+    assert pipe.select_vector_store("nope") is False
+
+
+def test_rag_post_extending():
+    """--rag_post_extending N merges same-source neighbor records around
+    each hit (reference src/chat.cpp:2327-2350)."""
+    from chatllm_tpu.rag.pipeline import RAGPipeline as RP
+
+    vs = _mini_store(
+        ["a0", "a1", "a2", "b0", "b1"],
+        ["A", "A", "A", "B", "B"],
+        [[0, 1], [1, 0], [0, 1], [0, 1], [0, 1]])
+
+    class FakeEmb:
+        def embed(self, text):
+            return np.array([1.0, 0], np.float32)
+
+    pipe = RP.__new__(RP)          # skip model plumbing; test retrieve only
+    from chatllm_tpu.rag.vectorstore import VectorStores
+
+    pipe.embedding_model = FakeEmb()
+    pipe.reranker_model = None
+    pipe.vector_stores = VectorStores({"default": vs})
+    pipe.retrieve_top_n = 1
+    pipe.rewrite_template = ""
+    pipe.emb_rank_query_sep = ""
+    pipe.rag_post_extending = 2
+    got = pipe.retrieve("q")
+    # hit = a1 (idx 1); extended with a0 before and a2 after (same meta A),
+    # but NOT b0 (different meta)
+    assert got == [("a0\na1\na2", "A")]
+
+    pipe.rag_post_extending = 0
+    assert pipe.retrieve("q") == [("a1", "A")]
+
+
+def test_emb_rank_query_sep():
+    """--emb_rank_query_sep: text before the sep embeds, text after ranks
+    (reference src/chat.cpp:2299-2306)."""
+    from chatllm_tpu.rag.pipeline import RAGPipeline as RP
+    from chatllm_tpu.rag.vectorstore import VectorStores
+
+    vs = _mini_store(["doc ONE", "doc TWO"], ["m1", "m2"],
+                     [[1, 0], [0, 1]])
+    seen = {}
+
+    class FakeEmb:
+        def embed(self, text):
+            seen["emb"] = text
+            return np.array([1.0, 0], np.float32)
+
+    class FakeRank:
+        def qa_rank(self, q, d):
+            seen.setdefault("rank", []).append(q)
+            return 1.0
+
+    pipe = RP.__new__(RP)
+    pipe.embedding_model = FakeEmb()
+    pipe.reranker_model = FakeRank()
+    pipe.vector_stores = VectorStores({"default": vs})
+    pipe.retrieve_top_n = 2
+    pipe.rerank_top_n = 1
+    pipe.rerank_score_threshold = 0.0
+    pipe.rewrite_template = ""
+    pipe.emb_rank_query_sep = "|||"
+    pipe.rag_post_extending = 0
+    pipe.retrieve("embed this|||rank this")
+    assert seen["emb"] == "embed this"
+    assert all(q == "rank this" for q in seen["rank"])
