@@ -39,32 +39,11 @@ N_NEW = 8   # margins decay into repetition attractors past ~10 tokens; the
 
 
 def _train_tok():
-    from tokenizers import (Regex, Tokenizer, decoders, models,
-                            pre_tokenizers, trainers)
+    # factored to crossbinary_common (round 5) — same corpus/args, so the
+    # trained vocab and the pinned (seed, amp) points are unchanged
+    from crossbinary_common import train_bpe_tok
 
-    from test_tokenizer_fuzz import _fuzz_cases
-
-    # corpus must NOT depend on this file's own source (editing the test
-    # would silently retrain the vocab and invalidate the pinned seed)
-    code = ("def encode(text, ids): return tokenizer.encode(text) "
-            "for i in range(n): print(hello world, vocab[idx]) "
-            "import numpy as np x = np.zeros((128, 128)) " * 40)
-    corpus = [code,
-              "你好世界 こんにちは 안녕하세요 Привет мир 🌍🚀 café naïve résumé " * 80,
-              " ".join(_fuzz_cases(60))]
-    tk = Tokenizer(models.BPE())
-    tk.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
-    tk.decoder = decoders.ByteLevel()
-    tk.train_from_iterator(corpus, trainers.BpeTrainer(
-        vocab_size=1200,
-        special_tokens=["<|endoftext|>", "<|im_start|>", "<|im_end|>"],
-        initial_alphabet=pre_tokenizers.ByteLevel.alphabet()))
-    qwen_pat = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|"
-                r"\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
-    tk.pre_tokenizer = pre_tokenizers.Sequence([
-        pre_tokenizers.Split(Regex(qwen_pat), behavior="isolated"),
-        pre_tokenizers.ByteLevel(add_prefix_space=False, use_regex=False)])
-    return tk
+    return train_bpe_tok()
 
 
 @pytest.fixture(scope="module")
