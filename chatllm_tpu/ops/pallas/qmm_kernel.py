@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref, *, n_kt: int,
             tile_m: int, group: int, packed: bool, zero_point: int,
-            compute_dtype, b_ref=None, d_ref=None, dm_ref=None, sb: int = 0):
+            compute_dtype, b_ref=None, d_ref=None, dm_ref=None, sb: int = 0,
+            xs_ref=None):
     kt = pl.program_id(1)
     mt = pl.program_id(2)
 
@@ -46,7 +47,11 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref, *, n_kt: int,
         # Σ_k x_k (q s + b) = x·(q s) + (Σ_{k∈g} x_k)·b, so the wrapper adds
         # a tiny [B, K/G] @ [K/G, N] matmul on the XLA side in full f32 —
         # EXCEPT on the superblock path (sb>0), where s/b exist only in
-        # factored int8×f16 form and are composed and folded in right here.
+        # factored int8×f16 form and are composed in-kernel; the bias term
+        # then rides a per-tile [TM, gs]×[gs, TN] MXU dot against the group
+        # sums of x (xs_ref) instead of a per-weight VPU add — measured
+        # 148→178 GB/s at M=32 on v5e (experiments/qmm_unpack_variants.py;
+        # the per-weight sublane-broadcast add was ~25% of kernel time).
         q = q_ref[:]                               # [TK(/2), TN] int8/uint8
         tn = q.shape[1]
         if packed:
@@ -56,7 +61,8 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref, *, n_kt: int,
             qg = q.reshape(q.shape[0] // half, half, tn)
             qi = qg.astype(jnp.int32)
             lo = (qi & 0xF).astype(compute_dtype)
-            hi = ((qi >> 4) & 0xF).astype(compute_dtype)
+            # u8 widening zero-extends, so >>4 needs no mask
+            hi = (qi >> 4).astype(compute_dtype)
             wq = jnp.concatenate([lo, hi], axis=1)  # [gs, group, TN]
             if zero_point:
                 wq = wq - jnp.asarray(zero_point, compute_dtype)
@@ -74,7 +80,8 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref, *, n_kt: int,
             s = (sc.reshape(gs // sb, sb, tn)
                  * dd[:, None, :]).reshape(gs, tn).astype(compute_dtype)
             w = wq * s[:, None, :]
-            if b_ref is not None:                  # affine k-quants only
+            if b_ref is not None and xs_ref is None:
+                # affine k-quants, M-swept path: per-weight bias add
                 m = b_ref[:].astype(jnp.float32)
                 dmn = f16_bits_to_f32(dm_ref[:].astype(jnp.int32))
                 bb = -(m.reshape(gs // sb, sb, tn)
@@ -87,6 +94,20 @@ def _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref, *, n_kt: int,
 
     xc = x_ref[:].astype(compute_dtype)            # [TM, TK]
     part = jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32)
+    if xs_ref is not None:
+        from .gemv_kernel import f16_bits_to_f32 as _f16d
+        gs = s_ref.shape[0]
+        tn = q_ref.shape[1]
+        m = b_ref[:].astype(jnp.float32)
+        dmn = _f16d(dm_ref[:].astype(jnp.int32))
+        bb = -(m.reshape(gs // sb, sb, tn)
+               * dmn[:, None, :]).reshape(gs, tn)
+        # xs arrives TRANSPOSED [K/G, TM] so the per-k-tile slice is a
+        # sublane slice; contraction dim0×dim0 (MXU lhs transpose), f32
+        xs = xs_ref[pl.ds(kt * gs, gs), :].astype(jnp.float32)
+        part = part + jax.lax.dot_general(
+            xs, bb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     sl = pl.ds(mt * tile_m, tile_m)
 
     @pl.when(kt == 0)
@@ -182,6 +203,9 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
                                      memory_space=pltpu.VMEM))
         args.append(bias.reshape(1, N))
     has_b = b is not None
+    # bias-via-dot path: only when the M sweep is a single tile (decode
+    # shapes) — a multi-tile M sweep would need a lane slice of xs per m
+    use_xs = sb and has_b and n_mt == 1
     if sb:
         sbspec = pl.BlockSpec((gs // sb, tile_n), lambda n, k, m: (k, n),
                               memory_space=pltpu.VMEM)
@@ -192,13 +216,21 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
         args += ([b] if has_b else []) \
             + [jax.lax.bitcast_convert_type(d, jnp.uint16)] \
             + ([jax.lax.bitcast_convert_type(dm, jnp.uint16)] if has_b else [])
+    if use_xs:
+        xs_t = jnp.sum(
+            x_f32.astype(jnp.float32).reshape(B_pad, K // group, group),
+            axis=2).T                               # [K/G, B_pad]
+        in_specs.append(pl.BlockSpec((K // group, B_pad),
+                                     lambda n, k, m: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(xs_t)
 
     def kernel(*refs):
         x_ref, q_ref, s_ref = refs[0], refs[1], refs[2]
         idx = 3
         bias_ref = refs[idx] if has_bias else None
         idx += has_bias
-        b_ref = d_ref = dm_ref = None
+        b_ref = d_ref = dm_ref = xs_ref = None
         if sb:
             if has_b:
                 b_ref = refs[idx]
@@ -208,11 +240,15 @@ def qmm_pallas(x, q, s, b=None, bias=None, *, group: int = 32,
             if has_b:
                 dm_ref = refs[idx]
                 idx += 1
+        if use_xs:
+            xs_ref = refs[idx]
+            idx += 1
         o_ref, w_ref = refs[idx], refs[idx + 1]
         _kernel(x_ref, q_ref, s_ref, bias_ref, o_ref, w_ref,
                 n_kt=n_kt, tile_m=tile_m, group=group, packed=packed,
                 zero_point=zero_point, compute_dtype=compute_dtype,
-                b_ref=b_ref, d_ref=d_ref, dm_ref=dm_ref, sb=sb)
+                b_ref=b_ref, d_ref=d_ref, dm_ref=dm_ref, sb=sb,
+                xs_ref=xs_ref)
 
     out = pl.pallas_call(
         kernel,
