@@ -60,7 +60,10 @@ def main():
 
     @jax.jit
     def prefill(params, cache, ids, n_past):
-        logits, cache = transformer_forward(cfg, params, ids, cache, n_past)
+        # last_index matches the production prefill (runtime/generate.py):
+        # lm_head runs on the final position only
+        logits, cache = transformer_forward(cfg, params, ids, cache, n_past,
+                                            last_index=ids.shape[1] - 1)
         return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32), cache
 
     # the whole greedy decode loop runs on device (lax.scan); the timing

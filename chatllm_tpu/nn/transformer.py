@@ -1016,7 +1016,7 @@ def lm_logits(cfg: TransformerConfig, params, x):
 
 
 def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
-                        n_past, *, last_only: bool = False,
+                        n_past, *, last_only: bool = False, last_index=None,
                         positions=None, input_embeds=None,
                         return_hidden: bool = False, mask_extra=None,
                         extra_residuals=None, n_valid=None, ple_ids=None):
@@ -1157,6 +1157,13 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
     x = _norm(cfg, x, params["final_norm"])
     if last_only:
         x = x[:, -1:, :]
+    elif last_index is not None:
+        # bucketed prefill: the last REAL token sits at n_valid-1 inside the
+        # right-padded T — slice the hidden state BEFORE lm_head so the
+        # vocab projection runs on 1 position, not T (at T=2048/V=128k the
+        # full-T lm_head is a 2.15 TFLOP no-op that costs ~15 ms of TTFT)
+        x = jax.lax.dynamic_slice_in_dim(
+            x, jnp.asarray(last_index, jnp.int32), 1, axis=1)
     # return_hidden: skip lm_head (reference transformer->skip_lm_head,
     # janus.cpp generate_next_token — the gen head replaces it)
     logits = x if return_hidden else lm_logits(cfg, params, x)

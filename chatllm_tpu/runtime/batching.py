@@ -215,12 +215,13 @@ class BatchedEngine:
                 row = jax.tree.map(
                     lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0),
                     cache)
-                logits, row = transformer_forward(cfg, params, ids, row, n_past)
+                logits, row = transformer_forward(cfg, params, ids, row,
+                                                  n_past,
+                                                  last_index=n_tokens - 1)
                 cache = jax.tree.map(
                     lambda a, r: jax.lax.dynamic_update_slice_in_dim(a, r, slot, axis=0),
                     cache, row)
-                last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
-                return last[0, 0, :], cache
+                return logits[0, 0, :], cache
 
         self._prefill_fns[tpad] = prefill
         return prefill

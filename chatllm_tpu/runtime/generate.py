@@ -194,9 +194,9 @@ class InferenceEngine:
                 pos = jnp.broadcast_to((n_past + pos_delta) + jnp.arange(T)[None, :], (B, T))
             logits, cache = transformer_forward(cfg, params, ids, cache, n_past,
                                                 positions=pos,
-                                                n_valid=n_tokens)
-            last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
-            return last[:, 0, :], cache
+                                                n_valid=n_tokens,
+                                                last_index=n_tokens - 1)
+            return logits[:, 0, :], cache
 
         self._prefill_cache[tpad] = prefill
         return prefill
@@ -395,9 +395,8 @@ class InferenceEngine:
                 logits, cache = transformer_forward(
                     cfg, params, None, cache, n_past, input_embeds=embeds,
                     positions=pos, extra_residuals=er, n_valid=n_tokens,
-                    ple_ids=pids)
-                last = jax.lax.dynamic_slice_in_dim(logits, n_tokens - 1, 1, axis=1)
-                return last[:, 0, :], cache
+                    ple_ids=pids, last_index=n_tokens - 1)
+                return logits[:, 0, :], cache
 
             self._prefill_cache[key_s] = prefill_e
         fn = self._prefill_cache[key_s]
