@@ -8,7 +8,6 @@ from dataclasses import replace
 
 from ..nn.transformer import LayerSpec, TransformerConfig
 from ..runtime.chat import ChatTokenizer, HistoryEncoder
-from ..tokenizer.processor import BPEProcessor1
 from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
                    load_llama_family_params, register_model)
 from .llama import build_dense_config
@@ -16,7 +15,7 @@ from .model_types import ModelType
 
 
 class DeepSeekV1Encoder(HistoryEncoder):
-    """User:/Assistant: template (models/deepseek.cpp v1)."""
+    """User:/Assistant: template (models/deepseek.cpp v1:38-84)."""
 
     def append_sys_prompt(self, ids):
         tok = self.tokenizer
@@ -32,15 +31,43 @@ class DeepSeekV1Encoder(HistoryEncoder):
     def append_ai(self, round_idx, ai, ids):
         tok = self.tokenizer
         self.append_ai_opening(round_idx, ids)
-        ids.extend(tok.encode(ai))
+        ids.extend(tok.encode(" " + ai))     # leading space: deepseek.cpp:44
         ids.append(tok.eos_token_id)
 
     def append_ai_opening(self, round_idx, ids):
         ids.extend(self.tokenizer.encode("Assistant:"))
 
 
+# reference deepseek::v1 Tokenizer::load regex set (models/deepseek.cpp:24-33)
+# — shared by v1 dense, v1-MoE, and the whole V2/V3 MLA family
+# (deepseek.h:97,325,499,519 typedef v1::Tokenizer)
+DEEPSEEK_V1_REGEX = [
+    "[\r\n]",
+    "\\s?[A-Za-z\\u00B5\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u01BA\\u01BC-\\u01BF\\u01C4-\\u0293\\u0295-\\u02AF\\u0370-\\u0373\\u0376\\u0377\\u037B-\\u037D\\u037F\\u0386\\u0388-\\u038A\\u038C\\u038E-\\u03A1\\u03A3-\\u03F5\\u03F7-\\u0481\\u048A-\\u052F\\u0531-\\u0556\\u10A0-\\u10C5\\u13A0-\\u13F5\\u13F8-\\u13FD\\u1C90-\\u1CBA\\u1CBD-\\u1CBF\\u1D00-\\u1D2B\\u1D6B-\\u1D77\\u1D79-\\u1D9A\\u1E00-\\u1F15\\u1F18-\\u1F1D\\u1F20-\\u1F45\\u1F48-\\u1F4D\\u1F50-\\u1F57\\u1F59\\u1F5B\\u1F5D\\u1F5F-\\u1F7D\\u1F80-\\u1FB4\\u1FB6-\\u1FBC\\u1FBE\\u1FC2-\\u1FC4\\u1FC6-\\u1FCC\\u1FD0-\\u1FD3\\u1FD6-\\u1FDB\\u1FE0-\\u1FEC\\u1FF2-\\u1FF4\\u1FF6-\\u1FFC\\u2102\\u2107\\u210A-\\u2113\\u2115\\u2119-\\u211D\\u2124\\u2126\\u2128\\u212A-\\u212D\\u212F-\\u2134\\u2139\\u213C-\\u213F\\u2145-\\u2149\\u214E\\u2183\\u2184\\u2C00-\\u2C7B\\u2C7E-\\u2CE4\\u2CEB-\\u2CEE\\u2CF2\\u2CF3\\uA640-\\uA66D\\uA680-\\uA69B\\uA722-\\uA76F\\uA771-\\uA787\\uA78B-\\uA78E\\uAB70-\\uABBF\\uFB00-\\uFB06\\uFB13-\\uFB17\\uFF21-\\uFF3A\\uFF41-\\uFF5A\\U00010400-\\U0001044F\\U000104B0-\\U000104D3\\U000104D8-\\U000104FB\\U00010C80-\\U00010CB2\\U00010CC0-\\U00010CF2\\U000118A0-\\U000118DF\\U0001E900-\\U0001E943]+",
+    "\\s?[!-/:-~！-／：-～‘-‟　-。]+",
+    "\\s+$",
+    "[一-龥ࠀ-一가-퟿]+",
+    "\\p{N}+",
+]
+
+# reference deepseek::coder regex set (models/deepseek.cpp:122-129)
+DEEPSEEK_CODER_REGEX = [
+    "[\r\n]",
+    "\\s?\\p{L}+",
+    "\\s?\\p{P}+",
+    "[一-龥ࠀ-一가-퟿]+",
+    "\\p{N}",
+]
+
+
 def make_deepseek_v1_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
-    tp = BPEProcessor1()
+    """Byte-BPE with merges, NOT a scored-SP vocab: the reference's whole
+    deepseek family loads BPEProcessor2 (models/deepseek.cpp:22-36; the
+    previous BPEProcessor1 here misread real converted files — caught by
+    the round-5 cross-binary matrix)."""
+    from ..tokenizer.processor import BPEProcessor2
+
+    tp = BPEProcessor2(DEEPSEEK_V1_REGEX)
     tp.load(gf.tokenizer_reader(), base.vocab_size)
     tok = ChatTokenizer(tp, DeepSeekV1Encoder(), sys_prompt="")
     tok.bos_token_id = base.bos_token_id
@@ -291,6 +318,55 @@ class DeepSeekV3(DeepSeekV2):
     HAS_GATE_BIAS = True
 
 
+class DeepSeekCoderEncoder(HistoryEncoder):
+    """### Instruction:/### Response: template with <|EOT|> turns
+    (models/deepseek.cpp coder namespace :155-190)."""
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        if tok.sys_prompt:
+            ids.append(tok.bos_token_id)
+            ids.extend(tok.encode(tok.sys_prompt))
+
+    def append_user(self, round_idx, user, ids):
+        tok = self.tokenizer
+        ids.append(tok.bos_token_id)
+        ids.extend(tok.encode("\n### Instruction:\n" + user))
+
+    def append_ai(self, round_idx, ai, ids):
+        tok = self.tokenizer
+        self.append_ai_opening(round_idx, ids)
+        ids.extend(tok.encode(ai + "\n<|EOT|>"))
+
+    def append_ai_opening(self, round_idx, ids):
+        ids.extend(self.tokenizer.encode("\n### Response:\n"))
+
+
+CODER_SYS_PROMPT = (
+    "You are an AI programming assistant, utilizing the DeepSeek Coder "
+    "model, developed by DeepSeek Company, and you only answer questions "
+    "related to computer science. For politically sensitive questions, "
+    "security and privacy issues, and other non-computer science questions, "
+    "you will refuse to answer.")
+
+
+def make_deepseek_coder_tokenizer(gf, base: BaseConfig) -> ChatTokenizer:
+    """Coder regex set + <|EOT|> terminator (models/deepseek.cpp:120-145)."""
+    from ..tokenizer.processor import BPEProcessor2
+
+    tp = BPEProcessor2(DEEPSEEK_CODER_REGEX)
+    tp.load(gf.tokenizer_reader(), base.vocab_size)
+    tok = ChatTokenizer(tp, DeepSeekCoderEncoder(),
+                        sys_prompt=CODER_SYS_PROMPT)
+    tok.bos_token_id = base.bos_token_id
+    tok.eos_token_id = base.eos_token_id
+    tok.pad_token_id = base.pad_token_id
+    eot = tp.piece_to_id("<|EOT|>")
+    if eot >= 0:
+        tok.terminate_ids.add(eot)
+    return tok
+
+
 @register_model(ModelType.DEEPSEEK_CODER, ModelType.NUMINAMATH)
 class DeepSeekCoder(BaseLLM):
     # + {rope_scaling:f, rope_theta:f} (models/deepseek.h:44-48)
@@ -304,7 +380,7 @@ class DeepSeekCoder(BaseLLM):
                                  cache_dtype=rt.cache_dtype)
         if rope_scaling > 0 and rope_scaling != 1.0:
             cfg = replace(cfg, rope=replace(cfg.rope, freq_scale=1.0 / rope_scaling))
-        tok = make_deepseek_v1_tokenizer(gf, base)
+        tok = make_deepseek_coder_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)

@@ -12,7 +12,7 @@ from dataclasses import replace as _replace
 from ..nn.transformer import LayerSpec
 from ..ops.rope import ROPE_NEOX, ROPE_NORMAL, RopeConfig
 from ..runtime.chat import ChatMLEncoder, ChatTokenizer, HistoryEncoder
-from ..tokenizer.processor import BPEProcessor1, BPEProcessor2
+from ..tokenizer.processor import BPEProcessor1, BPEProcessor3, BPEProcessor2
 from .base import (BaseConfig, BaseLLM, ParamBuilder, RuntimeConfig,
                    load_llama_family_params, register_model)
 from .llama import build_dense_config
@@ -118,7 +118,9 @@ class Xverse(BaseLLM):
         base, _ = BaseConfig.parse(gf)
         cfg = build_dense_config(base, max_length=rt.max_length,
                                  cache_dtype=rt.cache_dtype)
-        tp = BPEProcessor1()
+        # reference xverse loads BPEProcessor3 with a digit-split regex
+        # (models/xverse.cpp:33), NOT a scored-SP processor
+        tp = BPEProcessor3(["[0-9]"])
         tp.load(gf.tokenizer_reader(), base.vocab_size)
         tok = ChatTokenizer(tp, XverseEncoder(), sys_prompt="")
         tok.bos_token_id = base.bos_token_id
@@ -259,7 +261,9 @@ class Aquila2(BaseLLM):
                                  cache_dtype=rt.cache_dtype)
         if factor > 0:
             cfg = _replace(cfg, rope=_replace(cfg.rope, freq_scale=1.0 / factor))
-        tp = BPEProcessor1()
+        # reference aquila loads default-regex BPEProcessor2
+        # (models/aquila.cpp:185), not a scored-SP processor
+        tp = BPEProcessor2()
         tp.load(gf.tokenizer_reader(), base.vocab_size)
         tok = ChatTokenizer(tp, AquilaEncoder(), sys_prompt=AQUILA_SYS)
         tok.bos_token_id = base.bos_token_id
@@ -475,6 +479,11 @@ class Index(BaseLLM):
 # Megrez dense (models/megrez.cpp — llama3 arch, role-marker template)
 # ---------------------------------------------------------------------------
 
+# default system prompt baked into the reference tokenizer ctor
+# (models/megrez.cpp chat::Tokenizer:33)
+MEGREZ_SYS_PROMPT = "你是Megrez-3B-Instruct，将针对用户的问题给出详细的、积极的回答。"
+
+
 class MegrezEncoder(HistoryEncoder):
     def __init__(self, role_start, role_end, turn_end):
         super().__init__()
@@ -486,10 +495,12 @@ class MegrezEncoder(HistoryEncoder):
         ids.append(self.role_end)
 
     def append_sys_prompt(self, ids):
-        if self.tokenizer.sys_prompt:
-            self._role("system", ids)
-            ids.extend(self.tokenizer.encode(self.tokenizer.sys_prompt))
-            ids.append(self.turn_end)
+        # the reference emits the system block UNCONDITIONALLY — even an
+        # empty sys prompt yields role markers + turn_end
+        # (models/megrez.cpp ChatHistoryEncoder::append_sys_prompt:102-108)
+        self._role("system", ids)
+        ids.extend(self.tokenizer.encode(self.tokenizer.sys_prompt))
+        ids.append(self.turn_end)
 
     def append_user(self, round_idx, user, ids):
         self._role("user", ids)
@@ -518,7 +529,8 @@ class Megrez(BaseLLM):
         rs = tp.piece_to_id("<|role_start|>")
         re_ = tp.piece_to_id("<|role_end|>")
         te = tp.piece_to_id("<|turn_end|>")
-        tok = ChatTokenizer(tp, MegrezEncoder(rs, re_, te), sys_prompt="")
+        tok = ChatTokenizer(tp, MegrezEncoder(rs, re_, te),
+                            sys_prompt=MEGREZ_SYS_PROMPT)
         tok.bos_token_id = base.bos_token_id
         tok.eos_token_id = base.eos_token_id if base.eos_token_id >= 0 else tp.piece_to_id("<|eos|>")
         tok.terminate_ids.add(te)
@@ -962,9 +974,11 @@ class XverseMoE(BaseLLM):
     def load(cls, gf, rt: RuntimeConfig):
         from .deepseek import DeepSeekV1MoE
 
-        self = DeepSeekV1MoE.load.__func__(DeepSeekV1MoE, gf, rt)
-        # swap processor (BPE1) + template (xverse.cpp:112-148)
-        tp = BPEProcessor1()
+        self = DeepSeekV1MoE.load.__func__(DeepSeekV1MoE, gf, rt,
+                                           skip_tokenizer=True)
+        # swap processor (BPEProcessor3, xverse.cpp:33) + template
+        # (xverse.cpp:112-148)
+        tp = BPEProcessor3(["[0-9]"])
         tp.load(gf.tokenizer_reader(), self.native_config.vocab_size)
         enc = XverseMoEEncoder()
         tok = ChatTokenizer(tp, enc, sys_prompt="")

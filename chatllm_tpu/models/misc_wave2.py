@@ -1148,14 +1148,20 @@ class MegrezMoE(BaseLLM):
                       # reference sets n_group = n_routed / config.n_group
                       moe_n_group=max(n_routed // max(n_group, 1), 1),
                       moe_topk_group=max(topk_group, 1),
-                      moe_routed_scale=routed_scale)
+                      moe_routed_scale=routed_scale,
+                      moe_group_select="per_group_topk",
+                      # each MoE layer routes on the PREVIOUS layer's
+                      # ffn-norm output (megrez.cpp:359-384)
+                      moe_pre_gate=True)
         tp = BPEProcessor2(LLAMA3_REGEX)
         tp.load(gf.tokenizer_reader(), base.vocab_size)
         tp.enable_return_special_token(True)
         rs = tp.piece_to_id("<|role_start|>")
         re_ = tp.piece_to_id("<|role_end|>")
         te = tp.piece_to_id("<|turn_end|>")
-        tok = ChatTokenizer(tp, MegrezEncoder(rs, re_, te), sys_prompt="")
+        from .misc_llama2 import MEGREZ_SYS_PROMPT
+        tok = ChatTokenizer(tp, MegrezEncoder(rs, re_, te),
+                            sys_prompt=MEGREZ_SYS_PROMPT)
         tok.bos_token_id = base.bos_token_id
         tok.eos_token_id = base.eos_token_id
         if te >= 0:

@@ -171,6 +171,16 @@ class TransformerConfig:
     #   models/qwen3_5.cpp:246-263)
     v_norm: bool = False            # weightless RMSNorm(1e-6) on the v heads
     #   (Gemma4Attention::forward, models/gemma4.cpp:1777)
+    moe_group_select: str = "sum2"  # grouped top-k group-scoring mode:
+    #   "sum2" — HF noaux_tc: rank GROUPS by sum of their top-2 scores,
+    #   keep topk_group groups (DeepSeek-V3 class);
+    #   "per_group_topk" — reference GenericGroupedSparseMoE
+    #   (src/layers.cpp:3929): keep the top-`topk_group` EXPERTS inside
+    #   every group, then global top-k over survivors (Megrez2)
+    moe_pre_gate: bool = False      # Megrez2: each MoE layer ROUTES on the
+    #   PREVIOUS layer's ffn-norm output (pre_gate_hidden_states,
+    #   models/megrez.cpp MoEModel::forward:359-384); experts still consume
+    #   this layer's own ffn-norm output
     cascaded_moe: bool = False      # Gemma4 CascadedMLP: dense MLP + a
     #   residual-fed MoE branch with its own sandwich norms
     #   (models/gemma4.cpp CascadedMLP::forward :1990-2001)
@@ -338,23 +348,26 @@ def xielu_mlp(cfg: TransformerConfig, p, x):
     return matmul(h, p["down"], shard="in").astype(x.dtype)
 
 
-def mlp_dispatch(cfg: TransformerConfig, spec: LayerSpec, p, x):
+def mlp_dispatch(cfg: TransformerConfig, spec: LayerSpec, p, x,
+                 router_x=None):
     if spec.is_moe:
-        return moe_mlp(cfg, p, x)
+        return moe_mlp(cfg, p, x, router_x=router_x)
     if "gate" in p or "gate_up" in p:
         return gated_mlp(cfg, p, x)
     return simple_mlp(cfg, p, x)
 
 
-def moe_mlp(cfg: TransformerConfig, p, x):
+def moe_mlp(cfg: TransformerConfig, p, x, router_x=None):
     """Sparse MoE FFN (reference GenericSparseMLP src/layers.h:2373):
     softmax router → top-k experts → weighted sum; optional shared expert
     (CombinedMLP :2330).  Expert compute is dense einsum over the expert dim
     (`mul_mat_id` analog) — gathered per token via one-hot matmul so shapes
-    stay static for XLA."""
+    stay static for XLA.  `router_x` overrides the ROUTER input (Megrez2
+    pre-gate: the previous layer's ffn-norm output routes this layer)."""
     B, T, H = x.shape
     xt = x.reshape(B * T, H)
-    router_logits = matmul(xt, p["gate"]).astype(jnp.float32)         # [N, E]
+    rt = xt if router_x is None else router_x.reshape(B * T, H)
+    router_logits = matmul(rt, p["gate"]).astype(jnp.float32)         # [N, E]
     if "gate_linear_bias" in p:
         # true router bias on the logits (GPT-OSS mlp.router.bias) — distinct
         # from the selection-only score-correction bias below
@@ -404,13 +417,20 @@ def moe_mlp(cfg: TransformerConfig, p, x):
         N = sel.shape[0]
         G = cfg.moe_n_group
         gsel = sel.reshape(N, G, -1)
-        if cfg.moe_score_func == "sigmoid":
-            gscore = jnp.sum(jax.lax.top_k(gsel, 2)[0], axis=-1)      # [N, G]
+        if cfg.moe_group_select == "per_group_topk":
+            # keep the top-`topk_group` experts INSIDE every group, zero the
+            # rest, then global top-k over survivors (src/layers.cpp:3929;
+            # non-survivor base is 0, matching ggml::scale(..., 0.0))
+            kth = jax.lax.top_k(gsel, cfg.moe_topk_group)[0][..., -1:]
+            sel = jnp.where(gsel >= kth, gsel, 0.0).reshape(N, -1)
         else:
-            gscore = jnp.max(gsel, axis=-1)
-        gtop, _ = jax.lax.top_k(gscore, cfg.moe_topk_group)
-        gmask = gscore >= gtop[..., -1:]
-        sel = jnp.where(gmask[:, :, None], gsel, -jnp.inf).reshape(N, -1)
+            if cfg.moe_score_func == "sigmoid":
+                gscore = jnp.sum(jax.lax.top_k(gsel, 2)[0], axis=-1)  # [N, G]
+            else:
+                gscore = jnp.max(gsel, axis=-1)
+            gtop, _ = jax.lax.top_k(gscore, cfg.moe_topk_group)
+            gmask = gscore >= gtop[..., -1:]
+            sel = jnp.where(gmask[:, :, None], gsel, -jnp.inf).reshape(N, -1)
     if "router_scale" in p:
         # learned per-expert weight multiplier, applied to the combine
         # weights but NOT the selection scores (GenericSparseMLP::forward,
@@ -926,7 +946,7 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
                   cos, sin, k_cache, v_cache, n_past,
                   k_scale=None, v_scale=None, q_mult=None,
                   mask_extra=None, valid=None, rope_cfg=None,
-                  layer_emb=None):
+                  layer_emb=None, pre_gate=None):
     """One decoder layer.  Pre-norm (LMBlock1), optional post-norms
     (LMBlock4/Gemma2), optional parallel residual (LMBlock2)."""
     if spec.no_attn:
@@ -964,6 +984,14 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
     else:
         x = x + rs * attn_out if rs != 1.0 else x + attn_out
         h = _norm(cfg, x, p["ffn_norm"]) if cfg.pre_norm else x
+        if pre_gate is not None:
+            # pre-gate routing: route with the PREVIOUS layer's ffn-norm
+            # output, then record this layer's for the next (megrez.cpp:359)
+            router_x = pre_gate[0] if (spec.is_moe
+                                       and pre_gate[0] is not None) else None
+            pre_gate[0] = h
+        else:
+            router_x = None
         if cfg.cascaded_moe and "moe" in p:
             # CascadedMLP (models/gemma4.cpp:1990-2001): dense MLP output
             # normed by post_ffn_norm_1 PLUS the MoE branch fed the
@@ -972,7 +1000,8 @@ def decoder_layer(cfg: TransformerConfig, spec: LayerSpec, p, x,
             mlp_out = (rms_norm(dense, p["moe"]["post1"]["w"], eps=cfg.norm_eps)
                        + gemma4_cascade_moe(cfg, p["moe"], x))
         else:
-            mlp_out = mlp_dispatch(cfg, spec, p["mlp"], h)
+            mlp_out = mlp_dispatch(cfg, spec, p["mlp"], h,
+                                   router_x=router_x)
         if cfg.post_norms:
             mlp_out = _norm(cfg, mlp_out, p["post_ffn_norm"])
         x = x + rs * mlp_out if rs != 1.0 else x + mlp_out
@@ -1121,6 +1150,9 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
         if loop > 0 and not cfg.skip_loop_final_norm:
             x = _norm(cfg, x, params["final_norm"])
         fwd_saved = {}
+        # Megrez2 pre-gate: 1-element carrier threading each layer's
+        # ffn-norm output to the NEXT layer's MoE router (megrez.cpp:359)
+        pre_gate = [None] if cfg.moe_pre_gate else None
         for i in range(L):
             spec = cfg.layer_spec(i)
             ci = loop * L + i
@@ -1140,12 +1172,12 @@ def transformer_forward(cfg: TransformerConfig, params, ids, cache: KVCache,
                 x, _, _, _, _ = decoder_layer(
                     cfg, spec, params["layers"][i], x, c, s_, ks[cj], vs[cj],
                     n_past, kss[cj], vss[cj], q_mult, mask_extra, valid,
-                    rcfg, lemb)
+                    rcfg, lemb, pre_gate)
             else:
                 x, ks[ci], vs[ci], kss[ci], vss[ci] = decoder_layer(
                     cfg, spec, params["layers"][i], x, c, s_, ks[ci], vs[ci],
                     n_past, kss[ci], vss[ci], q_mult, mask_extra, valid,
-                    rcfg, lemb)
+                    rcfg, lemb, pre_gate)
             if extra_residuals is not None and i < extra_residuals.shape[0]:
                 # DeepStack visual features added to the first few layers'
                 # hidden states (HF Qwen3VLTextModel._deepstack_process;

@@ -664,6 +664,10 @@ class BPEProcessor3(BPEProcessor2):
     def __init__(self, regex_exprs: list[str] | None = None):
         super().__init__(regex_exprs)
 
+    # score-greedy merge engine borrowed from BPEProcessor1 (the reference's
+    # BPEProcessor3::DoEncode2 runs llama_sp_tokenizer, tokenizer.cpp:674)
+    _native_bpe_sp = BPEProcessor1._native_bpe_sp
+
     def _do_encode2(self, text: bytes, ids: list[int]):
         if not text:
             return

@@ -213,7 +213,7 @@ def test_convert_deepseek_v2_light(tmp_path):
         tie_word_embeddings=False, attention_bias=False, rope_scaling=None,
         aux_loss_alpha=0.0, seq_aux=False, attention_dropout=0.0)
     hf = transformers.DeepseekV2ForCausalLM(cfg).eval()
-    d = _save_dir(tmp_path, hf, cfg, "DeepseekV2ForCausalLM", [], unigram=True)
+    d = _save_dir(tmp_path, hf, cfg, "DeepseekV2ForCausalLM", [])
     out = str(tmp_path / "ds2.bin")
     convert(d, out, "f32")
     model = load_model(out, RuntimeConfig(**RT32))

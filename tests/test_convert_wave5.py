@@ -468,7 +468,8 @@ def test_convert_deepseek_v1_moe(tmp_path):
                      "n_shared_experts": 1, "norm_topk_prob": False,
                      "num_experts_per_tok": 2, "scoring_func": "softmax",
                      "attention_bias": False, "rope_scaling": None,
-                     "bos_token_id": 1, "eos_token_id": 2})
+                     "bos_token_id": 1, "eos_token_id": 2},
+                    unigram=False)
     out = str(tmp_path / "m.bin")
     convert(d, out, "f32")
     m = load_model(out, RuntimeConfig(**RT32))

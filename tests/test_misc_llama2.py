@@ -84,7 +84,7 @@ def test_hunyuan_logits_match_hf(tmp_path):
 
 def _write_sp_model(path, mtype, extra_bytes, layers=2, vocab=260, hidden=64,
                     heads=4, inter=96, norm_bias=False, extra_tensors=(),
-                    fmt_extra=""):
+                    fmt_extra="", bpe_vocab=False):
     rng = np.random.default_rng(5)
     with open(path, "wb") as f:
         w = GGMMWriter(f, int(mtype), 1, meta={"model_name": "tiny"})
@@ -92,7 +92,10 @@ def _write_sp_model(path, mtype, extra_bytes, layers=2, vocab=260, hidden=64,
                        fmt="11i")
         f.write(extra_bytes)
         w._patch_offset(12)
-        w.write_vocab_sp([(f"w{i}".encode(), -float(i)) for i in range(vocab)])
+        if bpe_vocab:
+            w.write_vocab_bpe([(f"w{i}".encode(), 1) for i in range(vocab)], [])
+        else:
+            w.write_vocab_sp([(f"w{i}".encode(), -float(i)) for i in range(vocab)])
 
         def wt(name, shape):
             w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
@@ -179,15 +182,17 @@ def test_telechat2(tmp_path):
 
 def test_xverse(tmp_path):
     path = str(tmp_path / "xv.bin")
-    _write_sp_model(path, ModelType.XVERSE, b"")
+    # xverse loads a BPEProcessor3 (BPE2-format vocab), not scored-SP
+    _write_sp_model(path, ModelType.XVERSE, b"", bpe_vocab=True)
     model = load_model(path, RuntimeConfig(**RT32))
     _smoke(model)
 
 
 def test_aquila2_freq_scale(tmp_path):
     path = str(tmp_path / "aq.bin")
+    # aquila2 loads default-regex BPEProcessor2 (aquila.cpp:185)
     _write_sp_model(path, ModelType.AQUILA2,
-                    struct.pack("<i2f", 4, 10000.0, 2.0))
+                    struct.pack("<i2f", 4, 10000.0, 2.0), bpe_vocab=True)
     model = load_model(path, RuntimeConfig(**RT32))
     assert abs(model.cfg.rope.freq_scale - 0.5) < 1e-9
     _smoke(model)

@@ -71,7 +71,7 @@ def make_tiny_dsv2(path, *, vocab=256, hidden=64, heads=4, layers=3,
         # routed_scaling_factor
         f.write(struct.pack("<7f", 32.0, 1.0, 1.0, 1.0, 1.0, 10000.0, 1.0))
         w._patch_offset(12)
-        w.write_vocab_sp([(f"w{i}".encode(), -float(i)) for i in range(vocab)])
+        w.write_vocab_bpe([(f"w{i}".encode(), 1) for i in range(vocab)], [])
 
         tensors = {"model.embed_tokens.weight": sd["model.embed_tokens.weight"],
                    "model.norm.weight": sd["model.norm.weight"],

@@ -168,7 +168,7 @@ def test_xverse_moe_smoke(tmp_path):
                         2, 0, moe_i, 1, E, 1, 1, 2], fmt="19i")
         f.write(struct.pack("<f", 10000.0))
         w._patch_offset(12)
-        w.write_vocab_sp([(f"w{i}".encode(), -float(i)) for i in range(vocab)])
+        w.write_vocab_bpe([(f"w{i}".encode(), 1) for i in range(vocab)], [])
 
         def wt(name, shape):
             w.write_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05,
