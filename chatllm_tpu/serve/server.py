@@ -75,9 +75,10 @@ class ApiServer:
     def __init__(self, model, *, model_name: str = "default",
                  emb_model=None, rerank_model=None, fim_model=None,
                  gen_config: GenerationConfig | None = None,
-                 max_slots: int = 1, mesh=None):
+                 max_slots: int = 1, mesh=None, ui: str | None = None):
         self.model = model
         self.model_name = model_name
+        self.ui = ui                    # --ui FILE override (server.nim:629)
         self.emb_model = emb_model
         self.rerank_model = rerank_model
         self.fim_model = fim_model
@@ -510,7 +511,26 @@ def _make_handler(api: ApiServer):
                 self._json({"version": "0.1.0-chatllm_tpu"})
             elif path == "/api/ps":
                 self._json({"models": ([{"name": api.model_name}] if api.busy else [])})
-            elif path == "/":
+            elif path in ("/", "/index.html"):
+                # chat web UI (reference server.nim handle_index :622-632);
+                # --ui FILE serves a custom page, .gz passed through encoded
+                headers = [("Content-Type", "text/html; charset=utf-8")]
+                if api.ui:
+                    with open(api.ui, "rb") as f:
+                        body = f.read()
+                    if api.ui.endswith(".gz"):
+                        headers.append(("Content-Encoding", "gzip"))
+                else:
+                    from .chat_ui import CHAT_UI_HTML
+
+                    body = CHAT_UI_HTML.encode("utf-8")
+                self.send_response(200)
+                for k, v in headers:
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif path == "/about":
                 self._json({"service": "chatllm_tpu", "endpoints": [
                     "/v1/chat/completions", "/v1/completions", "/v1/embeddings",
                     "/v1/models", "/api/chat", "/api/generate", "/health"]})
@@ -725,7 +745,7 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     sections, server_args = split_model_sections(argv)
 
-    host, port, slots = "127.0.0.1", 11434, 1
+    host, port, slots, ui = "127.0.0.1", 11434, 1, None
     i = 0
     model_path = ""
     while i < len(server_args):
@@ -736,6 +756,8 @@ def main(argv=None):
             i += 1; port = int(server_args[i])
         elif a in ("--slots", "--max_slots"):
             i += 1; slots = int(server_args[i])
+        elif a == "--ui":
+            i += 1; ui = server_args[i]
         elif a == "-m":
             i += 1; model_path = server_args[i]
         i += 1
@@ -756,7 +778,7 @@ def main(argv=None):
               "[---chat -m m1.bin] [---fim -m m2.bin] [---emb -m m3.bin] "
               "[---rerank -m m4.bin]")
         return 1
-    serve(chat, host=host, port=port, max_slots=slots,
+    serve(chat, host=host, port=port, max_slots=slots, ui=ui,
           emb_model=load_section("emb"),
           rerank_model=load_section("rerank"),
           fim_model=load_section("fim"))
