@@ -619,9 +619,9 @@ def test_convert_janus(tmp_path):
     from chatllm_tpu.models import RuntimeConfig, load_model
     from chatllm_tpu.tools.convert import convert
 
+    # janus inherits the deepseek v1 tokenizer = byte-BPE (janus.cpp:64)
     d = _save_dir(tmp_path, hf, cfg, "JanusForConditionalGeneration",
-                  ["<begin_of_image>", "<end_of_image>", "<｜▁pad▁｜>"],
-                  unigram=True)
+                  ["<begin_of_image>", "<end_of_image>", "<｜▁pad▁｜>"])
     out = str(tmp_path / "janus.bin")
     convert(d, out, "f32")
     m = load_model(out, RuntimeConfig(**RT32))

@@ -334,9 +334,11 @@ def test_convert_zhinao(tmp_path):
 
 
 def test_convert_aquila(tmp_path):
+    # aquila loads default-regex BPEProcessor2 (aquila.cpp:185)
     hf, cfg = _llama(70)
     m = _golden(tmp_path, hf, _sd(hf),
-                {**cfg.to_dict(), "architectures": ["AquilaForCausalLM"]})
+                {**cfg.to_dict(), "architectures": ["AquilaForCausalLM"]},
+                unigram=False)
     assert int(m.model_type) == 0x1707
 
 

@@ -93,9 +93,10 @@ def test_convert_xverse_dense_and_moe(tmp_path):
     # dense: llama layout re-typed
     hf, cfg = _llama(95, num_key_value_heads=4)
     cfg.rope_theta = 10000.0
+    # xverse loads BPEProcessor3 over a BPE-format vocab (xverse.cpp:33)
     m = _conv(tmp_path, _sd(hf),
               {**cfg.to_dict(), "architectures": ["XverseForCausalLM"],
-               "num_experts": None}, sub="dense")
+               "num_experts": None}, sub="dense", unigram=False)
     assert int(m.model_type) == 0x1900
     np.testing.assert_allclose(_logits(m), _ref(hf), atol=3e-3, rtol=3e-3)
     # moe: dsv1 layout with router→gate
@@ -110,7 +111,7 @@ def test_convert_xverse_dense_and_moe(tmp_path):
     m = _conv(tmp_path, sd,
               {**BASE, "architectures": ["XverseForCausalLM"],
                "num_experts": 4, "num_shared_experts": 1, "moe_top_k": 2},
-              sub="moe")
+              sub="moe", unigram=False)
     assert int(m.model_type) == 0x327
     assert np.isfinite(_logits(m)).all()
 

@@ -128,7 +128,7 @@ def _build_baichuan13b(seed):
             "model_max_length": 512, "max_position_embeddings": 512,
             "bos_token_id": 1, "eos_token_id": 2, "pad_token_id": 0,
             "user_token_id": 195, "assistant_token_id": 196}
-    return cfgd, amplify_state_dict(sd, tok, amp=3.0), tok
+    return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
 
 
 def _build_chatglm2(seed):
@@ -343,6 +343,43 @@ def _build_megrez_moe(seed):
     return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
 
 
+def _build_qwen25vl(seed):
+    """Qwen2.5-VL TEXT path through both binaries (the converted file
+    carries the full windowed-ViT tower; the reference loads it and chats
+    text-only — VERDICT #4's "one VL text-path")."""
+    import transformers
+
+    transformers.set_seed(seed)
+    tok = bpe_tok_json()
+    V0 = max(v for v in tok["model"]["vocab"].values()) + 1
+    extra = ["<|vision_start|>", "<|vision_end|>", "<|image_pad|>",
+             "<|video_pad|>"]
+    for i, s in enumerate(extra):
+        tok["added_tokens"].append({"content": s, "id": V0 + i,
+                                    "special": True})
+    V = V0 + len(extra)
+    cfg = transformers.Qwen2_5_VLConfig(
+        vocab_size=V, hidden_size=256, num_attention_heads=4,
+        num_key_value_heads=2, num_hidden_layers=2, intermediate_size=256,
+        max_position_embeddings=512, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, sliding_window=None,
+        rope_scaling={"type": "mrope", "mrope_section": [8, 12, 12]},
+        vision_config=dict(
+            depth=2, hidden_size=32, intermediate_size=48,
+            num_heads=4, patch_size=4, spatial_merge_size=2,
+            spatial_patch_size=4, temporal_patch_size=2,
+            window_size=8, fullatt_block_indexes=[1],
+            out_hidden_size=256, tokens_per_second=2, hidden_act="silu"),
+        image_token_id=V0 + 2, video_token_id=V0 + 3,
+        vision_start_token_id=V0, vision_end_token_id=V0 + 1,
+        pad_token_id=0, eos_token_id=0, bos_token_id=1)
+    hf = transformers.Qwen2_5_VLForConditionalGeneration(cfg)
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    cfgd = {**json.loads(cfg.to_json_string()),
+            "architectures": ["Qwen2_5_VLForConditionalGeneration"]}
+    return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
+
+
 # (family, builder, pinned seed) — seeds chosen where greedy margins beat
 # f32 accumulation noise on the pinned prompt (interactive search,
 # 2026-08-20; rejected seeds flipped single near-tie argmaxes)
@@ -354,7 +391,8 @@ FAMILIES = {
     "ouro": (_build_ouro, 11),
     "grove": (_build_grove, 11),
     "pangu_moe": (_build_pangu_moe, 11),
-    "megrez_moe": (_build_megrez_moe, 11),
+    "megrez_moe": (_build_megrez_moe, 0),
+    "qwen25vl": (_build_qwen25vl, 0),
 }
 
 
@@ -366,23 +404,37 @@ def family_models(tmp_path_factory):
     root = tmp_path_factory.mktemp("xmatrix")
     paths = {}
 
-    def get(fam):
-        if fam not in paths:
+    def get(fam, fmt="f32"):
+        key = (fam, fmt)
+        if key not in paths:
             builder, seed = FAMILIES[fam]
-            cfgd, sd, tok = builder(seed)
             d = root / fam
-            write_hf_dir(d, cfgd, sd, tok)
-            out = str(d / "m_f32.bin")
-            convert(str(d), out, "f32")
-            paths[fam] = out
-        return paths[fam]
+            if not (d / "config.json").exists():
+                cfgd, sd, tok = builder(seed)
+                write_hf_dir(d, cfgd, sd, tok)
+            out = str(d / f"m_{fmt}.bin")
+            convert(str(d), out, fmt)
+            paths[key] = out
+        return paths[key]
 
     return get
+
+
+# per-family quantized leg (VERDICT #4: "f32 + one quant format").
+# baichuan's converter L2-normalizes lm_head rows, shrinking margins below
+# q4_k noise at every seed tried — its quant leg runs q8_0 instead.
+QUANT_LEG = {fam: "q4_k" for fam in FAMILIES}
+QUANT_LEG["baichuan13b"] = "q8_0"
 
 
 @pytest.mark.parametrize("fam", sorted(FAMILIES))
 def test_family_greedy_matches_reference_binary(family_models, capsys, fam):
     assert_cross_parity(family_models(fam), capsys)
+
+
+@pytest.mark.parametrize("fam", sorted(FAMILIES))
+def test_family_greedy_quantized(family_models, capsys, fam):
+    assert_cross_parity(family_models(fam, QUANT_LEG[fam]), capsys)
 
 
 def test_chatglm1_reference_refuses():

@@ -74,10 +74,15 @@ def make_tiny_janus(path):
                 (b"<\xef\xbd\x9c\xe2\x96\x81pad\xe2\x96\x81\xef\xbd\x9c>", -9.0)]
         import string
 
+        from chatllm_tpu.tokenizer.processor import byte_level_encode
+
+        # BPE2 base pieces are byte-level-ENCODED (space -> \u0120 etc.)
         for ch in string.printable:
-            toks.append((ch.encode(), -2.0))
+            toks.append((byte_level_encode(ch.encode()), -2.0))
         toks += [(f"<p{i}>".encode(), -20.0) for i in range(VOCAB - len(toks))]
-        w.write_vocab_sp(toks)
+        # janus inherits the deepseek v1 tokenizer = byte-BPE + merges
+        # (janus.cpp:64, deepseek.cpp:22-36) — BPE-format vocab, not SP
+        w.write_vocab_bpe([(t, 1) for t, _s in toks], [])
 
         # LM (llama names)
         wt(w, "model.embed_tokens.weight", sd["model.language_model.embed_tokens.weight"])
