@@ -215,25 +215,18 @@ def main():
     # binds before HBM at small batch; report it for context
     mxu_floor_tok_s = 4 * 128 * 940e6 / n_params
 
-    # attainable bound: measure this chip's *achievable* streaming bandwidth
-    # right now (spec HBM BW is not reachable through the axon relay), then
-    # divide by the bytes decode actually reads per token (every parameter
-    # except the embedding table, which is a 1-row gather)
+    # attainable bound: this chip's sustained PURE-READ bandwidth (decode's
+    # weight pass is read-only; the old a*x+b stream measured read+WRITE and
+    # its single-shot timings carried the ~25-35 ms relay dispatch floor —
+    # BASELINE.md "Pure-read roofline correction").  Reps-amortized pallas
+    # DMA probe; divide by the bytes decode actually reads per token.
     try:
-        probe = jnp.zeros((128, 2048, 2048), jnp.float32)  # 2 GB f32
+        from chatllm_tpu.ops.pallas.bw_probe import measure_read_bw
 
-        @jax.jit
-        def stream(a):
-            return a * jnp.float32(1.0001) + jnp.float32(1.0)
-
-        r = stream(probe); _ = np.asarray(r[0, 0, :8])
-        best = float("inf")
-        for _i in range(6):          # best-of-6: single shots through the
-            t0 = time.perf_counter()  # axon relay are noisy (±2x)
-            r = stream(probe); _ = np.asarray(r[0, 0, :8])
-            best = min(best, time.perf_counter() - t0)
-        bw_meas = 2 * probe.nbytes / best  # read+write
-    except Exception:
+        bw_meas = measure_read_bw()
+    except Exception as e:
+        print(f"bw probe failed: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
         bw_meas = -1.0
     embed_bytes = params["embed"].nbytes
     read_bytes = pbytes - embed_bytes

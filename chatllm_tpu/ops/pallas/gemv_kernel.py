@@ -96,7 +96,9 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_kt: int, group: int,
         gs = q.shape[0] // half
         qi = q.reshape(gs, half, tn).astype(jnp.int32)
         lo = (qi & 0xF).astype(jnp.float32)        # rows 0..G/2-1 of group
-        hi = ((qi >> 4) & 0xF).astype(jnp.float32) # rows G/2..G-1
+        # u8 widening zero-extends, so >>4 needs no mask (measured +4%:
+        # 278 -> 290 GB/s at the 8B GEMV shape, experiments/gemv_unpack.py)
+        hi = (qi >> 4).astype(jnp.float32)         # rows G/2..G-1
         xg = xx.reshape(gs, group, 1)
         p = lo * xg[:, :half] + hi * xg[:, half:]  # [gs, G/2, TN]
         h = half
