@@ -167,7 +167,10 @@ class MiniCPMMoE(BaseLLM):
                       layer_specs=tuple(LayerSpec(is_moe=True)
                                         for _ in range(n_layers)),
                       moe_num_experts=n_experts, moe_top_k=n_active,
-                      moe_norm_topk_prob=False)
+                      # reference default norm_topk_prob=true
+                      # (src/layers.cpp:3727; MiniCPMSparseMoE never
+                      # overrides, minicpm.cpp:298-304)
+                      moe_norm_topk_prob=True)
         tok = _v1_tokenizer(gf, base)
         pb = ParamBuilder(gf, rt)
         params = {

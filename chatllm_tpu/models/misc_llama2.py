@@ -399,6 +399,8 @@ class BlueLMEncoder(HistoryEncoder):
         self.human_id, self.ai_id = human_id, ai_id
 
     def append_user(self, round_idx, user, ids):
+        # the reference pushes bos before EVERY user turn (bluelm.cpp:86-93)
+        ids.append(self.tokenizer.bos_token_id)
         ids.append(self.human_id)
         ids.extend(self.tokenizer.encode(user))
 
@@ -431,6 +433,9 @@ class BlueLM(BaseLLM):
         tok = ChatTokenizer(tp, BlueLMEncoder(human, ai), sys_prompt="")
         tok.bos_token_id = base.bos_token_id
         tok.eos_token_id = base.eos_token_id
+        # marker ids never display (reference is_special_id, bluelm.cpp:101)
+        tok.special_ids.update(
+            i for i in (base.pad_token_id, human, ai) if i >= 0)
         pb = ParamBuilder(gf, rt)
         params = load_llama_family_params(pb, base.num_hidden_layers)
         return cls(gf.model_type, cfg, params, tok, native_config=base, meta=gf.meta)
@@ -544,7 +549,14 @@ class Megrez(BaseLLM):
 # ---------------------------------------------------------------------------
 
 class PlainEncoder(HistoryEncoder):
-    """No chat markers (reference passes a null encoder)."""
+    """No chat markers (reference passes a null encoder): the default
+    path encodes the LAST message and inserts bos at the front when
+    auto_add_bos and bos >= 0 (src/chat.cpp:839-846)."""
+
+    def append_sys_prompt(self, ids):
+        tok = self.tokenizer
+        if tok.bos_token_id is not None and tok.bos_token_id >= 0:
+            ids.append(tok.bos_token_id)
 
     def append_user(self, round_idx, user, ids):
         ids.extend(self.tokenizer.encode(user))
@@ -597,11 +609,17 @@ class Grok1(BaseLLM):
                                  max_length=rt.max_length,
                                  cache_dtype=rt.cache_dtype)
         cfg = _replace(
-            cfg, act="gelu", post_norms=True, logit_softcap=30.0,
+            # ggml's ActFunc::GELU is the TANH approximation (ggml_gelu,
+            # f16-tabulated) — erf-exact gelu diverges from the only
+            # available oracle (the reference binary)
+            cfg, act="gelu_tanh", post_norms=True, logit_softcap=30.0,
             logit_scale=out_scale,
             layer_specs=tuple(LayerSpec(is_moe=True) for _ in range(n_layers)),
             moe_num_experts=n_experts, moe_top_k=n_sel,
-            moe_norm_topk_prob=False)
+            # the reference NORMALIZES top-k weights: GenericSparseMLP's
+            # default is norm_topk_prob=true (src/layers.cpp:3727) and grok
+            # never overrides it — caught by the cross-binary matrix
+            moe_norm_topk_prob=True)
         tp = BPEProcessor1()
         tp.load(gf.tokenizer_reader(), base.vocab_size)
         tok = ChatTokenizer(tp, PlainEncoder(), sys_prompt="")

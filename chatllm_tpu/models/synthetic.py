@@ -412,7 +412,7 @@ def build_grok1_moe(*, seed=3, dtype=jnp.float32):
         act="gelu", post_norms=True, logit_softcap=30.0,
         logit_scale=0.5, tie_lm_head=True,
         layer_specs=tuple(LayerSpec(is_moe=True) for _ in range(L)),
-        moe_num_experts=E, moe_top_k=topk, moe_norm_topk_prob=False)
+        moe_num_experts=E, moe_top_k=topk, moe_norm_topk_prob=True)
     params = {
         "embed": jnp.asarray(rng.standard_normal((V, H)) * 0.02, dtype),
         "final_norm": _norm(H, rng),

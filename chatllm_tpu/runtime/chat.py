@@ -164,6 +164,7 @@ class ChatTokenizer:
         self.im_start_token_id = -1
         self.im_end_token_id = -1
         self.nl_token_id = -1
+        self.special_ids: set[int] = set()
         self.terminate_ids: set[int] = set()
         self.auto_add_bos = False
         self.vocab_size = processor.get_piece_size() if processor is not None else 0
@@ -189,7 +190,9 @@ class ChatTokenizer:
         return self.tp.decode([tid]).encode("utf-8")
 
     def is_special_id(self, tid: int) -> bool:
-        return False
+        # per-model marker ids excluded from DISPLAY (reference
+        # Tokenizer::is_special_id overrides, e.g. bluelm.cpp:101-104)
+        return tid in self.special_ids
 
     def is_terminate_token(self, tid: int) -> bool:
         return tid == self.eos_token_id or tid in self.terminate_ids

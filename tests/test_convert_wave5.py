@@ -244,7 +244,9 @@ def test_convert_minicpm4_longrope(tmp_path):
 
 def test_convert_minicpm_moe(tmp_path):
     """MiniCPM-MoE: HF Qwen2Moe oracle with biases zeroed, shared expert
-    neutralized (down_proj=0), norm_topk_prob False."""
+    neutralized (down_proj=0).  norm_topk_prob TRUE: the reference's
+    MiniCPMSparseMoE inherits GenericSparseMLP's default
+    norm_topk_prob=true (src/layers.cpp:3727) and never overrides it."""
     import math
 
     torch.manual_seed(83)
@@ -252,7 +254,7 @@ def test_convert_minicpm_moe(tmp_path):
         vocab_size=V, hidden_size=64, num_attention_heads=4,
         num_key_value_heads=4, num_hidden_layers=2, intermediate_size=96,
         moe_intermediate_size=48, shared_expert_intermediate_size=48,
-        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
         decoder_sparse_step=1, mlp_only_layers=[],
         max_position_embeddings=128, rope_theta=10000.0,
         tie_word_embeddings=True, sliding_window=None)

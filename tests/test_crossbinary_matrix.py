@@ -32,8 +32,14 @@ test_crossbinary_quant.py).
 Bugs this matrix caught while being built (round 5): deepseek family
 loaded a scored-SP tokenizer where the reference uses byte-BPE+merges
 (BPEProcessor2); xverse used scored-SP where the reference uses
-BPEProcessor3; megrez lacked the reference's default system prompt,
-pre-gate routing, and per-group-topk expert selection.
+BPEProcessor3; aquila2 used scored-SP where the reference uses BPE2;
+megrez lacked the reference's default system prompt, pre-gate routing,
+and per-group-topk expert selection; bluelm missed the per-turn bos and
+marker-id display filtering; grok used erf gelu (ggml's GELU is the tanh
+approximation), un-normalized top-k weights (the reference DEFAULT is
+norm_topk_prob=true, src/layers.cpp:3727), and PlainEncoder lacked the
+null-encoder bos (src/chat.cpp:839); minicpm-moe had the same norm_topk
+default wrong.
 """
 import json
 import os
@@ -380,6 +386,232 @@ def _build_qwen25vl(seed):
     return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
 
 
+def _build_orion(seed):
+    tok = sp_vocab_json()
+    V = len(tok["model"]["vocab"])
+    rng = np.random.default_rng(seed)
+    H, L, F = 128, 2, 192
+    sd = {"model.embed_tokens.weight": _lin(rng, V, H),
+          "model.norm.weight": np.ones(H, np.float32),
+          "model.norm.bias": _vec(rng, H),
+          "lm_head.weight": _lin(rng, V, H)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[p + ".input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".input_layernorm.bias"] = _vec(rng, H)
+        sd[p + ".post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".post_attention_layernorm.bias"] = _vec(rng, H)
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[p + f".self_attn.{nm}.weight"] = _lin(rng, H, H)
+        sd[p + ".mlp.gate_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.up_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.down_proj.weight"] = _lin(rng, H, F)
+    cfgd = {"architectures": ["OrionForCausalLM"], "vocab_size": V,
+            "hidden_size": H, "num_attention_heads": 4,
+            "num_key_value_heads": 4, "num_hidden_layers": L,
+            "intermediate_size": F, "max_position_embeddings": 512,
+            "rope_theta": 10000.0, "rope_scaling": None,
+            "bos_token_id": 1, "eos_token_id": 2, "pad_token_id": 0}
+    return cfgd, amplify_state_dict(sd, tok, amp=3.0), tok
+
+
+def _build_telechat2(seed):
+    # base_seqlen MUST be set: the reference derives ntk freq_base/mscale
+    # from max_length/base_seqlen (telechat.cpp:128-133)
+    tok = sp_vocab_json(extra_specials=("\n",))
+    V = len(tok["model"]["vocab"])
+    rng = np.random.default_rng(seed)
+    H, L, heads, F = 128, 2, 4, 192
+    sd = {"transformer.word_embeddings.weight": _lin(rng, V, H),
+          "transformer.ln_f.weight": np.ones(H, np.float32),
+          "lm_head.weight": _lin(rng, V, H)}
+    for i in range(L):
+        p = f"transformer.h.{i}"
+        sd[p + ".input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".self_attention.query.weight"] = _lin(rng, H, H)
+        sd[p + ".self_attention.key_value.weight"] = _lin(rng, 2 * H, H)
+        sd[p + ".self_attention.dense.weight"] = _lin(rng, H, H)
+        sd[p + ".self_attention.dense.bias"] = _vec(rng, H)
+        sd[p + ".mlp.gate_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.up_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.down_proj.weight"] = _lin(rng, H, F)
+        sd[p + ".mlp.down_proj.bias"] = _vec(rng, H)
+    cfgd = {"architectures": ["TeleChat2ForCausalLM"], "vocab_size": V,
+            "hidden_size": H, "n_head": heads, "n_layer": L,
+            "ffn_hidden_size": F, "seq_length": 512, "base_seqlen": 8192,
+            "num_key_value_heads": heads,
+            "bos_token_id": 1, "eos_token_id": 2, "pad_token_id": 0}
+    return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
+
+
+def _build_bluelm(seed):
+    tok = sp_vocab_json(extra_specials=("[SEA]", "[SEH]", "[|AI|]:",
+                                        "[|Human|]:"))
+    V = len(tok["model"]["vocab"])
+    rng = np.random.default_rng(seed)
+    H, L, F = 128, 2, 192
+    sd = {"model.embed_tokens.weight": _lin(rng, V, H),
+          "model.embed_layer_norm.weight": np.ones(H, np.float32),
+          "model.embed_layer_norm.bias": _vec(rng, H),
+          "model.norm.weight": np.ones(H, np.float32),
+          "lm_head.weight": _lin(rng, V, H)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[p + ".input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[p + f".self_attn.{nm}.weight"] = _lin(rng, H, H)
+        sd[p + ".mlp.gate_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.up_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.down_proj.weight"] = _lin(rng, H, F)
+    cfgd = {"architectures": ["BlueLMForCausalLM"], "vocab_size": V,
+            "hidden_size": H, "num_attention_heads": 4,
+            "num_key_value_heads": 4, "num_hidden_layers": L,
+            "intermediate_size": F, "max_position_embeddings": 512,
+            "rope_theta": 10000.0, "rope_scaling": None,
+            "use_stable_embedding": True,
+            "bos_token_id": 1, "eos_token_id": 2, "pad_token_id": 0}
+    return cfgd, amplify_state_dict(sd, tok, amp=3.0), tok
+
+
+def _build_index(seed):
+    tok = sp_vocab_json()
+    V = len(tok["model"]["vocab"])
+    rng = np.random.default_rng(seed)
+    H, L, heads, kv, F = 128, 2, 4, 2, 192
+    hd = H // heads
+    sd = {"model.embed_tokens.weight": _lin(rng, V, H),
+          "model.norm.weight": np.ones(H, np.float32),
+          "lm_head.weight": _lin(rng, V, H)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[p + ".input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".self_attn.q_proj.weight"] = _lin(rng, heads * hd, H)
+        sd[p + ".self_attn.k_proj.weight"] = _lin(rng, kv * hd, H)
+        sd[p + ".self_attn.v_proj.weight"] = _lin(rng, kv * hd, H)
+        sd[p + ".self_attn.o_proj.weight"] = _lin(rng, H, heads * hd)
+        sd[p + ".mlp.gate_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.up_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.down_proj.weight"] = _lin(rng, H, F)
+    cfgd = {"architectures": ["IndexForCausalLM"], "vocab_size": V,
+            "hidden_size": H, "num_attention_heads": heads,
+            "num_key_value_heads": kv, "num_hidden_layers": L,
+            "intermediate_size": F, "max_position_embeddings": 512,
+            "rope_ratio": 4.0, "norm_head": True,
+            "bos_token_id": 1, "eos_token_id": 2, "pad_token_id": 0}
+    return cfgd, amplify_state_dict(sd, tok, amp=3.0), tok
+
+
+def _build_solarpro(seed):
+    # bskcn tables exercise layer_fwd skip-forwarding; the reference
+    # hardcodes sliding_window == 2047 (solar.cpp:219)
+    tok = sp_vocab_json(extra_specials=("<|im_start|>", "<|im_end|>", "\n"))
+    V = len(tok["model"]["vocab"])
+    rng = np.random.default_rng(seed)
+    H, L, heads, kv, F = 128, 6, 4, 2, 192
+    hd = H // heads
+    sd = {"model.embed_tokens.weight": _lin(rng, V, H),
+          "model.norm.weight": np.ones(H, np.float32),
+          "lm_head.weight": _lin(rng, V, H)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[p + ".input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".self_attn.q_proj.weight"] = _lin(rng, heads * hd, H)
+        sd[p + ".self_attn.k_proj.weight"] = _lin(rng, kv * hd, H)
+        sd[p + ".self_attn.v_proj.weight"] = _lin(rng, kv * hd, H)
+        sd[p + ".self_attn.o_proj.weight"] = _lin(rng, H, heads * hd)
+        sd[p + ".mlp.gate_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.up_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.down_proj.weight"] = _lin(rng, H, F)
+    cfgd = {"architectures": ["SolarForCausalLM"], "vocab_size": V,
+            "hidden_size": H, "num_attention_heads": heads,
+            "num_key_value_heads": kv, "num_hidden_layers": L,
+            "intermediate_size": F, "max_position_embeddings": 512,
+            "rope_theta": 10000.0, "rope_scaling": None,
+            "sliding_window": 2047,
+            "bskcn_1": [2, 4], "bskcn_3": [3, 5],
+            "bskcn_2": [1], "bskcn_4": [2], "bskcn_tv": [0.9, 0.8],
+            "bos_token_id": 1, "eos_token_id": 2, "pad_token_id": 0}
+    return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
+
+
+def _write_grok1(d, seed):
+    """Grok-1 base: the converter streams xai pickle files (tensorNNNNN_000
+    in alphabetical order of the canonical names) — no safetensors."""
+    import pickle
+
+    tok = sp_vocab_json()
+    V = len(tok["model"]["vocab"])
+    rng = np.random.default_rng(seed)
+    H, L, heads, kv = 128, 2, 4, 2
+    hd = H // heads
+    F = (lambda s: s + (8 - s) % 8)(int(8 * H) * 2 // 3)   # ffn_size(H, 8)
+    E = 8
+    os.makedirs(str(d), exist_ok=True)
+    fmap = ["language_model.embed_tokens.weight",
+            "language_model.norm.weight"]
+    for i in range(L):
+        fmap += [f"model.layers.{i}.experts.w1.weight",
+                 f"model.layers.{i}.experts.w2.weight",
+                 f"model.layers.{i}.experts.w3.weight",
+                 f"model.layers.{i}.multi_head_attention.k_proj.weight",
+                 f"model.layers.{i}.multi_head_attention.o_proj.weight",
+                 f"model.layers.{i}.multi_head_attention.q_proj.weight",
+                 f"model.layers.{i}.multi_head_attention.v_proj.weight",
+                 f"model.layers.{i}.rms_norm.weight",
+                 f"model.layers.{i}.rms_norm_1.weight",
+                 f"model.layers.{i}.rms_norm_2.weight",
+                 f"model.layers.{i}.rms_norm_3.weight",
+                 f"model.layers.{i}.router.weight"]
+
+    def arr(name):
+        if name == "language_model.embed_tokens.weight":
+            return (rng.standard_normal((V, H)) * 0.02).astype(np.float32)
+        if "norm" in name:
+            return np.ones(H, np.float32)
+        if ".experts.w2." in name:
+            return (rng.standard_normal((E, F, H)) * (F ** -0.5)).astype(
+                np.float32)
+        if ".experts." in name:
+            return (rng.standard_normal((E, H, F)) * (H ** -0.5)).astype(
+                np.float32)
+        if "k_proj" in name or "v_proj" in name:
+            return (rng.standard_normal((H, kv * hd)) * (H ** -0.5)).astype(
+                np.float32)
+        if "q_proj" in name:
+            return (rng.standard_normal((H, heads * hd))
+                    * (H ** -0.5)).astype(np.float32)
+        if "o_proj" in name:
+            return (rng.standard_normal((heads * hd, H))
+                    * (H ** -0.5)).astype(np.float32)
+        if "router" in name:
+            return (rng.standard_normal((H, E)) * (H ** -0.5)).astype(
+                np.float32)
+        raise KeyError(name)
+
+    order = sorted(range(len(fmap)), key=lambda i: fmap[i])
+    for name in fmap:
+        idx = order.index(fmap.index(name))
+        with open(os.path.join(str(d), f"tensor{idx:05}_000"), "wb") as fh:
+            pickle.dump(arr(name), fh)
+    cfgd = {"vocab_size": V, "hidden_size": H, "num_attention_heads": heads,
+            "num_key_value_heads": kv, "num_hidden_layers": L,
+            "intermediate_size": F, "max_position_embeddings": 512,
+            "num_selected_experts": 2, "experts": list(range(E)),
+            "embedding_multiplier_scale": 1.0,
+            "output_multiplier_scale": 0.577,
+            "rope_theta": 10000, "pad_token_id": 0, "eos_token_id": 2,
+            "bos_token_id": 1}
+    with open(os.path.join(str(d), "config.json"), "w") as f:
+        json.dump(cfgd, f)
+    with open(os.path.join(str(d), "tokenizer.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(tok, f, ensure_ascii=False)
+
+
 # (family, builder, pinned seed) — seeds chosen where greedy margins beat
 # f32 accumulation noise on the pinned prompt (interactive search,
 # 2026-08-20; rejected seeds flipped single near-tie argmaxes)
@@ -393,6 +625,12 @@ FAMILIES = {
     "pangu_moe": (_build_pangu_moe, 11),
     "megrez_moe": (_build_megrez_moe, 0),
     "qwen25vl": (_build_qwen25vl, 0),
+    "orion": (_build_orion, 11),
+    "telechat2": (_build_telechat2, 11),
+    "bluelm": (_build_bluelm, 0),
+    "index": (_build_index, 11),
+    "solarpro": (_build_solarpro, 11),
+    "grok1": (None, 2),                  # pickle-stream fixture (see below)
 }
 
 
@@ -410,10 +648,14 @@ def family_models(tmp_path_factory):
             builder, seed = FAMILIES[fam]
             d = root / fam
             if not (d / "config.json").exists():
-                cfgd, sd, tok = builder(seed)
-                write_hf_dir(d, cfgd, sd, tok)
+                if fam == "grok1":
+                    _write_grok1(d, seed)
+                else:
+                    cfgd, sd, tok = builder(seed)
+                    write_hf_dir(d, cfgd, sd, tok)
             out = str(d / f"m_{fmt}.bin")
-            convert(str(d), out, fmt)
+            convert(str(d), out, fmt,
+                    **({"arch": "grok-1-base"} if fam == "grok1" else {}))
             paths[key] = out
         return paths[key]
 
@@ -425,6 +667,8 @@ def family_models(tmp_path_factory):
 # q4_k noise at every seed tried — its quant leg runs q8_0 instead.
 QUANT_LEG = {fam: "q4_k" for fam in FAMILIES}
 QUANT_LEG["baichuan13b"] = "q8_0"
+QUANT_LEG["bluelm"] = "q8_0"
+QUANT_LEG["grok1"] = "q8_0"
 
 
 @pytest.mark.parametrize("fam", sorted(FAMILIES))
