@@ -538,6 +538,79 @@ def _build_solarpro(seed):
     return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
 
 
+def _build_zhinao(seed):
+    """Fused interleaved qkv_proj (+bias) split by the converter; specials
+    live BEYOND the written pieces (GetPieceSize()+0..10, zhinao.cpp)."""
+    tok = bpe_tok_json()
+    V = max(v for v in tok["model"]["vocab"].values()) + 1 + 11
+    rng = np.random.default_rng(seed)
+    H, L, heads, kv, F = 128, 2, 4, 2, 192
+    hd = H // heads
+    gs = 2 + heads // kv
+    sd = {"model.embed_tokens.weight": _lin(rng, V, H),
+          "model.norm.weight": np.ones(H, np.float32),
+          "lm_head.weight": _lin(rng, V, H)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[p + ".input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".self_attn.qkv_proj.weight"] = _lin(rng, kv * gs * hd, H)
+        sd[p + ".self_attn.qkv_proj.bias"] = _vec(rng, kv * gs * hd)
+        sd[p + ".self_attn.o_proj.weight"] = _lin(rng, H, H)
+        sd[p + ".mlp.gate_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.up_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.down_proj.weight"] = _lin(rng, H, F)
+    cfgd = {"architectures": ["ZhinaoForCausalLM"], "vocab_size": V,
+            "hidden_size": H, "num_attention_heads": heads,
+            "num_key_value_heads": kv, "num_hidden_layers": L,
+            "intermediate_size": F, "max_position_embeddings": 512,
+            "rope_theta": 10000.0, "rope_scaling": None,
+            "bos_token_id": 1, "eos_token_id": 0, "pad_token_id": 0}
+    return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
+
+
+def _build_hunyuan_moe(seed):
+    """64-expert/top-8 (hardcoded, hunyuan.cpp:382) + shared expert + qk
+    layernorms + tied head; shared-expert intermediate == intermediate_size;
+    ~40 special ids beyond the written pieces."""
+    tok = bpe_tok_json()
+    V = max(v for v in tok["model"]["vocab"].values()) + 1 + 40
+    rng = np.random.default_rng(seed)
+    H, L, heads, kv, MI = 128, 2, 4, 2, 64
+    hd = H // heads
+    E = 64
+    sd = {"model.embed_tokens.weight": _lin(rng, V, H),
+          "model.norm.weight": np.ones(H, np.float32)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[p + ".input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".self_attn.q_proj.weight"] = _lin(rng, heads * hd, H)
+        sd[p + ".self_attn.k_proj.weight"] = _lin(rng, kv * hd, H)
+        sd[p + ".self_attn.v_proj.weight"] = _lin(rng, kv * hd, H)
+        sd[p + ".self_attn.o_proj.weight"] = _lin(rng, H, heads * hd)
+        sd[p + ".self_attn.query_layernorm.weight"] = np.ones(hd, np.float32)
+        sd[p + ".self_attn.key_layernorm.weight"] = np.ones(hd, np.float32)
+        sd[p + ".mlp.gate.wg.weight"] = _lin(rng, E, H)
+        for j in range(E):
+            sd[p + f".mlp.experts.{j}.gate_proj.weight"] = _lin(rng, MI, H)
+            sd[p + f".mlp.experts.{j}.up_proj.weight"] = _lin(rng, MI, H)
+            sd[p + f".mlp.experts.{j}.down_proj.weight"] = _lin(rng, H, MI)
+        sd[p + ".mlp.shared_mlp.gate_proj.weight"] = _lin(rng, MI, H)
+        sd[p + ".mlp.shared_mlp.up_proj.weight"] = _lin(rng, MI, H)
+        sd[p + ".mlp.shared_mlp.down_proj.weight"] = _lin(rng, H, MI)
+    cfgd = {"architectures": ["HunYuanMoEV1ForCausalLM"], "vocab_size": V,
+            "hidden_size": H, "num_attention_heads": heads,
+            "num_key_value_heads": kv, "num_hidden_layers": L,
+            "intermediate_size": MI, "moe_intermediate_size": MI,
+            "num_experts": E, "moe_topk": 8, "num_shared_expert": 1,
+            "max_position_embeddings": 512, "rope_theta": 10000.0,
+            "tie_word_embeddings": True,
+            "bos_token_id": 1, "eos_token_id": 0, "pad_token_id": 0}
+    return cfgd, amplify_state_dict(
+        sd, tok, amp=1.0, head_keys=("model.embed_tokens.weight",)), tok
+
+
 def _write_grok1(d, seed):
     """Grok-1 base: the converter streams xai pickle files (tensorNNNNN_000
     in alphabetical order of the canonical names) — no safetensors."""
@@ -631,6 +704,8 @@ FAMILIES = {
     "index": (_build_index, 11),
     "solarpro": (_build_solarpro, 11),
     "grok1": (None, 2),                  # pickle-stream fixture (see below)
+    "zhinao": (_build_zhinao, 11),
+    "hunyuan_moe": (_build_hunyuan_moe, 0),
 }
 
 

@@ -110,21 +110,48 @@ def test_native_bpe_matches_python(tmp_path):
     """The C++ BPE merge engine (native/bpe.cpp) must produce byte-identical
     ids to the Python _merge_ranked on adversarial inputs — both decoder
     modes, incl. byte-fallback and invalid UTF-8."""
+    import json
     import os
     import random
 
-    from chatllm_tpu.models import RuntimeConfig, load_model
+    import numpy as np
+    import transformers
+    from safetensors.numpy import save_file
 
-    if not os.path.isfile("/tmp/fuzz/m.bin"):
-        pytest.skip("trained-merges fixture not present")
+    from chatllm_tpu.models import RuntimeConfig, load_model
+    from chatllm_tpu.tools.convert import convert
+    from crossbinary_common import train_bpe_tok
+
+    # hermetic trained-merges fixture (round-5: replaces the old /tmp/fuzz
+    # leftover from a previous session)
+    d = tmp_path / "hf"
+    d.mkdir()
+    tk = train_bpe_tok()
+    tk.save(str(d / "tokenizer.json"))
+    V = tk.get_vocab_size()
+    cfg = transformers.Qwen2Config(
+        vocab_size=V, hidden_size=32, num_attention_heads=2,
+        num_key_value_heads=2, num_hidden_layers=1, intermediate_size=32,
+        max_position_embeddings=64, tie_word_embeddings=True,
+        sliding_window=None, bos_token_id=1, eos_token_id=0)
+    hf = transformers.Qwen2ForCausalLM(cfg)
+    save_file({k: v.detach().float().numpy()
+               for k, v in hf.state_dict().items()},
+              str(d / "model.safetensors"))
+    cd = json.loads(cfg.to_json_string())
+    cd["architectures"] = ["Qwen2ForCausalLM"]
+    (d / "config.json").write_text(json.dumps(cd))
+    mbin = str(tmp_path / "m.bin")
+    convert(str(d), mbin, "f32")
+
     rt = RuntimeConfig(weight_dtype="float32", compute_dtype="float32",
                        cache_dtype="float32")
-    m_nat = load_model("/tmp/fuzz/m.bin", rt)
+    m_nat = load_model(mbin, rt)
     assert m_nat.tokenizer.tp._native_bpe() is not None, \
         "native BPE engine failed to build"
     os.environ["CHATLLM_TPU_NATIVE_BPE"] = "0"
     try:
-        m_py = load_model("/tmp/fuzz/m.bin", rt)
+        m_py = load_model(mbin, rt)
     finally:
         os.environ.pop("CHATLLM_TPU_NATIVE_BPE")
     random.seed(7)
