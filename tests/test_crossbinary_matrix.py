@@ -756,6 +756,13 @@ def test_family_greedy_quantized(family_models, capsys, fam):
     assert_cross_parity(family_models(fam, QUANT_LEG[fam]), capsys)
 
 
+# Also attempted: nanbeige (looped) — the reference's LoopModel context
+# allocator asserts (ggml.c:1727 GGML_ASSERT(obj_new)) on 2 of 3 tiny
+# fixture seeds, making it an unstable oracle at test sizes; loop
+# mechanics (per-loop KV caches, inter-loop final norm) are covered by the
+# ouro family and tests/test_looped.py instead.
+
+
 def test_chatglm1_reference_refuses():
     """Document the missing oracle: the reference binary itself rejects
     GLM-1 ('regression: ChatGLM is not available', chatglm.cpp:175), so no
