@@ -611,6 +611,55 @@ def _build_hunyuan_moe(seed):
         sd, tok, amp=1.0, head_keys=("model.embed_tokens.weight",)), tok
 
 
+def _build_bailing(seed):
+    """Bailing/Ling MoE (64-expert/top-6 hardcode, bailing.cpp:96-97):
+    DSv1 layout with fused query_key_value + word_embeddings naming,
+    BPE2 tokenizer with <role> template markers."""
+    tok = bpe_tok_json()
+    V0 = max(v for v in tok["model"]["vocab"].values()) + 1
+    for i, s in enumerate(["<role>", "</role>", "<|endofturn|>"]):
+        tok["added_tokens"].append({"content": s, "id": V0 + i,
+                                    "special": True})
+    V = V0 + 3 + 8
+    rng = np.random.default_rng(seed)
+    H, L, heads, kv, F, MI = 128, 2, 4, 2, 192, 64
+    hd = H // heads
+    E = 64
+    sd = {"model.word_embeddings.weight": _lin(rng, V, H),
+          "model.norm.weight": np.ones(H, np.float32),
+          "lm_head.weight": _lin(rng, V, H)}
+    fkd = 1
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[p + ".input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".attention.query_key_value.weight"] =             _lin(rng, (heads + 2 * kv) * hd, H)
+        sd[p + ".attention.dense.weight"] = _lin(rng, H, heads * hd)
+        if i >= fkd:
+            sd[p + ".mlp.gate.weight"] = _lin(rng, E, H)
+            sd[p + ".mlp.shared_experts.gate_proj.weight"] = _lin(rng, MI, H)
+            sd[p + ".mlp.shared_experts.up_proj.weight"] = _lin(rng, MI, H)
+            sd[p + ".mlp.shared_experts.down_proj.weight"] = _lin(rng, H, MI)
+            for j in range(E):
+                sd[p + f".mlp.experts.{j}.gate_proj.weight"] =                     _lin(rng, MI, H)
+                sd[p + f".mlp.experts.{j}.up_proj.weight"] = _lin(rng, MI, H)
+                sd[p + f".mlp.experts.{j}.down_proj.weight"] =                     _lin(rng, H, MI)
+        else:
+            sd[p + ".mlp.gate_proj.weight"] = _lin(rng, F, H)
+            sd[p + ".mlp.up_proj.weight"] = _lin(rng, F, H)
+            sd[p + ".mlp.down_proj.weight"] = _lin(rng, H, F)
+    cfgd = {"architectures": ["BailingMoeForCausalLM"], "vocab_size": V,
+            "hidden_size": H, "num_attention_heads": heads,
+            "num_key_value_heads": kv, "num_hidden_layers": L,
+            "intermediate_size": F, "moe_intermediate_size": MI,
+            "num_experts": E, "num_shared_experts": 1,
+            "num_experts_per_tok": 6, "first_k_dense_replace": fkd,
+            "norm_topk_prob": True, "head_dim": hd,
+            "max_position_embeddings": 512, "rope_theta": 10000.0,
+            "bos_token_id": 1, "eos_token_id": 0, "pad_token_id": 0}
+    return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
+
+
 def _write_grok1(d, seed):
     """Grok-1 base: the converter streams xai pickle files (tensorNNNNN_000
     in alphabetical order of the canonical names) — no safetensors."""
@@ -706,6 +755,7 @@ FAMILIES = {
     "grok1": (None, 2),                  # pickle-stream fixture (see below)
     "zhinao": (_build_zhinao, 11),
     "hunyuan_moe": (_build_hunyuan_moe, 0),
+    "bailing": (_build_bailing, 2),
 }
 
 
@@ -744,6 +794,7 @@ QUANT_LEG = {fam: "q4_k" for fam in FAMILIES}
 QUANT_LEG["baichuan13b"] = "q8_0"
 QUANT_LEG["bluelm"] = "q8_0"
 QUANT_LEG["grok1"] = "q8_0"
+QUANT_LEG["bailing"] = "q8_0"
 
 
 @pytest.mark.parametrize("fam", sorted(FAMILIES))
