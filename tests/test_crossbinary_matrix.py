@@ -660,6 +660,50 @@ def _build_bailing(seed):
     return cfgd, amplify_state_dict(sd, tok, amp=1.0), tok
 
 
+def _build_youtu(seed):
+    """Youtu (hunyuan.cpp:927 youtu::llm): MiniCPM3-style MLA with a
+    q-LoRA path, INTERLEAVED rope (rope_interleave, no neox permute),
+    tied head, deepseek-coder regex BPE2 with <|User|>/<|Assistant|>/
+    <think> pieces required at load (hunyuan.cpp:984-986)."""
+    tok = bpe_tok_json()
+    V0 = max(v for v in tok["model"]["vocab"].values()) + 1
+    for i, s in enumerate(["<|User|>", "<|Assistant|>", "<think>",
+                           "</think>"]):
+        tok["added_tokens"].append({"content": s, "id": V0 + i,
+                                    "special": True})
+    V = V0 + 4
+    rng = np.random.default_rng(seed)
+    H, L, heads, F = 128, 2, 4, 192
+    rank, qrank, dn, dr, dv = 64, 48, 32, 16, 32
+    sd = {"model.embed_tokens.weight": _lin(rng, V, H),
+          "model.norm.weight": np.ones(H, np.float32)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        sd[p + ".input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + ".self_attn.q_a_proj.weight"] = _lin(rng, qrank, H)
+        sd[p + ".self_attn.q_a_layernorm.weight"] =             np.ones(qrank, np.float32)
+        sd[p + ".self_attn.q_b_proj.weight"] =             _lin(rng, heads * (dn + dr), qrank)
+        sd[p + ".self_attn.kv_a_proj_with_mqa.weight"] =             _lin(rng, rank + dr, H)
+        sd[p + ".self_attn.kv_a_layernorm.weight"] =             np.ones(rank, np.float32)
+        sd[p + ".self_attn.kv_b_proj.weight"] =             _lin(rng, heads * (dn + dv), rank)
+        sd[p + ".self_attn.o_proj.weight"] = _lin(rng, H, heads * dv)
+        sd[p + ".mlp.gate_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.up_proj.weight"] = _lin(rng, F, H)
+        sd[p + ".mlp.down_proj.weight"] = _lin(rng, H, F)
+    cfgd = {"architectures": ["YoutuForCausalLM"], "vocab_size": V,
+            "hidden_size": H, "num_attention_heads": heads,
+            "num_key_value_heads": heads, "num_hidden_layers": L,
+            "intermediate_size": F, "max_position_embeddings": 512,
+            "rope_theta": 10000.0, "rope_interleave": True,
+            "kv_lora_rank": rank, "q_lora_rank": qrank,
+            "qk_nope_head_dim": dn, "qk_rope_head_dim": dr,
+            "v_head_dim": dv, "tie_word_embeddings": True,
+            "bos_token_id": 1, "eos_token_id": 0, "pad_token_id": 0}
+    return cfgd, amplify_state_dict(
+        sd, tok, amp=1.0, head_keys=("model.embed_tokens.weight",)), tok
+
+
 def _write_grok1(d, seed):
     """Grok-1 base: the converter streams xai pickle files (tensorNNNNN_000
     in alphabetical order of the canonical names) — no safetensors."""
@@ -756,6 +800,7 @@ FAMILIES = {
     "zhinao": (_build_zhinao, 11),
     "hunyuan_moe": (_build_hunyuan_moe, 0),
     "bailing": (_build_bailing, 2),
+    "youtu": (_build_youtu, 11),
 }
 
 
@@ -795,6 +840,7 @@ QUANT_LEG["baichuan13b"] = "q8_0"
 QUANT_LEG["bluelm"] = "q8_0"
 QUANT_LEG["grok1"] = "q8_0"
 QUANT_LEG["bailing"] = "q8_0"
+QUANT_LEG["youtu"] = "q8_0"
 
 
 @pytest.mark.parametrize("fam", sorted(FAMILIES))
